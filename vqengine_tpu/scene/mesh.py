@@ -1,0 +1,352 @@
+"""Meshes and procedural geometry — counterpart of reference
+Source/Engine/Scene/Mesh.h (multi-LOD vertex/index buffers, MeshLODData) and
+MeshGenerator.h (triangle/quad/cube/sphere/cylinder/cone/grid generators with
+LOD counts).
+
+Geometry conventions match the reference so scenes look identical:
+- Cube spans [-1, 1]^3 (MeshGenerator.h:227-292).
+- Triangle(size): (-s,-s,0), (0,s,0), (s,-s,0), uv (0,1),(0.5,0),(1,1)
+  (MeshGenerator.h:117-124).
+- Left-handed world; front faces wind clockwise on screen (D3D default
+  rasterizer state).
+
+Unlike the reference's per-vertex C++ loops, generators here are vectorized
+numpy — the data layout is struct-of-arrays ready for device upload.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class GeometryLOD:
+    """One LOD level: SoA vertex data + triangle indices."""
+    positions: np.ndarray  # [V, 3] f32
+    normals: np.ndarray    # [V, 3] f32
+    tangents: np.ndarray   # [V, 3] f32
+    uvs: np.ndarray        # [V, 2] f32
+    indices: np.ndarray    # [T, 3] i32
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self.positions.shape[0])
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.indices.shape[0])
+
+    def local_aabb(self) -> tuple[np.ndarray, np.ndarray]:
+        lo = self.positions.min(axis=0)
+        hi = self.positions.max(axis=0)
+        center = 0.5 * (lo + hi)
+        extents = 0.5 * (hi - lo)
+        return center.astype(np.float32), np.maximum(extents, 1e-6).astype(np.float32)
+
+
+@dataclass
+class Mesh:
+    """Multi-LOD mesh (reference Mesh.h:61-74 MeshLODData)."""
+    name: str
+    lods: list[GeometryLOD] = field(default_factory=list)
+
+    @property
+    def num_lods(self) -> int:
+        return len(self.lods)
+
+    def local_aabb(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.lods[0].local_aabb()
+
+
+def _make_lod(positions, normals, tangents, uvs, indices) -> GeometryLOD:
+    return GeometryLOD(
+        positions=np.ascontiguousarray(positions, dtype=np.float32),
+        normals=np.ascontiguousarray(normals, dtype=np.float32),
+        tangents=np.ascontiguousarray(tangents, dtype=np.float32),
+        uvs=np.ascontiguousarray(uvs, dtype=np.float32),
+        indices=np.ascontiguousarray(indices, dtype=np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generators
+# ---------------------------------------------------------------------------
+
+def triangle(size: float = 1.0) -> Mesh:
+    """Reference MeshGenerator.h:104-140."""
+    s = np.float32(size)
+    pos = np.array([[-s, -s, 0], [0, s, 0], [s, -s, 0]], dtype=np.float32)
+    uv = np.array([[0, 1], [0.5, 0], [1, 1]], dtype=np.float32)
+    nrm = np.tile(np.array([[0, 0, -1]], dtype=np.float32), (3, 1))
+    tan = np.tile(np.array([[1, 0, 0]], dtype=np.float32), (3, 1))
+    idx = np.array([[0, 1, 2]], dtype=np.int32)
+    return Mesh("Triangle", [_make_lod(pos, nrm, tan, uv, idx)])
+
+
+def quad(scale: float = 1.0) -> Mesh:
+    """Unit quad in the XY plane facing -Z (toward a default LH camera)."""
+    s = np.float32(scale)
+    pos = np.array([[-s, s, 0], [s, s, 0], [s, -s, 0], [-s, -s, 0]], dtype=np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
+    nrm = np.tile(np.array([[0, 0, -1]], dtype=np.float32), (4, 1))
+    tan = np.tile(np.array([[1, 0, 0]], dtype=np.float32), (4, 1))
+    idx = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    return Mesh("Quad", [_make_lod(pos, nrm, tan, uv, idx)])
+
+
+def cube() -> Mesh:
+    """[-1,1]^3 cube, 24 vertices (4 per face), per-face normals/tangents/uvs
+    (reference MeshGenerator.h:143-310)."""
+    # face definition: (normal, tangent); vertices generated in clockwise
+    # order viewed from outside (LH front-face winding).
+    faces = [
+        ((0, 1, 0), (1, 0, 0)),    # top
+        ((0, 0, -1), (1, 0, 0)),   # front (faces camera at -Z)
+        ((1, 0, 0), (0, 0, 1)),    # right
+        ((0, 0, 1), (-1, 0, 0)),   # back
+        ((-1, 0, 0), (0, 0, -1)),  # left
+        ((0, -1, 0), (1, 0, 0)),   # bottom
+    ]
+    pos_list, nrm_list, tan_list, uv_list, idx_list = [], [], [], [], []
+    for fi, (n, t) in enumerate(faces):
+        n = np.array(n, dtype=np.float32)
+        t = np.array(t, dtype=np.float32)
+        b = np.cross(n, t)  # bitangent
+        # corners in (t, b) plane, wound so cross(e1, e2) points outward
+        # (matches reference cube top-face order, MeshGenerator.h:200-230)
+        corners_tb = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], dtype=np.float32)
+        pos = n[None, :] + corners_tb[:, 0:1] * t[None, :] + corners_tb[:, 1:2] * b[None, :]
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
+        base = 4 * fi
+        idx = np.array([[base, base + 1, base + 2], [base, base + 2, base + 3]], dtype=np.int32)
+        pos_list.append(pos); nrm_list.append(np.tile(n, (4, 1)))
+        tan_list.append(np.tile(t, (4, 1))); uv_list.append(uv); idx_list.append(idx)
+    return Mesh("Cube", [_make_lod(
+        np.concatenate(pos_list), np.concatenate(nrm_list),
+        np.concatenate(tan_list), np.concatenate(uv_list), np.concatenate(idx_list))])
+
+
+def _lod_counts(full: int, lod: int, minimum: int) -> int:
+    return max(minimum, full >> lod)
+
+
+def _uv_sphere_lod(radius: float, rings: int, slices: int) -> GeometryLOD:
+    """Latitude/longitude sphere, vectorized. rings = latitude divisions,
+    slices = longitude divisions."""
+    ring_idx = np.arange(rings + 1, dtype=np.float32)           # 0..rings
+    slice_idx = np.arange(slices + 1, dtype=np.float32)         # 0..slices (seam dup)
+    theta = ring_idx / rings * np.pi                            # [0, pi] from +Y pole
+    phi = slice_idx / slices * 2.0 * np.pi
+
+    sin_t, cos_t = np.sin(theta), np.cos(theta)
+    sin_p, cos_p = np.sin(phi), np.cos(phi)
+
+    # grid [rings+1, slices+1]
+    x = sin_t[:, None] * cos_p[None, :]
+    y = cos_t[:, None] * np.ones_like(cos_p)[None, :]
+    z = sin_t[:, None] * sin_p[None, :]
+    n = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    pos = radius * n
+    # tangent = d(pos)/d(phi) normalized
+    tx = -sin_t[:, None] * sin_p[None, :]
+    tz = sin_t[:, None] * cos_p[None, :]
+    tan = np.stack([tx, np.zeros_like(tx), tz], axis=-1).reshape(-1, 3)
+    tlen = np.linalg.norm(tan, axis=-1, keepdims=True)
+    tan = np.where(tlen > 1e-6, tan / np.maximum(tlen, 1e-12), np.array([[1, 0, 0]], dtype=np.float32))
+
+    u = (slice_idx / slices)[None, :] * np.ones((rings + 1, 1), dtype=np.float32)
+    v = (ring_idx / rings)[:, None] * np.ones((1, slices + 1), dtype=np.float32)
+    uv = np.stack([u, v], axis=-1).reshape(-1, 2)
+
+    # indices: quad (r, s) -> verts r*(S+1)+s ...
+    r = np.arange(rings)[:, None]
+    s = np.arange(slices)[None, :]
+    v00 = (r * (slices + 1) + s)
+    v01 = (r * (slices + 1) + s + 1)
+    v10 = ((r + 1) * (slices + 1) + s)
+    v11 = ((r + 1) * (slices + 1) + s + 1)
+    # winding: cross(e1, e2) outward (LH front = clockwise on screen).
+    # drop degenerate pole triangles: tri_a collapses on the first ring
+    # (v00 == v01 at the +Y pole), tri_b on the last ring (-Y pole).
+    tri_a = np.stack([v00[1:], v01[1:], v10[1:]], axis=-1).reshape(-1, 3)
+    tri_b = np.stack([v01[:-1], v11[:-1], v10[:-1]], axis=-1).reshape(-1, 3)
+    idx = np.concatenate([tri_a, tri_b], axis=0).astype(np.int32)
+    return _make_lod(pos, n, tan, uv, idx)
+
+
+def sphere(radius: float = 1.0, rings: int = 12, slices: int = 12, num_lods: int = 1) -> Mesh:
+    """Reference MeshGenerator::Sphere (default engine sphere: radius 1,
+    30 rings, 30 slices, 5 LODs — VQEngine_Render.cpp:258)."""
+    lods = [
+        _uv_sphere_lod(radius, _lod_counts(rings, i, 4), _lod_counts(slices, i, 4))
+        for i in range(max(1, num_lods))
+    ]
+    return Mesh("Sphere", lods)
+
+
+def _cylinder_lod(height: float, top_r: float, bottom_r: float, slices: int, stacks: int) -> GeometryLOD:
+    half = height / 2.0
+    phi = np.arange(slices + 1, dtype=np.float32) / slices * 2.0 * np.pi
+    cos_p, sin_p = np.cos(phi), np.sin(phi)
+
+    # side vertices: stacks+1 rows
+    t = np.arange(stacks + 1, dtype=np.float32) / stacks       # 0 bottom -> 1 top
+    y = -half + t * height
+    r_row = bottom_r + t * (top_r - bottom_r)
+    x = r_row[:, None] * cos_p[None, :]
+    z = r_row[:, None] * sin_p[None, :]
+    yy = y[:, None] * np.ones_like(cos_p)[None, :]
+    pos = np.stack([x, yy, z], axis=-1).reshape(-1, 3)
+
+    # side normals (slope-aware)
+    dr = (bottom_r - top_r) / height
+    nx = cos_p[None, :] * np.ones((stacks + 1, 1), dtype=np.float32)
+    nz = sin_p[None, :] * np.ones((stacks + 1, 1), dtype=np.float32)
+    ny = np.full_like(nx, dr)
+    nrm = np.stack([nx, ny, nz], axis=-1).reshape(-1, 3)
+    nrm = nrm / np.linalg.norm(nrm, axis=-1, keepdims=True)
+
+    tan = np.stack([-sin_p[None, :] * np.ones((stacks + 1, 1), dtype=np.float32),
+                    np.zeros((stacks + 1, slices + 1), dtype=np.float32),
+                    cos_p[None, :] * np.ones((stacks + 1, 1), dtype=np.float32)], axis=-1).reshape(-1, 3)
+    u = (np.arange(slices + 1, dtype=np.float32) / slices)[None, :] * np.ones((stacks + 1, 1), dtype=np.float32)
+    v = (1.0 - t)[:, None] * np.ones((1, slices + 1), dtype=np.float32)
+    uv = np.stack([u, v], axis=-1).reshape(-1, 2)
+
+    r = np.arange(stacks)[:, None]
+    s = np.arange(slices)[None, :]
+    v00 = (r * (slices + 1) + s).reshape(-1)        # lower row
+    v01 = (r * (slices + 1) + s + 1).reshape(-1)
+    v10 = ((r + 1) * (slices + 1) + s).reshape(-1)  # upper row
+    v11 = ((r + 1) * (slices + 1) + s + 1).reshape(-1)
+    side_idx = np.concatenate([
+        np.stack([v00, v10, v11], axis=1),
+        np.stack([v00, v11, v01], axis=1),
+    ], axis=0)
+
+    parts_pos, parts_nrm, parts_tan, parts_uv, parts_idx = [pos], [nrm], [tan], [uv], [side_idx]
+    base = pos.shape[0]
+
+    # caps (top then bottom): center + ring fan
+    for cap_y, cap_r, ny_cap in ((half, top_r, 1.0), (-half, bottom_r, -1.0)):
+        if cap_r <= 0.0:
+            continue
+        ring = np.stack([cap_r * cos_p, np.full_like(cos_p, cap_y), cap_r * sin_p], axis=-1)
+        center = np.array([[0.0, cap_y, 0.0]], dtype=np.float32)
+        cap_pos = np.concatenate([center, ring], axis=0)
+        cap_nrm = np.tile(np.array([[0.0, ny_cap, 0.0]], dtype=np.float32), (cap_pos.shape[0], 1))
+        cap_tan = np.tile(np.array([[1.0, 0.0, 0.0]], dtype=np.float32), (cap_pos.shape[0], 1))
+        cap_uv = np.concatenate([
+            np.array([[0.5, 0.5]], dtype=np.float32),
+            np.stack([0.5 + 0.5 * cos_p, 0.5 + 0.5 * sin_p], axis=-1),
+        ], axis=0)
+        s1 = np.arange(slices)
+        c = np.full_like(s1, 0)
+        if ny_cap > 0:  # top: wind so outside (+Y) sees clockwise
+            cap_idx = np.stack([c + base, base + 1 + s1 + 1, base + 1 + s1], axis=1)
+        else:
+            cap_idx = np.stack([c + base, base + 1 + s1, base + 1 + s1 + 1], axis=1)
+        parts_pos.append(cap_pos); parts_nrm.append(cap_nrm); parts_tan.append(cap_tan)
+        parts_uv.append(cap_uv); parts_idx.append(cap_idx)
+        base += cap_pos.shape[0]
+
+    return _make_lod(
+        np.concatenate(parts_pos), np.concatenate(parts_nrm),
+        np.concatenate(parts_tan), np.concatenate(parts_uv),
+        np.concatenate(parts_idx).astype(np.int32))
+
+
+def cylinder(height: float = 3.0, top_radius: float = 1.0, bottom_radius: float = 1.0,
+             slices: int = 18, stacks: int = 6, num_lods: int = 1) -> Mesh:
+    """Reference MeshGenerator::Cylinder (engine default: 3, 1, 1, 45, 6, 4 —
+    VQEngine_Render.cpp:257)."""
+    lods = [
+        _cylinder_lod(height, top_radius, bottom_radius,
+                      _lod_counts(slices, i, 6), _lod_counts(stacks, i, 1))
+        for i in range(max(1, num_lods))
+    ]
+    return Mesh("Cylinder", lods)
+
+
+def cone(height: float = 1.0, radius: float = 1.0, slices: int = 42, num_lods: int = 1) -> Mesh:
+    """Reference MeshGenerator::Cone (engine default: 1, 1, 42, 4 —
+    VQEngine_Render.cpp:261). Implemented as a zero-top-radius cylinder."""
+    lods = [
+        _cylinder_lod(height, 0.0, radius, _lod_counts(slices, i, 6), max(1, 2 >> i))
+        for i in range(max(1, num_lods))
+    ]
+    m = Mesh("Cone", lods)
+    # shift so base sits at y=0 like the reference cone (apex up)
+    for lod in m.lods:
+        lod.positions[:, 1] += np.float32(height / 2.0)
+    return m
+
+
+def _grid_lod(width: float, depth: float, nx: int, ny: int) -> GeometryLOD:
+    """Flat grid in the XZ plane, +Y normal, centered at origin."""
+    xs = np.linspace(-width / 2.0, width / 2.0, nx, dtype=np.float32)
+    zs = np.linspace(depth / 2.0, -depth / 2.0, ny, dtype=np.float32)
+    X, Z = np.meshgrid(xs, zs, indexing="xy")  # [ny, nx]
+    pos = np.stack([X, np.zeros_like(X), Z], axis=-1).reshape(-1, 3)
+    nrm = np.tile(np.array([[0, 1, 0]], dtype=np.float32), (pos.shape[0], 1))
+    tan = np.tile(np.array([[1, 0, 0]], dtype=np.float32), (pos.shape[0], 1))
+    u = (xs - xs[0]) / max(width, 1e-9)
+    v = 1.0 - (zs - zs[-1]) / max(depth, 1e-9)
+    U, V = np.meshgrid(u, v, indexing="xy")
+    uv = np.stack([U, V], axis=-1).reshape(-1, 2)
+
+    r = np.arange(ny - 1)[:, None]
+    c = np.arange(nx - 1)[None, :]
+    v00 = (r * nx + c).reshape(-1)
+    v01 = (r * nx + c + 1).reshape(-1)
+    v10 = ((r + 1) * nx + c).reshape(-1)
+    v11 = ((r + 1) * nx + c + 1).reshape(-1)
+    idx = np.concatenate([
+        np.stack([v00, v01, v11], axis=1),
+        np.stack([v00, v11, v10], axis=1),
+    ], axis=0).astype(np.int32)
+    return _make_lod(pos, nrm, tan, uv, idx)
+
+
+def grid(width: float = 1.0, depth: float = 1.0, num_verts_x: int = 2, num_verts_y: int = 2,
+         num_lods: int = 1) -> Mesh:
+    """Reference MeshGenerator::Grid (engine defaults incl. the 1200x1200
+    6-LOD terrain grid — VQEngine_Render.cpp:262-266)."""
+    lods = [
+        _grid_lod(width, depth, _lod_counts(num_verts_x, i, 2), _lod_counts(num_verts_y, i, 2))
+        for i in range(max(1, num_lods))
+    ]
+    return Mesh("SimpleGrid", lods)
+
+
+def fullscreen_quad() -> Mesh:
+    """NDC-space fullscreen quad (reference FullScreenQuad / fullscreen
+    triangle blits)."""
+    m = quad(1.0)
+    m.name = "FullScreenQuad"
+    return m
+
+
+# Builtin mesh registry mirroring EBuiltInMeshes + GenerateBuiltinMeshes
+# (reference VQEngine_Render.cpp:228-285)
+BUILTIN_MESH_BUILDERS = {
+    "Triangle": lambda: triangle(1.0),
+    "Cube": cube,
+    "Cylinder": lambda: cylinder(3.0, 1.0, 1.0, 45, 6, 4),
+    "Sphere": lambda: sphere(1.0, 30, 30, 5),
+    "Cone": lambda: cone(1.0, 1.0, 42, 4),
+    "SimpleGrid": lambda: grid(1.0, 1.0, 2, 2, 1),
+    "DetaildGrid0": lambda: grid(1.0, 1.0, 3, 3, 1),
+    "DetaildGrid1": lambda: grid(1.0, 1.0, 12, 12, 4),
+    "DetaildGrid2": lambda: grid(1.0, 1.0, 1200, 1200, 6),
+}
+
+
+def build_builtin_meshes() -> dict[str, Mesh]:
+    out = {}
+    for name, fn in BUILTIN_MESH_BUILDERS.items():
+        m = fn()
+        m.name = name
+        out[name] = m
+    return out
