@@ -1,0 +1,426 @@
+"""TPU tile rasterizer — the replacement for the reference's entire D3D12
+draw-call path (input assembler, vertex shader dispatch, rasterizer, depth
+test; driven by SceneRendering.cpp:1265-1851 and the shadow/depth passes).
+
+Design (TPU-first, not a GPU translation):
+
+1.  **Vertex transform** is a batched matvec over all vertices (MXU/VPU).
+2.  **Triangle setup** builds *clipless homogeneous edge functions*
+    (Olano & Greer, "Triangle Scan Conversion using 2D Homogeneous
+    Coordinates"): for screen-homogeneous vertices c_i = (Xs, Ys, w),
+    e_i = cross(c_j, c_k). A pixel p = (px, py, 1) is covered iff all
+    b_i = e_i . p >= 0 (for det > 0 front faces), and any vertex attribute
+    interpolates perspective-correctly as  u(p) = sum(b_i u_i) / sum(b_i).
+    Depth z_ndc(p) = sum(b_i * z_i) / det.  No near-plane clipping is ever
+    needed; triangles crossing w=0 rasterize only their visible part.
+3.  **Binning**: each triangle emits (tile, tri) pairs for the screen tiles
+    its bbox covers (capped at K_MAX; bigger or near-plane-crossing
+    triangles go to a small per-frame "global" list processed by every
+    tile). Pairs are sorted by tile id — one jnp.argsort — giving
+    contiguous per-tile segments, and per-pair setup records are
+    pre-gathered so the raster kernel only does *contiguous* DMA.
+4.  **Raster kernel (Pallas)**: grid over screen tiles; each tile streams
+    its pair records HBM->VMEM in chunks and evaluates coverage + depth
+    test over the whole [TILE_H, TILE_W] pixel block on the VPU,
+    maintaining (min z, winning triangle id) — a visibility buffer.
+5.  **Attribute resolve** (XLA): per-pixel gather of the winning triangle's
+    edge rows + vertex attributes, then the barycentric blend from (2).
+
+The depth buffer convention matches D3D: clear to 1.0, test LESS,
+z in [0, 1]; screen y points down; front faces wind clockwise on screen
+(det > 0 in our orientation).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._backend import pallas_call
+
+# tile size: one VREG of lanes wide, 16 sublane rows tall
+TILE_H = 16
+TILE_W = 128
+GROUP = 128           # triangles per DMA'd group block (one lane vector)
+PAIR_ROWS = 16        # rows per group block: e0(3) e1(3) e2(3) dp(3) id(1) pad(3)
+K_MAX_DEFAULT = 8     # max tiles a binned triangle may cover
+GLOBAL_CAP = 1024     # capacity of the per-frame big-triangle list
+BG_ID = -1            # background triangle id
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ===========================================================================
+# 1+2. vertex transform & triangle setup (dense XLA)
+# ===========================================================================
+
+def transform_clip(positions: jnp.ndarray, mvp: jnp.ndarray) -> jnp.ndarray:
+    """positions [V,3] x column-convention mvp [4,4] -> clip [V,4]."""
+    p = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=1)
+    return p @ mvp.T
+
+
+def transform_clip_instanced(positions: jnp.ndarray, item_of_vertex: jnp.ndarray,
+                             mvps: jnp.ndarray) -> jnp.ndarray:
+    """positions [V,3], item_of_vertex [V] int32, mvps [N,4,4] -> clip [V,4].
+    The per-draw-item WVP gather replaces the reference's per-instance
+    constant-buffer indexing (ForwardLighting.hlsl:119-124)."""
+    m = mvps[item_of_vertex]                       # [V,4,4]
+    p = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=1)
+    return jnp.einsum("vij,vj->vi", m, p)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TriangleSetup:
+    """Per-triangle raster data (all [T, ...])."""
+    edges: jnp.ndarray       # [T, 3, 3] homogeneous edge rows e_i (w-scaled)
+    zc: jnp.ndarray          # [T, 3] z_i / det (depth plane coefficients)
+    vert_scale: jnp.ndarray  # [T, 3] the 1/|w_i| conditioning scales; resolve
+    #                          multiplies b'_i by these to recover true
+    #                          perspective barycentric weights
+    valid: jnp.ndarray       # [T] bool — front-facing & on-screen
+    tile_lo: jnp.ndarray     # [T, 2] (tx0, ty0) int32
+    tile_hi: jnp.ndarray     # [T, 2] (tx1, ty1) int32 inclusive
+    big: jnp.ndarray         # [T] bool — route to the global list
+
+
+def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray,
+                    width: int, height: int) -> TriangleSetup:
+    """clip [V,4] (x,y,z,w D3D clip space), indices [T,3] -> TriangleSetup."""
+    c = clip[indices]                              # [T,3,4]
+    w = c[..., 3]
+    # screen-homogeneous coords (pixel units, y down):
+    xs = (c[..., 0] * 0.5 + w * 0.5) * width
+    ys = (-c[..., 1] * 0.5 + w * 0.5) * height
+    z = c[..., 2]
+    # condition: scale each vertex by 1/|w| (positive scale keeps signs,
+    # barycentric ratios, and z/det invariant)
+    s = 1.0 / jnp.maximum(jnp.abs(w), 1e-9)
+    xs, ys, ws, zs = xs * s, ys * s, w * s, z * s
+
+    p = jnp.stack([xs, ys, ws], axis=-1)           # [T,3,3]
+    e0 = jnp.cross(p[:, 1], p[:, 2])
+    e1 = jnp.cross(p[:, 2], p[:, 0])
+    e2 = jnp.cross(p[:, 0], p[:, 1])
+    edges = jnp.stack([e0, e1, e2], axis=1)        # [T,3,3]
+    det = jnp.einsum("tk,tk->t", p[:, 0], e0)
+
+    front = det > 1e-14
+    inv_det = jnp.where(front, 1.0 / jnp.where(front, det, 1.0), 0.0)
+    zc = zs * inv_det[:, None]                     # [T,3]
+
+    # screen bbox (only meaningful when every w is positive)
+    all_w_pos = (w > 1e-9).all(axis=-1)
+    sxy_x = xs / jnp.where(ws != 0, ws, 1.0)
+    sxy_y = ys / jnp.where(ws != 0, ws, 1.0)
+    xmin = sxy_x.min(axis=1); xmax = sxy_x.max(axis=1)
+    ymin = sxy_y.min(axis=1); ymax = sxy_y.max(axis=1)
+
+    offscreen = all_w_pos & ((xmax < 0) | (xmin >= width) | (ymax < 0) | (ymin >= height))
+    valid = front & ~offscreen
+    big = valid & ~all_w_pos                       # near-plane crossers: no bbox
+
+    tiles_x = cdiv(width, TILE_W)
+    tiles_y = cdiv(height, TILE_H)
+    tx0 = jnp.clip(jnp.floor(xmin / TILE_W).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / TILE_W).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
+    return TriangleSetup(
+        edges=edges, zc=zc, vert_scale=s, valid=valid,
+        tile_lo=jnp.stack([tx0, ty0], axis=1),
+        tile_hi=jnp.stack([tx1, ty1], axis=1),
+        big=big,
+    )
+
+
+def _pack_records(setup: TriangleSetup) -> jnp.ndarray:
+    """[T, PAIR_ROWS] f32 records: e0(3) | e1(3) | e2(3) | dp(3) |
+    tri_id(1, exact float up to 2^24) | pad(3).
+
+    dp is the pre-combined depth plane (sum_i zc_i * e_i) so the kernel
+    evaluates z_ndc with a single plane equation.
+
+    Records are *self-validating*: invalid triangles (back-facing,
+    off-screen) are replaced by a killed record whose coverage test can
+    never pass (e0 = (0,0,-1)). The raster kernel therefore needs no
+    per-lane validity masking and group-aligned overreads are safe.
+    """
+    t = setup.edges.shape[0]
+    tid = jnp.arange(t, dtype=jnp.float32)
+    dp = jnp.einsum("tk,tkj->tj", setup.zc, setup.edges)
+    pad = jnp.zeros((t, 3), dtype=jnp.float32)
+    rec = jnp.concatenate(
+        [setup.edges.reshape(t, 9).astype(jnp.float32),
+         dp.astype(jnp.float32), tid[:, None], pad], axis=1)
+    return jnp.where(setup.valid[:, None], rec, _killed_record())
+
+
+def _killed_record() -> jnp.ndarray:
+    k = np.zeros((PAIR_ROWS,), dtype=np.float32)
+    k[2] = -1.0  # e0 = (0, 0, -1): b0 == -1 everywhere -> never covered
+    k[12] = float(BG_ID)
+    return jnp.asarray(k)
+
+
+def _group_blocks(records: jnp.ndarray) -> jnp.ndarray:
+    """[P, PAIR_ROWS] -> lane-aligned group blocks [NG, PAIR_ROWS, GROUP],
+    padding the tail with killed records."""
+    p = records.shape[0]
+    ng = max(1, cdiv(p, GROUP))
+    pad = ng * GROUP - p
+    if pad:
+        records = jnp.concatenate(
+            [records, jnp.broadcast_to(_killed_record(), (pad, PAIR_ROWS))], axis=0)
+    return records.reshape(ng, GROUP, PAIR_ROWS).transpose(0, 2, 1)
+
+
+# ===========================================================================
+# 3. binning
+# ===========================================================================
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BinnedTriangles:
+    pairs: jnp.ndarray      # [NG, PAIR_ROWS, GROUP] sorted per-pair group blocks
+    starts: jnp.ndarray     # [NT + 1] int32 segment offsets (pair units)
+    gpairs: jnp.ndarray     # [NGG, PAIR_ROWS, GROUP] big-triangle group blocks
+    gmeta: jnp.ndarray      # [2] int32: (gcount, 0)
+    tiles_x: int = field(metadata=dict(static=True), default=0)
+    tiles_y: int = field(metadata=dict(static=True), default=0)
+
+
+def bin_triangles(setup: TriangleSetup, width: int, height: int,
+                  k_max: int = K_MAX_DEFAULT) -> BinnedTriangles:
+    tiles_x = cdiv(width, TILE_W)
+    tiles_y = cdiv(height, TILE_H)
+    nt = tiles_x * tiles_y
+    t = setup.edges.shape[0]
+
+    records = _pack_records(setup)
+
+    tx0, ty0 = setup.tile_lo[:, 0], setup.tile_lo[:, 1]
+    tx1, ty1 = setup.tile_hi[:, 0], setup.tile_hi[:, 1]
+    span_w = tx1 - tx0 + 1
+    span_h = ty1 - ty0 + 1
+    ncover = span_w * span_h
+
+    small = setup.valid & ~setup.big & (ncover <= k_max)
+    big = setup.valid & (setup.big | (ncover > k_max))
+
+    # pair expansion [T, K]
+    k = jnp.arange(k_max, dtype=jnp.int32)[None, :]
+    sw = jnp.maximum(span_w, 1)[:, None]
+    dx = k % sw
+    dy = k // sw
+    tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
+    pair_ok = small[:, None] & (k < ncover[:, None])
+    tile_ids = jnp.where(pair_ok, tile, nt).reshape(-1)          # [T*K]
+
+    order = jnp.argsort(tile_ids)                                # sentinel last
+    sorted_tids = tile_ids[order]
+    tri_of_pair = (order // k_max).astype(jnp.int32)
+    # pairs beyond a tile's segment are duplicates of other tiles' (or
+    # killed) records; evaluating them is coverage-safe, so the kernel can
+    # round segment bounds out to whole groups.
+    pair_records = jnp.where((sorted_tids < nt)[:, None],
+                             records[tri_of_pair], _killed_record())
+    pairs = _group_blocks(pair_records)
+
+    starts = jnp.searchsorted(sorted_tids, jnp.arange(nt + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+
+    # global (big) list: stable-partition big ids to the front
+    gorder = jnp.argsort(jnp.where(big, 0, 1).astype(jnp.int32))
+    gids = gorder[:GLOBAL_CAP]
+    gcount = jnp.minimum(big.sum(dtype=jnp.int32), GLOBAL_CAP)
+    grecords = jnp.where(big[gids][:, None], records[gids], _killed_record())
+    gpairs = _group_blocks(grecords)
+    gmeta = jnp.stack([gcount, jnp.asarray(tiles_x, jnp.int32)])
+
+    return BinnedTriangles(pairs=pairs, starts=starts, gpairs=gpairs,
+                           gmeta=gmeta, tiles_x=tiles_x, tiles_y=tiles_y)
+
+
+# ===========================================================================
+# 4. the Pallas raster kernel
+# ===========================================================================
+
+NPX = TILE_H * TILE_W  # pixels per tile, laid out flat on the lane axis
+TILES_PER_BLOCK = 8    # tiles processed per kernel instance (sublane rows)
+
+
+def _raster_kernel(starts_ref, gmeta_ref,            # scalar prefetch (SMEM)
+                   pairs_ref, gpairs_ref,            # HBM ("ANY") residents
+                   depth_ref, id_ref,                # VMEM out [TILES_PER_BLOCK, NPX]
+                   buf, sem):                        # scratch [PAIR_ROWS, GROUP]
+    blk = pl.program_id(0)
+    tiles_x = gmeta_ref[1]
+    sublane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, NPX), 0)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, NPX), 1)
+    dn = (((0,), (0,)), ((), ()))  # contract dim0 x dim0 -> [GROUP, NPX]
+
+    def tile_body(t, _):
+        tile = blk * TILES_PER_BLOCK + t
+        ty = tile // tiles_x
+        tx = tile % tiles_x
+
+        # pixel-center rows P3 [3, NPX] = (px; py; 1). Pixels live on the
+        # lane axis; triangles on the sublane axis — no in-kernel relayouts.
+        px = (lin % TILE_W).astype(jnp.float32) + (tx * TILE_W).astype(jnp.float32) + 0.5
+        py = (lin // TILE_W).astype(jnp.float32) + (ty * TILE_H).astype(jnp.float32) + 0.5
+        p3 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)    # [3, NPX]
+
+        def stream(src_ref, g0, g1, carry):
+            """Depth-test group blocks [g0, g1) of src_ref against this tile.
+
+            One group = GROUP triangles; all edge/depth planes for the whole
+            pixel block evaluate as [GROUP,3]x[3,NPX] contractions on the
+            MXU. Records are self-validating, so no count masking is needed
+            and segment bounds round out to whole groups safely.
+            """
+            def group_body(g, carry):
+                depth, idbuf = carry
+                cp = pltpu.make_async_copy(src_ref.at[g], buf, sem)
+                cp.start()
+                cp.wait()
+
+                b0 = jax.lax.dot_general(buf[0:3], p3, dn, preferred_element_type=jnp.float32)
+                b1 = jax.lax.dot_general(buf[3:6], p3, dn, preferred_element_type=jnp.float32)
+                b2 = jax.lax.dot_general(buf[6:9], p3, dn, preferred_element_type=jnp.float32)
+                z = jax.lax.dot_general(buf[9:12], p3, dn, preferred_element_type=jnp.float32)
+                cover = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & (z >= 0.0)
+                zm = jnp.where(cover, z, 2.0)                       # [GROUP, NPX]
+                zmin = jnp.min(zm, axis=0, keepdims=True)           # [1, NPX]
+                amin = jnp.argmin(zm, axis=0).astype(jnp.int32)[None, :]
+                onehot = (sublane == amin).astype(jnp.float32)      # [GROUP, NPX]
+                idsel = jnp.dot(buf[12:13], onehot,
+                                preferred_element_type=jnp.float32)  # [1, NPX]
+                upd = zmin < depth
+                return jnp.where(upd, zmin, depth), jnp.where(upd, idsel, idbuf)
+
+            return jax.lax.fori_loop(g0, g1, group_body, carry)
+
+        depth0 = jnp.full((1, NPX), 1.0, dtype=jnp.float32)
+        id0 = jnp.full((1, NPX), jnp.float32(BG_ID))
+
+        carry = stream(gpairs_ref, jnp.int32(0), pl.cdiv(gmeta_ref[0], GROUP),
+                       (depth0, id0))
+        start = starts_ref[tile]
+        end = starts_ref[tile + 1]
+        depth, idbuf = stream(pairs_ref, start // GROUP, pl.cdiv(end, GROUP), carry)
+
+        depth_ref[pl.ds(t, 1), :] = depth
+        id_ref[pl.ds(t, 1), :] = idbuf.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, TILES_PER_BLOCK, tile_body, 0)
+
+
+def rasterize(binned: BinnedTriangles, width: int, height: int):
+    """-> (depth [H, W] f32 in [0,1], tri_id [H, W] int32, BG_ID = background).
+
+    H/W are padded up to tile multiples internally and cropped on return.
+    """
+    tiles_x, tiles_y = binned.tiles_x, binned.tiles_y
+    nt = tiles_x * tiles_y
+    nblk = cdiv(nt, TILES_PER_BLOCK)
+    nt_pad = nblk * TILES_PER_BLOCK
+
+    # pad starts with empty trailing segments for the padded tiles
+    starts = binned.starts
+    if nt_pad > nt:
+        starts = jnp.concatenate(
+            [starts, jnp.broadcast_to(starts[-1], (nt_pad - nt,))])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILES_PER_BLOCK, NPX), lambda blk, *_: (blk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILES_PER_BLOCK, NPX), lambda blk, *_: (blk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PAIR_ROWS, GROUP), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    depth, tri_id = pallas_call(
+        _raster_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt_pad, NPX), jnp.float32),
+            jax.ShapeDtypeStruct((nt_pad, NPX), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(starts, binned.gmeta, binned.pairs, binned.gpairs)
+
+    # untangle [NT, NPX] tile-major layout into the [H, W] image
+    def untile(a):
+        img = a[:nt].reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+        img = img.transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W)
+        return img[:height, :width]
+
+    return untile(depth), untile(tri_id)
+
+
+# ===========================================================================
+# 5. attribute resolve (visibility buffer -> interpolated G-buffer)
+# ===========================================================================
+
+def resolve_attributes(tri_id: jnp.ndarray, setup: TriangleSetup,
+                       indices: jnp.ndarray,
+                       attributes: dict[str, jnp.ndarray]):
+    """tri_id [H,W] int32, setup from setup_triangles, indices [T,3],
+    attributes name -> [V, D]. Returns (dict name -> [H,W,D], mask [H,W])."""
+    h, w = tri_id.shape
+    mask = tri_id != BG_ID
+    sid = jnp.maximum(tri_id, 0)
+
+    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    e = setup.edges[sid]                             # [H,W,3,3]
+    b = e[..., 0] * px[..., None] + e[..., 1] * py[..., None] + e[..., 2]
+    b = jnp.maximum(b, 0.0)                          # guard tiny negatives on edges
+    # undo the per-vertex 1/|w| conditioning: true weight_i = b'_i * s_i
+    b = b * setup.vert_scale[sid]
+    bsum = b.sum(axis=-1)
+    binv = 1.0 / jnp.where(bsum > 0, bsum, 1.0)
+    lam = b * binv[..., None]                        # [H,W,3] perspective barycentrics
+
+    vidx = indices[sid]                              # [H,W,3]
+    out = {}
+    for name, a in attributes.items():
+        av = a[vidx]                                 # [H,W,3,D]
+        out[name] = jnp.einsum("hwk,hwkd->hwd", lam, av)
+    return out, mask
+
+
+# ===========================================================================
+# convenience: one-call depth+id render
+# ===========================================================================
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "k_max"))
+def render_visibility(clip: jnp.ndarray, indices: jnp.ndarray,
+                      width: int, height: int, k_max: int = K_MAX_DEFAULT):
+    """clip [V,4], indices [T,3] -> (depth [H,W], tri_id [H,W])."""
+    setup = setup_triangles(clip, indices, width, height)
+    binned = bin_triangles(setup, width, height, k_max)
+    depth, tri_id = rasterize(binned, width, height)
+    return depth, tri_id, setup
