@@ -1,0 +1,225 @@
+"""VQEngineTPU — the app shell, counterpart of the reference VQEngine
+orchestrator (VQEngine.h:95-415): app state machine INITIALIZING -> LOADING
+-> SIMULATING -> UNLOADING -> EXITING (VQEngine.h:72-81), scene loading
+dispatch (VQEngine_Update.cpp:483-560), the -Test/-TestFrames automated run
+contract (Main.cpp:65-86, VQEngine_Main.cpp:60-77), and the frame loop
+(VQEngine_Simulation.cpp:88-105).
+
+Differences by design: headless (framebuffers dump to PNG instead of a
+swapchain present), single host thread driving an async device (JAX's
+dispatch pipeline replaces the update/render thread pipelining).
+"""
+from __future__ import annotations
+
+import enum
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..render.renderer import VQRendererTPU
+from ..render.scene_buffers import assemble_scene
+from ..scene.mesh import build_builtin_meshes
+from ..scene.serialization import parse_material_file, parse_scene_file
+from ..utils import log
+from ..utils.image_io import write_png
+from .cli import parse_command_line
+from .settings import (FStartupParameters, load_engine_settings,
+                       load_environment_map_presets, load_scene_mapping)
+
+
+class EAppState(enum.Enum):
+    """Reference VQEngine.h:72-81."""
+    INITIALIZING = 0
+    LOADING = 1
+    SIMULATING = 2
+    UNLOADING = 3
+    EXITING = 4
+
+
+_PKG_DATA = Path(__file__).resolve().parent.parent.parent / "Data"
+DEFAULT_DATA_DIRS = ("Data", str(_PKG_DATA), "/root/reference/Data")
+
+
+def find_data_dirs() -> list[Path]:
+    """All data roots, in priority order (own Data first, then the
+    reference's for its levels/materials)."""
+    seen, out = set(), []
+    for d in DEFAULT_DATA_DIRS:
+        p = Path(d).resolve()
+        if p in seen:
+            continue
+        if (p / "Levels").is_dir() or (p / "EngineSettings.ini").is_file():
+            seen.add(p)
+            out.append(p)
+    return out
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache — the counterpart of the reference's
+    binary shader/PSO cache directories (Renderer.h:508-510,
+    ShaderCompileUtils.cpp:205 include-aware dirty checking; here XLA does
+    the dirty tracking). First-run compiles are slow; subsequent runs hit
+    the cache."""
+    import jax
+    try:
+        cache_dir = Path.home() / ".cache" / "vqengine_tpu" / "xla"
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+
+class VQEngineTPU:
+    def __init__(self, argv: list[str] | None = None,
+                 startup: FStartupParameters | None = None):
+        _enable_compilation_cache()
+        self.state = EAppState.INITIALIZING
+        startup = startup or parse_command_line(argv or [])
+        self.data_dirs = find_data_dirs()
+        self.data_dir = self.data_dirs[0] if self.data_dirs else None
+        self.settings, self.gfx = load_engine_settings(self.data_dir, startup)
+        log.initialize(console=self.settings.bLogConsole,
+                       file=self.settings.bLogFile,
+                       file_path=self.settings.LogFilePath)
+        log.info(f"VQEngineTPU initializing (data dirs: {self.data_dirs})")
+
+        self.scene_mapping = {}
+        self.env_presets = {}
+        for d in reversed(self.data_dirs):  # earlier dirs win
+            self.scene_mapping.update(load_scene_mapping(d))
+            self.env_presets.update(load_environment_map_presets(d))
+        self.builtin_meshes = build_builtin_meshes()
+        self.material_lib = self._load_material_lib()
+        self.renderer = VQRendererTPU(self.gfx)
+
+        self.scene_buffers = None
+        self.cameras = []
+        self.lights = []
+        self.active_camera = 0
+        self.scene_name = ""
+        self.num_ticks = 0
+        self.scene_update_hook = None  # fn(engine, dt) for animated scenes
+
+    # ------------------------------------------------------------------
+    def _load_material_lib(self) -> dict:
+        lib = {}
+        for d in reversed(self.data_dirs):  # earlier dirs win
+            mat_dir = d / "Materials"
+            if not mat_dir.is_dir():
+                continue
+            for xml in sorted(mat_dir.glob("*.xml")):
+                try:
+                    for mat, _tex_paths in parse_material_file(xml):
+                        lib[mat.name] = mat
+                except Exception as e:  # noqa: BLE001 — tolerate bad files like the reference
+                    log.warning(f"failed to parse {xml.name}: {e}")
+        log.info(f"loaded {len(lib)} materials")
+        return lib
+
+    # ------------------------------------------------------------------
+    def resolve_scene_file(self, name_or_index) -> Path | None:
+        if isinstance(name_or_index, int):
+            inv = {v: k for k, v in self.scene_mapping.items()}
+            name = inv.get(name_or_index)
+            if name is None:
+                return None
+        else:
+            name = name_or_index
+        for d in self.data_dirs:
+            p = d / "Levels" / f"{name}.xml"
+            if p.is_file():
+                return p
+        return None
+
+    def start_loading_scene(self, name_or_index) -> bool:
+        """Reference VQEngine::StartLoadingScene (VQEngine_Main.cpp:680) +
+        Load_SceneData_Dispatch (VQEngine_Update.cpp:483)."""
+        self.state = EAppState.LOADING
+        path = self.resolve_scene_file(name_or_index)
+        if path is None:
+            log.error(f"scene '{name_or_index}' not found")
+            return False
+        t0 = time.perf_counter()
+        rep = parse_scene_file(path)
+        self.scene_name = rep.name
+        buffers, cameras, lights = assemble_scene(
+            rep, self.builtin_meshes, self.material_lib,
+            gltf_loader=self._gltf_loader)
+        self.scene_buffers = buffers
+        self.cameras = cameras
+        self.lights = lights
+        self.active_camera = 0
+        aspect = self.settings.Width / max(1, self.settings.Height)
+        for c in self.cameras:
+            c.aspect = aspect
+        self.renderer.load_scene(buffers)
+        log.info(f"scene '{rep.name}' loaded in {time.perf_counter()-t0:.2f}s "
+                 f"({len(buffers.items)} items, {len(lights)} lights)")
+        self.state = EAppState.SIMULATING
+        return True
+
+    def _gltf_loader(self, path: str):
+        from ..scene.gltf import load_gltf_meshes
+        bases = [d.parent for d in self.data_dirs] + [Path(".")]
+        for base in bases:
+            p = Path(base) / path
+            if p.is_file():
+                try:
+                    return load_gltf_meshes(p)
+                except Exception as e:  # noqa: BLE001
+                    log.warning(f"glTF load failed for {p}: {e}")
+        return None
+
+    # ------------------------------------------------------------------
+    def render_frame(self, readback: bool = True):
+        cam = self.cameras[self.active_camera]
+        consts = self.renderer.build_frame_constants(
+            self.scene_buffers, cam, self.lights)
+        return self.renderer.render(
+            consts, self.settings.Width, self.settings.Height,
+            hdr10=False, readback=readback)
+
+    def tick(self, dt: float = 1 / 60):
+        """One simulation tick: update then render
+        (SimulationThread_Tick, VQEngine_Simulation.cpp:88-105)."""
+        if self.scene_update_hook is not None:
+            self.scene_update_hook(self, dt)
+        out = self.render_frame(readback=False)
+        self.num_ticks += 1
+        return out
+
+    # ------------------------------------------------------------------
+    def run(self) -> int:
+        """Main loop. With -Test, runs NumAutomatedTestFrames frames and
+        exits 0 on success (the Scripts/TestVQE.bat contract)."""
+        scene = self.settings.SceneName or self.settings.StartupScene
+        if not self.start_loading_scene(scene):
+            return 1
+        n_frames = (self.settings.NumAutomatedTestFrames
+                    if self.settings.bAutomatedTestRun else 1)
+        out_dir = Path(self.settings.OutputDir)
+        t0 = time.perf_counter()
+        last = None
+        try:
+            for i in range(n_frames):
+                last = self.tick()
+        except Exception as e:  # noqa: BLE001
+            log.error(f"frame {self.num_ticks} failed: {e}")
+            raise
+        # readback + dump the final frame
+        img = np.asarray(last.ldr)
+        if not (np.isfinite(img).all()):
+            log.error("non-finite pixels in final frame")
+            return 2
+        elapsed = time.perf_counter() - t0
+        log.info(f"{n_frames} frames in {elapsed:.3f}s "
+                 f"({elapsed/max(1,n_frames)*1e3:.2f} ms/frame avg, "
+                 f"{self.settings.Width}x{self.settings.Height})")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        frame_path = out_dir / f"{self.scene_name}_frame{self.num_ticks:04d}.png"
+        write_png(frame_path, img)
+        log.info(f"wrote {frame_path}")
+        self.state = EAppState.EXITING
+        return 0

@@ -93,8 +93,11 @@ class TriangleSetup:
 
 
 def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray,
-                    width: int, height: int) -> TriangleSetup:
-    """clip [V,4] (x,y,z,w D3D clip space), indices [T,3] -> TriangleSetup."""
+                    width: int, height: int,
+                    tri_mask: jnp.ndarray | None = None) -> TriangleSetup:
+    """clip [V,4] (x,y,z,w D3D clip space), indices [T,3] -> TriangleSetup.
+    tri_mask [T] bool optionally deactivates triangles (culled items,
+    non-selected LOD levels)."""
     c = clip[indices]                              # [T,3,4]
     w = c[..., 3]
     # screen-homogeneous coords (pixel units, y down):
@@ -126,6 +129,8 @@ def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray,
 
     offscreen = all_w_pos & ((xmax < 0) | (xmin >= width) | (ymax < 0) | (ymin >= height))
     valid = front & ~offscreen
+    if tri_mask is not None:
+        valid = valid & tri_mask
     big = valid & ~all_w_pos                       # near-plane crossers: no bbox
 
     tiles_x = cdiv(width, TILE_W)

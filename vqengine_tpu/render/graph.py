@@ -1,0 +1,189 @@
+"""The jitted render graph — the reference's whole frame dispatch
+(VQRenderer::RenderScene, SceneRendering.cpp:309-910: depth pre-pass +
+forward lighting + post-process across 7 command queues with fences)
+collapses into jitted JAX functions over HBM tensors; XLA's scheduler
+replaces the queues/fences/multi-threaded command recording.
+
+A "render graph" here is a pure function (DeviceScene, FrameConstants) ->
+framebuffer, jit-specialized per (resolution, output curve) — the analog of
+the reference's PSO permutation specialization (PipelineStateObjects.h).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import colorspace as cs
+from ..ops import culling, raster, shading
+from ..ops import postprocess as pp
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DeviceScene:
+    positions: jnp.ndarray
+    normals: jnp.ndarray
+    tangents: jnp.ndarray
+    uvs: jnp.ndarray
+    item_of_vertex: jnp.ndarray
+    indices: jnp.ndarray
+    tri_item: jnp.ndarray
+    tri_lod: jnp.ndarray
+    materials: jnp.ndarray
+    item_material: jnp.ndarray
+    item_object: jnp.ndarray
+    item_num_lods: jnp.ndarray
+    aabb_center: jnp.ndarray
+    aabb_extent: jnp.ndarray
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    """Next power-of-two bucket >= n, so differently sized scenes share
+    compiled graphs (the analog of the reference's PSO cache hit rate —
+    compile once per bucket, not per scene)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def upload_scene(buffers, bucketize: bool = True) -> DeviceScene:
+    import numpy as np
+
+    v = buffers.positions.shape[0]
+    t = buffers.indices.shape[0]
+    n = max(1, len(buffers.items))
+    vp = _bucket(max(v, 1)) if bucketize else v
+    tp = _bucket(max(t, 1)) if bucketize else t
+
+    def padv(a, rows):
+        if a.shape[0] == rows:
+            return a
+        pad = np.zeros((rows - a.shape[0],) + a.shape[1:], dtype=a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    # padded triangles index vertex 0 three times -> zero area -> the
+    # rasterizer's setup kills them (det <= 0); no masks needed.
+    return DeviceScene(
+        positions=jnp.asarray(padv(buffers.positions, vp)),
+        normals=jnp.asarray(padv(buffers.normals, vp)),
+        tangents=jnp.asarray(padv(buffers.tangents, vp)),
+        uvs=jnp.asarray(padv(buffers.uvs, vp)),
+        item_of_vertex=jnp.asarray(padv(buffers.item_of_vertex, vp)),
+        indices=jnp.asarray(padv(buffers.indices, tp)),
+        tri_item=jnp.asarray(padv(buffers.tri_item, tp)),
+        tri_lod=jnp.asarray(padv(buffers.tri_lod, tp)),
+        materials=jnp.asarray(buffers.materials),
+        item_material=jnp.asarray(buffers.item_material),
+        item_object=jnp.asarray(buffers.item_object),
+        item_num_lods=jnp.asarray(buffers.item_num_lods
+                                  if buffers.item_num_lods is not None
+                                  else np.ones(n, np.int32)),
+        aabb_center=jnp.asarray(buffers.aabb_center
+                                if buffers.aabb_center is not None
+                                else np.zeros((n, 3), np.float32)),
+        aabb_extent=jnp.asarray(buffers.aabb_extent
+                                if buffers.aabb_extent is not None
+                                else np.ones((n, 3), np.float32)),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FrameConstants:
+    """Per-frame data (the PerFrame/PerView constant buffers,
+    SceneRendering.cpp:429-467)."""
+    world: jnp.ndarray          # [N, 4, 4]
+    normal_mats: jnp.ndarray    # [N, 3, 3]
+    view_proj: jnp.ndarray      # [4, 4]
+    camera_pos: jnp.ndarray     # [3]
+    point_lights: jnp.ndarray   # [P, 12]
+    spot_lights: jnp.ndarray    # [S, 12]
+    spot_extra: jnp.ndarray     # [S, 4]
+    directional: jnp.ndarray    # [12]
+    ambient_factor: jnp.ndarray  # scalar (SceneViews.h:61 default 0.055)
+    clear_color: jnp.ndarray    # [3]
+    frustum_planes: jnp.ndarray  # [6, 4] main-view planes for culling
+
+
+def geometry_pass(scene: DeviceScene, consts: FrameConstants,
+                  width: int, height: int):
+    """Vertex transform + cull/LOD + rasterize + resolve: produces the
+    interpolated G-buffer (the depth-pre-pass + attribute interpolation
+    stage; culling replaces Scene::CullFrustums, Scene.cpp:1272-1308)."""
+    pos4 = jnp.concatenate(
+        [scene.positions, jnp.ones_like(scene.positions[:, :1])], axis=1)
+    world_v = consts.world[scene.item_of_vertex]            # [V,4,4]
+    wpos = jnp.einsum("vij,vj->vi", world_v, pos4)[:, :3]
+    nrm_v = consts.normal_mats[scene.item_of_vertex]        # [V,3,3]
+    wnrm = jnp.einsum("vij,vj->vi", nrm_v, scene.normals)
+    wtan = jnp.einsum("vij,vj->vi", nrm_v, scene.tangents)
+
+    visible, lod = culling.cull_and_select_lod(
+        consts.world, scene.aabb_center, scene.aabb_extent,
+        consts.frustum_planes, consts.view_proj, scene.item_num_lods)
+    tri_mask = culling.triangle_mask_from_items(
+        scene.tri_item, scene.tri_lod, visible, lod)
+
+    wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+    clip = raster.transform_clip_instanced(scene.positions,
+                                           scene.item_of_vertex, wvp)
+    setup = raster.setup_triangles(clip, scene.indices, width, height,
+                                   tri_mask=tri_mask)
+    binned = raster.bin_triangles(setup, width, height)
+    depth, tri_id = raster.rasterize(binned, width, height)
+
+    attrs, mask = raster.resolve_attributes(
+        tri_id, setup, scene.indices,
+        {"wpos": wpos, "wnrm": wnrm, "wtan": wtan, "uv": scene.uvs})
+    return depth, tri_id, attrs, mask
+
+
+def material_pass(scene: DeviceScene, tri_id: jnp.ndarray):
+    """Per-pixel material parameter fetch (the per-draw material CB +
+    texture sampling stage; constant parameters for now — textures arrive
+    with the TextureManager)."""
+    item = scene.tri_item[jnp.maximum(tri_id, 0)]           # [H,W]
+    mid = scene.item_material[item]
+    mrow = scene.materials[mid]                             # [H,W,20]
+    return {
+        "albedo": mrow[..., 0:3],
+        "emissive": mrow[..., 4:7] * mrow[..., 7:8],
+        "roughness": mrow[..., 12],
+        "metalness": mrow[..., 13],
+        "object_id": scene.item_object[item],
+        "item_id": item,
+    }
+
+
+def render_forward(scene: DeviceScene, consts: FrameConstants,
+                   width: int, height: int,
+                   output_display_curve: int = cs.DISPLAY_CURVE_SRGB,
+                   apply_gamma: bool = True):
+    """Full forward frame: geometry -> material -> shade -> tonemap.
+    Returns (ldr [H,W,3], depth [H,W], tri_id [H,W])."""
+    depth, tri_id, attrs, mask = geometry_pass(scene, consts, width, height)
+    mat = material_pass(scene, tri_id)
+
+    n = attrs["wnrm"]
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+    hdr = shading.shade_forward(
+        world_pos=attrs["wpos"],
+        normal=n,
+        albedo=mat["albedo"],
+        roughness=mat["roughness"],
+        metalness=mat["metalness"],
+        emissive=mat["emissive"],
+        ao=jnp.broadcast_to(consts.ambient_factor, mask.shape),
+        camera_pos=consts.camera_pos,
+        point_lights=consts.point_lights,
+        spot_lights=consts.spot_lights,
+        spot_extra=consts.spot_extra,
+        directional=consts.directional,
+    )
+    hdr = jnp.where(mask[..., None], hdr, consts.clear_color)
+    ldr = pp.tonemap(hdr, output_display_curve, apply_gamma=apply_gamma)
+    return ldr, depth, tri_id

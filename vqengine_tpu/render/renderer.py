@@ -1,0 +1,124 @@
+"""VQRendererTPU — counterpart of the reference VQRenderer (Renderer.h:123-516).
+
+The D3D12 machinery it replaces:
+- device/queues/fences/allocators  -> the JAX runtime + XLA async streams
+- PSO cache (PipelineStateObjects)  -> a jit-specialization cache keyed by
+  (resolution, output curve, gamma): each key compiles one render graph
+- descriptor heaps / CB rings       -> HBM-resident pytrees
+- swapchain present                 -> host readback (device_get) + PNG dump
+
+FRenderStats (Renderer.h:85-94) is preserved for the profiler HUD.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from ..ops import colorspace as cs
+from ..scene.light import (ELightType, NUM_LIGHTS_POINT, NUM_LIGHTS_SPOT,
+                           pack_directional, pack_point_lights,
+                           pack_spot_extra, pack_spot_lights)
+from ..utils.log import info
+from . import graph
+from .scene_buffers import SceneBuffers
+
+
+@dataclass
+class FRenderStats:
+    """Reference Renderer.h:85-94."""
+    num_frames_rendered: int = 0
+    num_draws: int = 0
+    num_dispatches: int = 0
+    last_frame_ms: float = 0.0
+
+
+@dataclass
+class FrameOutput:
+    ldr: np.ndarray          # [H, W, 3] display-ready
+    depth: np.ndarray | None = None
+    tri_id: np.ndarray | None = None
+
+
+class VQRendererTPU:
+    def __init__(self, gfx_settings=None):
+        self.gfx = gfx_settings
+        self.stats = FRenderStats()
+        self._scene: graph.DeviceScene | None = None
+        self._render_fns: dict = {}   # the "PSO cache"
+
+    # ------------------------------------------------------------------
+    def load_scene(self, buffers: SceneBuffers) -> None:
+        self._scene = graph.upload_scene(buffers)
+        self._buffers = buffers
+        info(f"renderer: scene uploaded — {buffers.positions.shape[0]} verts, "
+             f"{buffers.indices.shape[0]} tris, {buffers.num_items} items, "
+             f"{buffers.materials.shape[0]} materials")
+
+    def _get_render_fn(self, width: int, height: int, curve: int, gamma: bool):
+        key = (width, height, curve, gamma)
+        fn = self._render_fns.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                graph.render_forward, width=width, height=height,
+                output_display_curve=curve, apply_gamma=gamma))
+            self._render_fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def build_frame_constants(self, buffers: SceneBuffers, camera,
+                              lights, ambient_factor: float = 0.055,
+                              clear_color=(0.07, 0.07, 0.12)) -> graph.FrameConstants:
+        """Gathers the per-frame light/matrix data — the counterpart of
+        Scene::GatherSceneLightData (Scene.cpp:978) + the CB fills."""
+        import jax.numpy as jnp
+
+        world, nrm = buffers.world_matrices()
+        enabled = [l for l in lights if l.enabled]
+        points = [l for l in enabled if l.type == ELightType.POINT and not l.casts_shadows]
+        spots = [l for l in enabled if l.type == ELightType.SPOT and not l.casts_shadows]
+        # until the shadow passes land, shadow casters shade unshadowed
+        points += [l for l in enabled if l.type == ELightType.POINT and l.casts_shadows]
+        spots += [l for l in enabled if l.type == ELightType.SPOT and l.casts_shadows]
+        dirs = [l for l in enabled if l.type == ELightType.DIRECTIONAL]
+
+        p_cap = max(1, min(len(points), NUM_LIGHTS_POINT))
+        s_cap = max(1, min(len(spots), NUM_LIGHTS_SPOT))
+        p_packed, _ = pack_point_lights(points, p_cap)
+        s_packed, _ = pack_spot_lights(spots, s_cap)
+        s_extra = pack_spot_extra(spots, s_cap)
+        d_packed = pack_directional(dirs[0] if dirs else None)
+
+        from ..utils import math3d as m3
+        vp = camera.view_projection()
+        return graph.FrameConstants(
+            world=jnp.asarray(world),
+            normal_mats=jnp.asarray(nrm),
+            view_proj=jnp.asarray(vp),
+            camera_pos=jnp.asarray(camera.position),
+            frustum_planes=jnp.asarray(m3.frustum_planes_from_viewproj(vp)),
+            point_lights=jnp.asarray(p_packed),
+            spot_lights=jnp.asarray(s_packed),
+            spot_extra=jnp.asarray(s_extra),
+            directional=jnp.asarray(d_packed),
+            ambient_factor=jnp.asarray(ambient_factor, jnp.float32),
+            clear_color=jnp.asarray(np.asarray(clear_color, np.float32)),
+        )
+
+    # ------------------------------------------------------------------
+    def render(self, consts: graph.FrameConstants, width: int, height: int,
+               hdr10: bool = False, readback: bool = True) -> FrameOutput:
+        assert self._scene is not None, "load_scene first"
+        curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
+        fn = self._get_render_fn(width, height, curve, True)
+        t0 = time.perf_counter()
+        ldr, depth, tri_id = fn(self._scene, consts)
+        if readback:
+            ldr = np.asarray(jax.device_get(ldr))
+        self.stats.num_frames_rendered += 1
+        self.stats.num_draws = int(self._buffers.indices.shape[0])
+        self.stats.last_frame_ms = (time.perf_counter() - t0) * 1e3
+        return FrameOutput(ldr=ldr, depth=depth, tri_id=tri_id)

@@ -1,0 +1,192 @@
+"""Scene -> device buffers — the counterpart of the reference's static
+buffer heaps + per-frame constant-buffer fills (Renderer.cpp:367-376 VB/IB
+heaps; Batching.cpp:201-376 per-object CB arrays).
+
+All mesh geometry in a scene merges into single SoA vertex/index tensors at
+load time (the analog of UploadVertexAndIndexBufferHeaps, Renderer.cpp:1049).
+Each *draw item* is one (game object, mesh) pair; instancing is implicit —
+vertices carry their item id and the per-item matrix array is the instance
+buffer. Per-frame, only the small [N,4,4] matrix tensors change.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..scene.camera import Camera, FCameraParameters
+from ..scene.light import ELightType, Light
+from ..scene.material import Material, pack_materials
+from ..scene.mesh import Mesh
+from ..utils import math3d as m3
+from ..utils.log import warning
+
+
+@dataclass
+class DrawItem:
+    """Host-side record of one renderable (object, mesh) pair."""
+    name: str
+    mesh: Mesh
+    transform: m3.Transform
+    material_id: int
+    object_id: int
+    lod: int = 0
+
+
+@dataclass
+class SceneBuffers:
+    """Device-uploadable merged scene geometry (numpy; jnp.asarray at use)."""
+    positions: np.ndarray       # [V, 3] local-space
+    normals: np.ndarray         # [V, 3]
+    tangents: np.ndarray        # [V, 3]
+    uvs: np.ndarray             # [V, 2]
+    item_of_vertex: np.ndarray  # [V] int32
+    indices: np.ndarray         # [T, 3] int32 (merged vertex ids)
+    tri_item: np.ndarray        # [T] int32
+    tri_lod: np.ndarray         # [T] int32 — LOD level this triangle belongs to
+    materials: np.ndarray       # [M, 20] packed material params
+    item_material: np.ndarray   # [N] int32
+    item_object: np.ndarray     # [N] int32
+    item_num_lods: np.ndarray | None = None  # [N] int32
+    items: list[DrawItem] = field(default_factory=list)
+    # per-item static AABBs (local)
+    aabb_center: np.ndarray | None = None  # [N, 3]
+    aabb_extent: np.ndarray | None = None  # [N, 3]
+
+    @property
+    def num_items(self) -> int:
+        return len(self.items)
+
+    def world_matrices(self) -> tuple[np.ndarray, np.ndarray]:
+        """-> (world [N,4,4], normal [N,3,3]) from current item transforms.
+        The per-frame CB fill (Batching.cpp:229-302)."""
+        n = len(self.items)
+        world = np.zeros((n, 4, 4), dtype=np.float32)
+        nrm = np.zeros((n, 3, 3), dtype=np.float32)
+        for i, it in enumerate(self.items):
+            w = it.transform.matrix()
+            world[i] = w
+            nrm[i] = np.linalg.inv(w[:3, :3]).T
+        return world, nrm
+
+
+def build_scene_buffers(items: list[DrawItem], materials: list[Material],
+                        all_lods: bool = True) -> SceneBuffers:
+    """Merge every item's mesh (all LOD levels when all_lods) into single
+    SoA buffers. Per-frame LOD selection masks triangles by tri_lod."""
+    pos_l, nrm_l, tan_l, uv_l, iov_l, idx_l = [], [], [], [], [], []
+    tri_item_l, tri_lod_l = [], []
+    item_mat = np.zeros(len(items), dtype=np.int32)
+    item_obj = np.zeros(len(items), dtype=np.int32)
+    item_nlod = np.ones(len(items), dtype=np.int32)
+    aabb_c = np.zeros((len(items), 3), dtype=np.float32)
+    aabb_e = np.zeros((len(items), 3), dtype=np.float32)
+    vbase = 0
+    for i, it in enumerate(items):
+        lods = it.mesh.lods if all_lods else [it.mesh.lods[min(it.lod, it.mesh.num_lods - 1)]]
+        item_nlod[i] = len(lods)
+        for li, lod in enumerate(lods):
+            pos_l.append(lod.positions)
+            nrm_l.append(lod.normals)
+            tan_l.append(lod.tangents)
+            uv_l.append(lod.uvs)
+            iov_l.append(np.full(lod.num_vertices, i, dtype=np.int32))
+            idx_l.append(lod.indices + vbase)
+            tri_item_l.append(np.full(lod.num_triangles, i, dtype=np.int32))
+            tri_lod_l.append(np.full(lod.num_triangles, li, dtype=np.int32))
+            vbase += lod.num_vertices
+        item_mat[i] = it.material_id
+        item_obj[i] = it.object_id
+        aabb_c[i], aabb_e[i] = it.mesh.local_aabb()
+
+    if not items:
+        # degenerate empty scene
+        empty3 = np.zeros((0, 3), dtype=np.float32)
+        return SceneBuffers(empty3, empty3, empty3,
+                            np.zeros((0, 2), np.float32), np.zeros(0, np.int32),
+                            np.zeros((0, 3), np.int32), np.zeros(0, np.int32),
+                            np.zeros(0, np.int32),
+                            pack_materials(materials), item_mat, item_obj,
+                            item_nlod, [])
+
+    return SceneBuffers(
+        positions=np.concatenate(pos_l),
+        normals=np.concatenate(nrm_l),
+        tangents=np.concatenate(tan_l),
+        uvs=np.concatenate(uv_l),
+        item_of_vertex=np.concatenate(iov_l),
+        indices=np.concatenate(idx_l).astype(np.int32),
+        tri_item=np.concatenate(tri_item_l),
+        tri_lod=np.concatenate(tri_lod_l),
+        materials=pack_materials(materials),
+        item_material=item_mat,
+        item_object=item_obj,
+        item_num_lods=item_nlod,
+        items=items,
+        aabb_center=aabb_c,
+        aabb_extent=aabb_e,
+    )
+
+
+# ---------------------------------------------------------------------------
+# scene representation -> draw items (the Scene::StartLoading analog,
+# SceneLoading.cpp:100-420, with glTF fallback for missing model files)
+# ---------------------------------------------------------------------------
+
+def assemble_scene(rep, builtin_meshes: dict[str, Mesh],
+                   material_lib: dict[str, Material],
+                   gltf_loader=None):
+    """rep: FSceneRepresentation. Returns (SceneBuffers, cameras, lights)."""
+    materials: list[Material] = [Material(name="__default__")]
+    mat_index = {"__default__": 0}
+
+    def material_id(name: str) -> int:
+        if not name:
+            return 0
+        if name not in mat_index:
+            mat = material_lib.get(name)
+            if mat is None:
+                warning(f"material '{name}' not found; using default")
+                return 0
+            mat_index[name] = len(materials)
+            materials.append(mat)
+        return mat_index[name]
+
+    items: list[DrawItem] = []
+    for oid, obj in enumerate(rep.objects):
+        mesh = None
+        mat_id = material_id(obj.model.material_name)
+        if obj.model.builtin_mesh_name:
+            mesh = builtin_meshes.get(obj.model.builtin_mesh_name)
+            if mesh is None:
+                warning(f"unknown builtin mesh '{obj.model.builtin_mesh_name}'")
+        elif obj.model.path:
+            if gltf_loader is not None:
+                loaded = gltf_loader(obj.model.path)
+                if loaded is not None:
+                    # glTF models may carry their own materials
+                    for sub_mesh, sub_mat in loaded:
+                        mid = mat_id
+                        if sub_mat is not None:
+                            key = f"{obj.model.path}:{sub_mat.name}"
+                            if key not in mat_index:
+                                mat_index[key] = len(materials)
+                                materials.append(sub_mat)
+                            mid = mat_index[key]
+                        items.append(DrawItem(
+                            name=obj.model.name or sub_mesh.name,
+                            mesh=sub_mesh, transform=obj.transform.copy(),
+                            material_id=mid, object_id=oid))
+                    continue
+            warning(f"model '{obj.model.path}' unavailable; substituting Cube")
+            mesh = builtin_meshes.get("Cube")
+        if mesh is None:
+            continue
+        items.append(DrawItem(name=obj.model.name or mesh.name,
+                              mesh=mesh, transform=obj.transform.copy(),
+                              material_id=mat_id, object_id=oid))
+
+    buffers = build_scene_buffers(items, materials)
+    cameras = [Camera(p) for p in rep.cameras] or [Camera(FCameraParameters())]
+    lights: list[Light] = rep.lights
+    return buffers, cameras, lights

@@ -343,10 +343,31 @@ BUILTIN_MESH_BUILDERS = {
 }
 
 
-def build_builtin_meshes() -> dict[str, Mesh]:
-    out = {}
-    for name, fn in BUILTIN_MESH_BUILDERS.items():
+class LazyMeshRegistry:
+    """Builds builtin meshes on first use (the 1200x1200 terrain grid is
+    ~2.9M triangles; generating it eagerly costs seconds at startup)."""
+
+    def __init__(self, builders=None):
+        self._builders = dict(builders or BUILTIN_MESH_BUILDERS)
+        self._cache: dict[str, Mesh] = {}
+
+    def get(self, name: str, default=None):
+        if name in self._cache:
+            return self._cache[name]
+        fn = self._builders.get(name)
+        if fn is None:
+            return default
         m = fn()
         m.name = name
-        out[name] = m
-    return out
+        self._cache[name] = m
+        return m
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._builders
+
+    def names(self):
+        return list(self._builders)
+
+
+def build_builtin_meshes() -> LazyMeshRegistry:
+    return LazyMeshRegistry()
