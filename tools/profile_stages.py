@@ -1,0 +1,154 @@
+"""Per-stage device timing for the render pipeline on real TPU.
+
+Timing technique (the tunnel acks block_until_ready early, and every
+readback costs ~30 ms): run each stage N times inside one jitted lax.scan
+whose carry depends on the stage output (checksum), read back one scalar,
+subtract the measured readback floor, divide by N.
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timed(fn, n, *args):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            out = fn(*args)
+            leaves = [l for l in jax.tree_util.tree_leaves(out)
+                      if hasattr(l, "dtype")]
+            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return carry + s, ()
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return total
+
+    @jax.jit
+    def nop(t):
+        return t + 1
+
+    r = run(args)
+    _ = np.asarray(r)  # compile+warm
+    _ = np.asarray(nop(jnp.zeros(4)))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        _ = np.asarray(nop(jnp.zeros(4)))
+    floor = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    _ = np.asarray(run(args))
+    return (time.perf_counter() - t0 - floor) / n * 1e3
+
+
+def main():
+    from vqengine_tpu.engine.engine import _enable_compilation_cache
+    _enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from vqengine_tpu.ops import culling, raster, shading
+    from vqengine_tpu.render import graph
+    from vqengine_tpu.render.renderer import VQRendererTPU
+    from vqengine_tpu.scene.camera import Camera, FCameraParameters
+
+    width, height = 1920, 1080
+    buffers, lights = bench.build_stress_scene()
+    scene = graph.upload_scene(buffers)
+    p = FCameraParameters()
+    p.position = np.array([0, 4, -6], np.float32)
+    p.pitch_deg = 5.0
+    p.fov_v_deg = 70.0
+    p.near_z, p.far_z = 0.1, 1000.0
+    cam = Camera(p, aspect=width / height)
+    consts = VQRendererTPU().build_frame_constants(buffers, cam, lights)
+    n = 8
+
+    # stage 1: vertex transform + setup + binning
+    def stage_bin(scene, consts):
+        wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+        clip = raster.transform_clip_instanced(scene.positions,
+                                               scene.item_of_vertex, wvp)
+        setup = raster.setup_triangles(clip, scene.indices, width, height)
+        binned = raster.bin_triangles(setup, width, height)
+        return binned.pairs.sum(), binned.starts
+
+    print("bin (xform+setup+sort+gather):",
+          f"{timed(stage_bin, n, scene, consts):8.2f} ms", flush=True)
+
+    # stage 2: full geometry incl. raster
+    def stage_raster(scene, consts):
+        wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+        clip = raster.transform_clip_instanced(scene.positions,
+                                               scene.item_of_vertex, wvp)
+        setup = raster.setup_triangles(clip, scene.indices, width, height)
+        binned = raster.bin_triangles(setup, width, height)
+        depth, tid = raster.rasterize(binned, width, height)
+        return depth, tid
+
+    print("bin + raster kernel:          ",
+          f"{timed(stage_raster, n, scene, consts):8.2f} ms", flush=True)
+
+    # precompute a fixed visibility buffer for resolve/shading isolation
+    wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+    clip = raster.transform_clip_instanced(scene.positions,
+                                           scene.item_of_vertex, wvp)
+    setup0 = raster.setup_triangles(clip, scene.indices, width, height)
+    binned0 = raster.bin_triangles(setup0, width, height)
+    depth0, tid0 = raster.rasterize(binned0, width, height)
+    pos4 = jnp.concatenate([scene.positions,
+                            jnp.ones_like(scene.positions[:, :1])], 1)
+    wq = consts.world[scene.item_of_vertex]
+    wpos0 = jnp.einsum("vij,vj->vi", wq, pos4)[:, :3]
+    nq = consts.normal_mats[scene.item_of_vertex]
+    wnrm0 = jnp.einsum("vij,vj->vi", nq, scene.normals)
+
+    def stage_resolve(tid, setup, scene, wpos, wnrm):
+        attrs, mask = raster.resolve_attributes(
+            tid, setup, scene.indices,
+            {"wpos": wpos, "wnrm": wnrm, "uv": scene.uvs})
+        return attrs["wpos"], attrs["wnrm"], mask
+
+    print("resolve (vis-buffer gathers): ",
+          f"{timed(stage_resolve, n, tid0, setup0, scene, wpos0, wnrm0):8.2f} ms",
+          flush=True)
+
+    attrs0, mask0 = raster.resolve_attributes(
+        tid0, setup0, scene.indices, {"wpos": wpos0, "wnrm": wnrm0})
+    mat0 = graph.material_pass(scene, tid0)
+    nrm0 = attrs0["wnrm"]
+    nrm0 = nrm0 / jnp.maximum(jnp.linalg.norm(nrm0, axis=-1, keepdims=True), 1e-9)
+
+    def stage_shade(wpos, nrm, mat, consts):
+        return shading.shade_forward(
+            world_pos=wpos, normal=nrm, albedo=mat["albedo"],
+            roughness=mat["roughness"], metalness=mat["metalness"],
+            emissive=mat["emissive"],
+            ao=jnp.full(wpos.shape[:-1], 0.055),
+            camera_pos=consts.camera_pos,
+            point_lights=consts.point_lights, spot_lights=consts.spot_lights,
+            spot_extra=consts.spot_extra, directional=consts.directional)
+
+    print("shade (13 lights fwd PBR):    ",
+          f"{timed(stage_shade, n, attrs0['wpos'], nrm0, mat0, consts):8.2f} ms",
+          flush=True)
+
+    def stage_cull(scene, consts):
+        return culling.cull_and_select_lod(
+            consts.world, scene.aabb_center, scene.aabb_extent,
+            consts.frustum_planes, consts.view_proj, scene.item_num_lods)
+
+    print("cull+lod:                     ",
+          f"{timed(stage_cull, n, scene, consts):8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

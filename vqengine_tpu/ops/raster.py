@@ -94,15 +94,24 @@ class TriangleSetup:
 
 def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray,
                     width: int, height: int,
-                    tri_mask: jnp.ndarray | None = None) -> TriangleSetup:
+                    tri_mask: jnp.ndarray | None = None,
+                    full_height: int | None = None,
+                    y_offset: jnp.ndarray | int = 0) -> TriangleSetup:
     """clip [V,4] (x,y,z,w D3D clip space), indices [T,3] -> TriangleSetup.
     tri_mask [T] bool optionally deactivates triangles (culled items,
-    non-selected LOD levels)."""
+    non-selected LOD levels).
+
+    For multi-chip screen-band sharding: full_height is the whole
+    framebuffer height while `height` is this band's height and y_offset
+    its first row — the viewport transform shifts by y_offset*w (linear in
+    w, so all edge/interp math stays exact)."""
+    if full_height is None:
+        full_height = height
     c = clip[indices]                              # [T,3,4]
     w = c[..., 3]
-    # screen-homogeneous coords (pixel units, y down):
+    # screen-homogeneous coords (pixel units, y down; band-local)
     xs = (c[..., 0] * 0.5 + w * 0.5) * width
-    ys = (-c[..., 1] * 0.5 + w * 0.5) * height
+    ys = (-c[..., 1] * 0.5 + w * 0.5) * full_height - y_offset * w
     z = c[..., 2]
     # condition: scale each vertex by 1/|w| (positive scale keeps signs,
     # barycentric ratios, and z/det invariant)

@@ -1,0 +1,168 @@
+"""Shadow maps + PCF — counterpart of the reference shadow path:
+ShadowDepthPass.hlsl (depth-only render; point lights store linear radial
+distance / far), Lighting.hlsl shadow tests (:89-174 omnidirectional 20-tap
+PCF, :177-218 spot 5x5 PCF, :222-272 directional 5x5 PCF), and the shadow
+map budget (5 spot x1024^2, 5 point x6x1024^2 cube, 1 directional x2048^2 —
+Renderer.cpp:520-522).
+
+Shadow map rendering reuses the tile rasterizer depth-only; the PCF tests
+evaluate densely over the main view's G-buffer and produce per-caster
+visibility maps consumed by ops/shading.py.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import raster
+
+# reference resolutions (Renderer.cpp:520-522)
+SPOT_SHADOW_DIM = 1024
+POINT_SHADOW_DIM = 1024
+DIRECTIONAL_SHADOW_DIM = 2048
+
+# 20 normalized omnidirectional PCF tap directions (Lighting.hlsl:120-133)
+_F3 = 0.5773502691896258
+_F2 = 0.7071067811865475
+OMNI_TAPS = jnp.asarray([
+    [_F3, _F3, _F3], [_F3, -_F3, _F3], [-_F3, -_F3, _F3], [-_F3, _F3, _F3],
+    [_F3, _F3, -_F3], [_F3, -_F3, -_F3], [-_F3, -_F3, -_F3], [-_F3, _F3, -_F3],
+    [_F2, _F2, 0], [_F2, -_F2, 0], [-_F2, -_F2, 0], [-_F2, _F2, 0],
+    [_F2, 0, _F2], [-_F2, 0, _F2], [_F2, 0, -_F2], [-_F2, 0, -_F2],
+    [0, _F2, _F2], [0, -_F2, _F2], [0, -_F2, -_F2], [0, _F2, -_F2],
+], dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# shadow map rendering (depth-only raster)
+# ---------------------------------------------------------------------------
+
+def render_shadow_depth(positions: jnp.ndarray, item_of_vertex: jnp.ndarray,
+                        world: jnp.ndarray, light_vp: jnp.ndarray,
+                        indices: jnp.ndarray, size: int,
+                        tri_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Depth-only render from a light: -> z_ndc depth map [size, size].
+    (RenderSpotShadowMaps / RenderDirectionalShadowMaps driver,
+    SceneRendering.cpp:1114-1263, minus the command-list machinery.)"""
+    wvp = jnp.einsum("ij,njk->nik", light_vp, world)
+    clip = raster.transform_clip_instanced(positions, item_of_vertex, wvp)
+    setup = raster.setup_triangles(clip, indices, size, size, tri_mask=tri_mask)
+    binned = raster.bin_triangles(setup, size, size)
+    depth, _ = raster.rasterize(binned, size, size)
+    return depth
+
+
+def ndc_depth_to_radial(depth: jnp.ndarray, near: float, far: float) -> jnp.ndarray:
+    """Convert a 90-deg-fov face's z_ndc map to linear radial distance / far
+    (the point-light ShadowDepthPass.hlsl stores dist(P, light)/far).
+
+    z_view = n*f / (f - z*(f-n)); radial = z_view * sqrt(1 + u^2 + v^2)
+    with (u, v) the NDC coords of each texel."""
+    s = depth.shape[0]
+    uv = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s * 2.0 - 1.0
+    u = uv[None, :]
+    v = -uv[:, None]  # screen y down -> ndc y up
+    denom = jnp.maximum(far - depth * (far - near), 1e-9)
+    z_view = near * far / denom
+    radial = z_view * jnp.sqrt(1.0 + u * u + v * v)
+    # background (depth==1) -> far
+    return jnp.where(depth >= 1.0, 1.0, radial / far)
+
+
+# ---------------------------------------------------------------------------
+# PCF shadow tests (dense over the main view)
+# ---------------------------------------------------------------------------
+
+def _project_to_light(wpos: jnp.ndarray, light_vp: jnp.ndarray):
+    """world pos [..., 3] -> (uv in [0,1]^2 y-down, z_ndc, in_frustum)."""
+    ones = jnp.ones_like(wpos[..., :1])
+    clip = jnp.einsum("ij,...j->...i", light_vp,
+                      jnp.concatenate([wpos, ones], axis=-1))
+    w = clip[..., 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    ndc = clip[..., :3] / safe_w[..., None]
+    in_frustum = ((ndc[..., 0] >= -1) & (ndc[..., 0] <= 1)
+                  & (ndc[..., 1] >= -1) & (ndc[..., 1] <= 1)
+                  & (ndc[..., 2] >= 0) & (ndc[..., 2] <= 1) & (w > 0))
+    uv = jnp.stack([0.5 + 0.5 * ndc[..., 0], 0.5 - 0.5 * ndc[..., 1]], axis=-1)
+    return uv, ndc[..., 2], in_frustum
+
+
+def _fetch_nearest(shadow_map: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-texel fetch (the reference uses PointSampler for PCF taps)."""
+    s = shadow_map.shape[-1]
+    tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
+    ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
+    return shadow_map[ty, tx]
+
+
+def shadow_test_pcf(wpos: jnp.ndarray, ndotl: jnp.ndarray,
+                    light_vp: jnp.ndarray, shadow_map: jnp.ndarray,
+                    depth_bias: float, slope_scaled: bool = True) -> jnp.ndarray:
+    """5x5 PCF (ShadowTestPCF, Lighting.hlsl:177-218) -> visibility [0, 1].
+    Out-of-frustum returns 0 (unlit), matching the reference.
+    slope_scaled: spot lights use BIAS = bias * tan(acos(NdotL)); the
+    directional variant (:222-272) uses the raw bias."""
+    uv, z, inside = _project_to_light(wpos, light_vp)
+    if slope_scaled:
+        nl = jnp.clip(ndotl, 1e-4, 1.0)
+        bias = depth_bias * jnp.sqrt(jnp.maximum(1.0 - nl * nl, 0.0)) / nl
+    else:
+        bias = jnp.broadcast_to(jnp.asarray(depth_bias, jnp.float32), ndotl.shape)
+    s = shadow_map.shape[-1]
+    texel = 1.0 / s
+    shadow = jnp.zeros_like(z)
+    for dx in range(-2, 3):
+        for dy in range(-2, 3):
+            tap = uv + jnp.asarray([dx * texel, dy * texel], jnp.float32)
+            closest = _fetch_nearest(shadow_map, tap)
+            shadow = shadow + (z - bias > closest).astype(jnp.float32)
+    shadow = shadow / 25.0
+    return jnp.where(inside, 1.0 - shadow, 0.0)
+
+
+# D3D cube face mapping consistent with scene/light.py cubemap_view_matrix
+# (faces +X -X +Y -Y +Z -Z with the standard up vectors)
+def _cube_face_uv(d: jnp.ndarray):
+    """direction [..., 3] -> (face [...], uv [..., 2] y-down in [0,1])."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    # face selection by dominant axis
+    face_x = jnp.where(x >= 0, 0, 1)
+    face_y = jnp.where(y >= 0, 2, 3)
+    face_z = jnp.where(z >= 0, 4, 5)
+    face = jnp.where((ax >= ay) & (ax >= az), face_x,
+                     jnp.where(ay >= az, face_y, face_z))
+    # view-space coords per face (right, up, forward) per cubemap_view_matrix
+    # +X: r=-z u=+y f=+x | -X: r=+z u=+y f=-x | +Y: r=+x u=-z f=+y
+    # -Y: r=+x u=+z f=-y | +Z: r=+x u=+y f=+z | -Z: r=-x u=+y f=-z
+    r = jnp.stack([-z, z, x, x, x, -x], axis=-1)
+    u = jnp.stack([y, y, -z, z, y, y], axis=-1)
+    f = jnp.stack([x, -x, y, -y, z, -z], axis=-1)
+    pick = lambda a: jnp.take_along_axis(a, face[..., None], axis=-1)[..., 0]
+    rr, uu, ff = pick(r), pick(u), pick(f)
+    ff = jnp.maximum(ff, 1e-9)
+    uv = jnp.stack([0.5 + 0.5 * rr / ff, 0.5 - 0.5 * uu / ff], axis=-1)
+    return face, uv
+
+
+def omni_shadow_test_pcf(wpos: jnp.ndarray, light_pos: jnp.ndarray,
+                         cube_maps: jnp.ndarray, far: float,
+                         depth_bias: float, cam_pos: jnp.ndarray) -> jnp.ndarray:
+    """20-tap omnidirectional PCF (OmnidirectionalShadowTestPCF,
+    Lighting.hlsl:110-174). cube_maps [6, S, S] store radial distance / far.
+    Returns visibility in [0, 1]."""
+    lw = light_pos - wpos                     # pixel -> light
+    dist = jnp.linalg.norm(lw, axis=-1)
+    view_dist = jnp.linalg.norm(wpos - cam_pos, axis=-1)
+    disk_radius = (1.0 + view_dist / far) / 8.0
+
+    s = cube_maps.shape[-1]
+    shadow = jnp.zeros_like(dist)
+    for i in range(OMNI_TAPS.shape[0]):
+        sample_vec = -(lw + OMNI_TAPS[i] * disk_radius[..., None])
+        face, uv = _cube_face_uv(sample_vec)
+        tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
+        ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
+        closest = cube_maps[face, ty, tx] * far
+        shadow = shadow + (dist > closest + depth_bias + 0.001).astype(jnp.float32)
+    return 1.0 - shadow / OMNI_TAPS.shape[0]

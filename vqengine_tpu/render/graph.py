@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import colorspace as cs
-from ..ops import culling, raster, shading
+from ..ops import culling, raster, shading, shadow
 from ..ops import postprocess as pp
 
 
@@ -106,6 +106,15 @@ class FrameConstants:
     ambient_factor: jnp.ndarray  # scalar (SceneViews.h:61 default 0.055)
     clear_color: jnp.ndarray    # [3]
     frustum_planes: jnp.ndarray  # [6, 4] main-view planes for culling
+    # shadow casters (budgets: 5 spot + 5 point + 1 dir,
+    # LightingConstantBufferData.h:42-44); zero-length = feature off
+    spot_casters: jnp.ndarray      # [SC, 12]
+    spot_caster_extra: jnp.ndarray  # [SC, 4]
+    spot_caster_vps: jnp.ndarray   # [SC, 4, 4]
+    point_casters: jnp.ndarray     # [PC, 12]
+    point_caster_vps: jnp.ndarray  # [PC, 6, 4, 4]
+    point_caster_range: jnp.ndarray  # [PC] (near, far packed) -> [PC, 2]
+    dir_vp: jnp.ndarray            # [4, 4]
 
 
 def geometry_pass(scene: DeviceScene, consts: FrameConstants,
@@ -158,17 +167,91 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray):
     }
 
 
+def shadow_pass(scene: DeviceScene, consts: FrameConstants,
+                wpos: jnp.ndarray, normal: jnp.ndarray,
+                shadow_dims: tuple[int, int, int] = (
+                    shadow.SPOT_SHADOW_DIM, shadow.POINT_SHADOW_DIM,
+                    shadow.DIRECTIONAL_SHADOW_DIM)):
+    """Render every shadow caster's depth map and evaluate its PCF
+    visibility over the main view (the reference's per-light shadow passes,
+    SceneRendering.cpp:1114-1263, + the in-shader tests). Caster counts are
+    static per scene, so the python loops specialize the graph (the PSO-
+    permutation analog)."""
+    sc = int(consts.spot_casters.shape[0])
+    pc = int(consts.point_casters.shape[0])
+    has_dir = bool(consts.directional.shape[0]) and True
+
+    spot_vis = None
+    if sc:
+        vis = []
+        for i in range(sc):
+            dmap = shadow.render_shadow_depth(
+                scene.positions, scene.item_of_vertex, consts.world,
+                consts.spot_caster_vps[i], scene.indices, shadow_dims[0])
+            lrow = consts.spot_casters[i]
+            wi = lrow[0:3] - wpos
+            wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-9)
+            ndotl = jnp.clip((normal * wi).sum(-1), 0.0, 1.0)
+            vis.append(shadow.shadow_test_pcf(
+                wpos, ndotl, consts.spot_caster_vps[i], dmap,
+                lrow[11], slope_scaled=True))
+        spot_vis = jnp.stack(vis)
+
+    point_vis = None
+    if pc:
+        vis = []
+        for i in range(pc):
+            faces = []
+            near = consts.point_caster_range[i, 0]
+            far = consts.point_caster_range[i, 1]
+            for f in range(6):
+                dmap = shadow.render_shadow_depth(
+                    scene.positions, scene.item_of_vertex, consts.world,
+                    consts.point_caster_vps[i, f], scene.indices,
+                    shadow_dims[1])
+                faces.append(shadow.ndc_depth_to_radial(dmap, near, far))
+            cube = jnp.stack(faces)
+            lrow = consts.point_casters[i]
+            vis.append(shadow.omni_shadow_test_pcf(
+                wpos, lrow[0:3], cube, lrow[9], lrow[8], consts.camera_pos))
+        point_vis = jnp.stack(vis)
+
+    dir_vis = None
+    if has_dir:
+        # directional shadowing flag rides in directional[8]
+        dmap = shadow.render_shadow_depth(
+            scene.positions, scene.item_of_vertex, consts.world,
+            consts.dir_vp, scene.indices, shadow_dims[2])
+        wi = -consts.directional[0:3]
+        wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-9)
+        ndotl = jnp.clip((normal * wi).sum(-1), 0.0, 1.0)
+        dir_vis = shadow.shadow_test_pcf(
+            wpos, ndotl, consts.dir_vp, dmap,
+            consts.directional[7], slope_scaled=False)
+    return spot_vis, point_vis, dir_vis
+
+
 def render_forward(scene: DeviceScene, consts: FrameConstants,
                    width: int, height: int,
                    output_display_curve: int = cs.DISPLAY_CURVE_SRGB,
-                   apply_gamma: bool = True):
-    """Full forward frame: geometry -> material -> shade -> tonemap.
-    Returns (ldr [H,W,3], depth [H,W], tri_id [H,W])."""
+                   apply_gamma: bool = True,
+                   enable_shadows: bool = True,
+                   shadow_dims: tuple[int, int, int] = (
+                       shadow.SPOT_SHADOW_DIM, shadow.POINT_SHADOW_DIM,
+                       shadow.DIRECTIONAL_SHADOW_DIM)):
+    """Full forward frame: geometry -> shadows -> material -> shade ->
+    tonemap. Returns (ldr [H,W,3], depth [H,W], tri_id [H,W])."""
     depth, tri_id, attrs, mask = geometry_pass(scene, consts, width, height)
     mat = material_pass(scene, tri_id)
 
     n = attrs["wnrm"]
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+    spot_vis = point_vis = dir_vis = None
+    if enable_shadows:
+        spot_vis, point_vis, dir_vis = shadow_pass(scene, consts,
+                                                   attrs["wpos"], n,
+                                                   shadow_dims)
 
     hdr = shading.shade_forward(
         world_pos=attrs["wpos"],
@@ -183,6 +266,12 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         spot_lights=consts.spot_lights,
         spot_extra=consts.spot_extra,
         directional=consts.directional,
+        point_casters=consts.point_casters if enable_shadows else None,
+        point_shadow=point_vis,
+        spot_casters=consts.spot_casters if enable_shadows else None,
+        spot_caster_extra=consts.spot_caster_extra if enable_shadows else None,
+        spot_shadow=spot_vis,
+        dir_shadow=dir_vis,
     )
     hdr = jnp.where(mask[..., None], hdr, consts.clear_color)
     ldr = pp.tonemap(hdr, output_display_curve, apply_gamma=apply_gamma)

@@ -20,6 +20,8 @@ import numpy as np
 
 from ..ops import colorspace as cs
 from ..scene.light import (ELightType, NUM_LIGHTS_POINT, NUM_LIGHTS_SPOT,
+                           NUM_SHADOWING_LIGHTS_POINT,
+                           NUM_SHADOWING_LIGHTS_SPOT,
                            pack_directional, pack_point_lights,
                            pack_spot_extra, pack_spot_lights)
 from ..utils.log import info
@@ -58,13 +60,21 @@ class VQRendererTPU:
              f"{buffers.indices.shape[0]} tris, {buffers.num_items} items, "
              f"{buffers.materials.shape[0]} materials")
 
-    def _get_render_fn(self, width: int, height: int, curve: int, gamma: bool):
-        key = (width, height, curve, gamma)
+    def _get_render_fn(self, width: int, height: int, curve: int, gamma: bool,
+                       enable_shadows: bool = True,
+                       shadow_dims: tuple[int, int, int] | None = None):
+        from ..ops import shadow as shadow_ops
+        if shadow_dims is None:
+            shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
+                           shadow_ops.POINT_SHADOW_DIM,
+                           shadow_ops.DIRECTIONAL_SHADOW_DIM)
+        key = (width, height, curve, gamma, enable_shadows, shadow_dims)
         fn = self._render_fns.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(
                 graph.render_forward, width=width, height=height,
-                output_display_curve=curve, apply_gamma=gamma))
+                output_display_curve=curve, apply_gamma=gamma,
+                enable_shadows=enable_shadows, shadow_dims=shadow_dims))
             self._render_fns[key] = fn
         return fn
 
@@ -80,9 +90,10 @@ class VQRendererTPU:
         enabled = [l for l in lights if l.enabled]
         points = [l for l in enabled if l.type == ELightType.POINT and not l.casts_shadows]
         spots = [l for l in enabled if l.type == ELightType.SPOT and not l.casts_shadows]
-        # until the shadow passes land, shadow casters shade unshadowed
-        points += [l for l in enabled if l.type == ELightType.POINT and l.casts_shadows]
-        spots += [l for l in enabled if l.type == ELightType.SPOT and l.casts_shadows]
+        point_casters = [l for l in enabled
+                         if l.type == ELightType.POINT and l.casts_shadows][:NUM_SHADOWING_LIGHTS_POINT]
+        spot_casters = [l for l in enabled
+                        if l.type == ELightType.SPOT and l.casts_shadows][:NUM_SHADOWING_LIGHTS_SPOT]
         dirs = [l for l in enabled if l.type == ELightType.DIRECTIONAL]
 
         p_cap = max(1, min(len(points), NUM_LIGHTS_POINT))
@@ -91,6 +102,26 @@ class VQRendererTPU:
         s_packed, _ = pack_spot_lights(spots, s_cap)
         s_extra = pack_spot_extra(spots, s_cap)
         d_packed = pack_directional(dirs[0] if dirs else None)
+
+        # shadow caster data (exact counts -> graph specializes per scene)
+        sc = len(spot_casters)
+        sc_packed, _ = pack_spot_lights(spot_casters, max(sc, 0) or 0) if sc else (np.zeros((0, 12), np.float32), 0)
+        sc_extra = pack_spot_extra(spot_casters, sc) if sc else np.zeros((0, 4), np.float32)
+        sc_vps = np.stack([l.view_projection() for l in spot_casters]) if sc \
+            else np.zeros((0, 4, 4), np.float32)
+
+        pc = len(point_casters)
+        pc_packed, _ = pack_point_lights(point_casters, pc) if pc else (np.zeros((0, 12), np.float32), 0)
+        pc_vps = (np.stack([[l.view_projection(f) for f in range(6)]
+                            for l in point_casters])
+                  if pc else np.zeros((0, 6, 4, 4), np.float32))
+        pc_range = (np.asarray([[l.shadow_near, l.shadow_far]
+                                for l in point_casters], np.float32)
+                    if pc else np.zeros((0, 2), np.float32))
+
+        dir_caster = dirs[0] if (dirs and dirs[0].casts_shadows) else None
+        dir_vp = (dir_caster.view_projection() if dir_caster is not None
+                  else np.zeros((4, 4), np.float32))
 
         from ..utils import math3d as m3
         vp = camera.view_projection()
@@ -106,14 +137,24 @@ class VQRendererTPU:
             directional=jnp.asarray(d_packed),
             ambient_factor=jnp.asarray(ambient_factor, jnp.float32),
             clear_color=jnp.asarray(np.asarray(clear_color, np.float32)),
+            spot_casters=jnp.asarray(sc_packed),
+            spot_caster_extra=jnp.asarray(sc_extra),
+            spot_caster_vps=jnp.asarray(sc_vps.astype(np.float32)),
+            point_casters=jnp.asarray(pc_packed),
+            point_caster_vps=jnp.asarray(pc_vps.astype(np.float32)),
+            point_caster_range=jnp.asarray(pc_range),
+            dir_vp=jnp.asarray(dir_vp.astype(np.float32)),
         )
 
     # ------------------------------------------------------------------
     def render(self, consts: graph.FrameConstants, width: int, height: int,
-               hdr10: bool = False, readback: bool = True) -> FrameOutput:
+               hdr10: bool = False, readback: bool = True,
+               enable_shadows: bool = True,
+               shadow_dims: tuple[int, int, int] | None = None) -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
-        fn = self._get_render_fn(width, height, curve, True)
+        fn = self._get_render_fn(width, height, curve, True,
+                                 enable_shadows, shadow_dims)
         t0 = time.perf_counter()
         ldr, depth, tri_id = fn(self._scene, consts)
         if readback:
