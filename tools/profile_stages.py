@@ -49,6 +49,7 @@ def timed(fn, n, *args):
 
 
 def main():
+    stages = set(sys.argv[1:]) or {"bin", "raster", "resolve", "shade", "cull"}
     from vqengine_tpu.engine.engine import _enable_compilation_cache
     _enable_compilation_cache()
     import jax
@@ -81,8 +82,9 @@ def main():
         binned = raster.bin_triangles(setup, width, height)
         return binned.pairs.sum(), binned.starts
 
-    print("bin (xform+setup+sort+gather):",
-          f"{timed(stage_bin, n, scene, consts):8.2f} ms", flush=True)
+    if "bin" in stages:
+        print("bin (xform+setup+sort+gather):",
+              f"{timed(stage_bin, n, scene, consts):8.2f} ms", flush=True)
 
     # stage 2: full geometry incl. raster
     def stage_raster(scene, consts):
@@ -94,22 +96,32 @@ def main():
         depth, tid = raster.rasterize(binned, width, height)
         return depth, tid
 
-    print("bin + raster kernel:          ",
-          f"{timed(stage_raster, n, scene, consts):8.2f} ms", flush=True)
+    if "raster" in stages:
+        print("bin + raster kernel:          ",
+              f"{timed(stage_raster, n, scene, consts):8.2f} ms", flush=True)
+
+    if not (stages & {"resolve", "shade"}):
+        return
 
     # precompute a fixed visibility buffer for resolve/shading isolation
-    wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
-    clip = raster.transform_clip_instanced(scene.positions,
-                                           scene.item_of_vertex, wvp)
-    setup0 = raster.setup_triangles(clip, scene.indices, width, height)
-    binned0 = raster.bin_triangles(setup0, width, height)
-    depth0, tid0 = raster.rasterize(binned0, width, height)
-    pos4 = jnp.concatenate([scene.positions,
-                            jnp.ones_like(scene.positions[:, :1])], 1)
-    wq = consts.world[scene.item_of_vertex]
-    wpos0 = jnp.einsum("vij,vj->vi", wq, pos4)[:, :3]
-    nq = consts.normal_mats[scene.item_of_vertex]
-    wnrm0 = jnp.einsum("vij,vj->vi", nq, scene.normals)
+    # (one jitted call — eager dispatch over the tunnel is minutes)
+    @jax.jit
+    def precompute(scene, consts):
+        wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+        clip = raster.transform_clip_instanced(scene.positions,
+                                               scene.item_of_vertex, wvp)
+        setup = raster.setup_triangles(clip, scene.indices, width, height)
+        binned = raster.bin_triangles(setup, width, height)
+        depth, tid = raster.rasterize(binned, width, height)
+        pos4 = jnp.concatenate([scene.positions,
+                                jnp.ones_like(scene.positions[:, :1])], 1)
+        wq = consts.world[scene.item_of_vertex]
+        wpos = jnp.einsum("vij,vj->vi", wq, pos4)[:, :3]
+        nq = consts.normal_mats[scene.item_of_vertex]
+        wnrm = jnp.einsum("vij,vj->vi", nq, scene.normals)
+        return setup, tid, wpos, wnrm
+
+    setup0, tid0, wpos0, wnrm0 = precompute(scene, consts)
 
     def stage_resolve(tid, setup, scene, wpos, wnrm):
         attrs, mask = raster.resolve_attributes(
@@ -117,15 +129,24 @@ def main():
             {"wpos": wpos, "wnrm": wnrm, "uv": scene.uvs})
         return attrs["wpos"], attrs["wnrm"], mask
 
-    print("resolve (vis-buffer gathers): ",
-          f"{timed(stage_resolve, n, tid0, setup0, scene, wpos0, wnrm0):8.2f} ms",
-          flush=True)
+    if "resolve" in stages:
+        print("resolve (vis-buffer gathers): ",
+              f"{timed(stage_resolve, n, tid0, setup0, scene, wpos0, wnrm0):8.2f} ms",
+              flush=True)
 
-    attrs0, mask0 = raster.resolve_attributes(
-        tid0, setup0, scene.indices, {"wpos": wpos0, "wnrm": wnrm0})
-    mat0 = graph.material_pass(scene, tid0)
-    nrm0 = attrs0["wnrm"]
-    nrm0 = nrm0 / jnp.maximum(jnp.linalg.norm(nrm0, axis=-1, keepdims=True), 1e-9)
+    if "shade" not in stages and "cull" not in stages:
+        return
+
+    @jax.jit
+    def precompute2(scene, tid0, setup0, wpos0, wnrm0):
+        attrs, _ = raster.resolve_attributes(
+            tid0, setup0, scene.indices, {"wpos": wpos0, "wnrm": wnrm0})
+        mat = graph.material_pass(scene, tid0)
+        nrm = attrs["wnrm"]
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+        return attrs["wpos"], nrm, mat
+
+    wp0, nrm0, mat0 = precompute2(scene, tid0, setup0, wpos0, wnrm0)
 
     def stage_shade(wpos, nrm, mat, consts):
         return shading.shade_forward(
@@ -137,17 +158,19 @@ def main():
             point_lights=consts.point_lights, spot_lights=consts.spot_lights,
             spot_extra=consts.spot_extra, directional=consts.directional)
 
-    print("shade (13 lights fwd PBR):    ",
-          f"{timed(stage_shade, n, attrs0['wpos'], nrm0, mat0, consts):8.2f} ms",
-          flush=True)
+    if "shade" in stages:
+        print("shade (13 lights fwd PBR):    ",
+              f"{timed(stage_shade, n, wp0, nrm0, mat0, consts):8.2f} ms",
+              flush=True)
 
     def stage_cull(scene, consts):
         return culling.cull_and_select_lod(
             consts.world, scene.aabb_center, scene.aabb_extent,
             consts.frustum_planes, consts.view_proj, scene.item_num_lods)
 
-    print("cull+lod:                     ",
-          f"{timed(stage_cull, n, scene, consts):8.2f} ms", flush=True)
+    if "cull" in stages:
+        print("cull+lod:                     ",
+              f"{timed(stage_cull, n, scene, consts):8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

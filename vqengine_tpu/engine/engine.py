@@ -101,6 +101,7 @@ class VQEngineTPU:
         self.scene_name = ""
         self.num_ticks = 0
         self.scene_update_hook = None  # fn(engine, dt) for animated scenes
+        self.environment = None        # EnvironmentMaps after scene load
 
     # ------------------------------------------------------------------
     def _load_material_lib(self) -> dict:
@@ -155,10 +156,52 @@ class VQEngineTPU:
         for c in self.cameras:
             c.aspect = aspect
         self.renderer.load_scene(buffers)
+        self.environment = self._load_environment(rep)
         log.info(f"scene '{rep.name}' loaded in {time.perf_counter()-t0:.2f}s "
-                 f"({len(buffers.items)} items, {len(lights)} lights)")
+                 f"({len(buffers.items)} items, {len(lights)} lights, "
+                 f"env={'yes' if self.environment is not None else 'no'})")
         self.state = EAppState.SIMULATING
         return True
+
+    def _load_environment(self, rep, diffuse_size: int = 64,
+                          specular_base: int = 128):
+        """Load-time IBL prefiltering (the reference's background-queue
+        PreFilterEnvironmentMap). Preset -> HDRI file; missing files fall
+        back to a procedural sky so every scene still gets IBL."""
+        from ..ops.ibl import procedural_sky_equirect
+        from ..render.graph import build_environment
+        from ..utils.image_io import read_hdr
+
+        if not rep.env_map_preset and not rep.env_map_path:
+            return None
+        equirect = None
+        path = rep.env_map_path
+        if rep.env_map_preset and rep.env_map_preset in self.env_presets:
+            path = self.env_presets[rep.env_map_preset].get("Path", "")
+        if path:
+            for base in [d.parent for d in self.data_dirs] + [Path(".")]:
+                p = Path(base) / path
+                if p.is_file():
+                    try:
+                        equirect = read_hdr(p)
+                        log.info(f"loaded HDRI {p} {equirect.shape}")
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        log.warning(f"HDRI load failed for {p}: {e}")
+        if equirect is None:
+            log.warning(f"environment '{rep.env_map_preset or path}' not "
+                        f"found; using procedural sky")
+            equirect = procedural_sky_equirect(512, 256)
+        # cap source resolution (8K HDRIs are overkill for 128px cubemaps)
+        max_w = 2048
+        if equirect.shape[1] > max_w:
+            step = equirect.shape[1] // max_w
+            equirect = equirect[::step, ::step]
+        t0 = time.perf_counter()
+        env = build_environment(equirect, diffuse_size=diffuse_size,
+                                specular_base=specular_base)
+        log.info(f"IBL prefilter done in {time.perf_counter()-t0:.2f}s")
+        return env
 
     def _gltf_loader(self, path: str):
         from ..scene.gltf import load_gltf_meshes
@@ -179,7 +222,7 @@ class VQEngineTPU:
             self.scene_buffers, cam, self.lights)
         return self.renderer.render(
             consts, self.settings.Width, self.settings.Height,
-            hdr10=False, readback=readback)
+            hdr10=False, readback=readback, env=self.environment)
 
     def tick(self, dt: float = 1 / 60):
         """One simulation tick: update then render

@@ -1,0 +1,296 @@
+"""Image-based lighting — counterpart of the reference's environment-map
+pipeline: equirect HDR -> cubemap, diffuse irradiance convolution, GGX
+specular prefilter per mip, BRDF-integration LUT, and the shading-time
+environment illumination (CubemapConvolution.hlsl,
+EnvironmentMapRendering.cpp:139-486, Lighting.hlsl:360-395).
+
+TPU-first design: the reference's per-texel sampling loops (a ~100k-sample
+hemisphere walk per texel for irradiance, 512 GGX samples per texel per mip
+for specular) become *dense cosine/kernel matmuls on the MXU*:
+
+    irradiance(N)  = sum_p env_p * max(0, N . w_p) * dw_p / pi
+    prefilter_r(N) = sum_p env_p * k_r(N . w_p) * dw_p / sum_p k_r * dw_p
+
+where p runs over equirect texels with solid angle dw_p = (2pi/W)(pi/H)
+sin(theta_p), and k_r is the GGX NDF kernel under the reference's V=N
+approximation (L makes angle gamma with N where gamma = 2*theta_H, so
+k_r(cos gamma) = D_ggx(cos(gamma/2), r) * cos(gamma/2) * max(cos gamma, 0)).
+These are the converged limits of the reference's Monte-Carlo loops.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import brdf as B
+from .shadow import _cube_face_uv
+
+PI = float(np.pi)
+
+
+# ---------------------------------------------------------------------------
+# direction <-> equirect mapping (ShadingMath.hlsl:70-80)
+# ---------------------------------------------------------------------------
+
+def direction_to_equirect_uv(v: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] -> uv [..., 2] (exact DirectionToEquirectUV)."""
+    u = jnp.arctan2(v[..., 2], v[..., 0]) / (-2.0 * PI) + 0.5
+    w = jnp.arcsin(-v[..., 1] / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1), 1e-9)) / PI + 0.5
+    return jnp.stack([u, w], axis=-1)
+
+
+def equirect_texel_directions(width: int, height: int) -> tuple[np.ndarray, np.ndarray]:
+    """-> (dirs [H*W, 3], solid_angles [H*W]) for equirect texel centers.
+    Inverts DirectionToEquirectUV: u = atan2(z,x)/(-2pi)+0.5, v = asin(-y)/pi+0.5."""
+    us = (np.arange(width) + 0.5) / width
+    vs = (np.arange(height) + 0.5) / height
+    U, V = np.meshgrid(us, vs)                       # [H, W]
+    phi = (0.5 - U) * 2.0 * np.pi                    # atan2(z, x)
+    elev = (V - 0.5) * np.pi                         # asin(-y)
+    y = -np.sin(elev)
+    c = np.cos(elev)
+    x = c * np.cos(phi)
+    z = c * np.sin(phi)
+    dirs = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    # solid angle: dphi * dtheta * sin(polar theta); polar = pi/2 + elev
+    sin_polar = np.clip(np.cos(elev), 1e-6, 1.0)     # cos(elev) == sin(polar)
+    omega = (2.0 * np.pi / width) * (np.pi / height) * sin_polar
+    return dirs, omega.reshape(-1).astype(np.float32)
+
+
+def cube_texel_directions(size: int) -> np.ndarray:
+    """World-space directions of cube texel centers [6, S, S, 3], matching
+    the D3D face conventions in scene/light.py cubemap_view_matrix."""
+    t = (np.arange(size, dtype=np.float32) + 0.5) / size
+    a = t * 2.0 - 1.0                                # face-local in [-1, 1]
+    u, v = np.meshgrid(a, -a)                        # u right, v up (y-down rows)
+    one = np.ones_like(u)
+    # (right, up, forward) per face as in shadow._cube_face_uv
+    faces = [
+        (+one, None),  # placeholder
+    ]
+    d = np.zeros((6, size, size, 3), dtype=np.float32)
+    # face 0 +X: dir = f*x_hat + u*(-z_hat) + v*(y_hat)
+    d[0] = np.stack([one, v, -u], axis=-1)
+    d[1] = np.stack([-one, v, u], axis=-1)
+    d[2] = np.stack([u, one, -v], axis=-1)   # +Y: r=+x, u=-z, f=+y
+    d[3] = np.stack([u, -one, v], axis=-1)   # -Y: r=+x, u=+z, f=-y
+    d[4] = np.stack([u, v, one], axis=-1)    # +Z
+    d[5] = np.stack([-u, v, -one], axis=-1)  # -Z
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def sample_equirect_bilinear(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """img [H, W, C], uv [..., 2] -> [..., C]; wraps in u, clamps in v."""
+    h, w = img.shape[0], img.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    c00 = img[y0i, x0i]
+    c10 = img[y0i, x1i]
+    c01 = img[y1i, x0i]
+    c11 = img[y1i, x1i]
+    return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+            + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def sample_cube(cube: jnp.ndarray, dirs: jnp.ndarray,
+                bilinear: bool = True) -> jnp.ndarray:
+    """cube [6, S, S, C], dirs [..., 3] -> [..., C] (clamped within face)."""
+    face, uv = _cube_face_uv(dirs)
+    s = cube.shape[1]
+    if not bilinear:
+        tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
+        ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
+        return cube[face, ty, tx]
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, s - 1)
+    x1i = jnp.clip(x0i + 1, 0, s - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, s - 1)
+    y1i = jnp.clip(y0i + 1, 0, s - 1)
+    c00 = cube[face, y0i, x0i]
+    c10 = cube[face, y0i, x1i]
+    c01 = cube[face, y1i, x0i]
+    c11 = cube[face, y1i, x1i]
+    return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+            + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+
+# ---------------------------------------------------------------------------
+# load-time convolutions (all MXU matmuls)
+# ---------------------------------------------------------------------------
+
+def downsample_equirect(img: jnp.ndarray, target_w: int) -> jnp.ndarray:
+    """Box-average an equirect map down to target_w x target_w/2."""
+    h, w = img.shape[0], img.shape[1]
+    th = target_w // 2
+    fy, fx = h // th, w // target_w
+    if fy < 1 or fx < 1:
+        return img
+    img = img[: th * fy, : target_w * fx]
+    return img.reshape(th, fy, target_w, fx, -1).mean(axis=(1, 3))
+
+
+def equirect_to_cubemap(equirect: jnp.ndarray, size: int) -> jnp.ndarray:
+    """-> [6, S, S, 3] (the reference's equirect->cube draw,
+    EnvironmentMapRendering.cpp:197-260)."""
+    dirs = jnp.asarray(cube_texel_directions(size))
+    uv = direction_to_equirect_uv(dirs)
+    return sample_equirect_bilinear(equirect, uv)
+
+
+def diffuse_irradiance_cube(equirect: jnp.ndarray, size: int = 64,
+                            source_width: int = 64) -> jnp.ndarray:
+    """Exact cosine convolution as one matmul (the converged limit of
+    PSMain_DiffuseIrradiance, CubemapConvolution.hlsl:112-163):
+    irradiance(N) = sum_p env_p max(0, N.w_p) dw_p / pi."""
+    src = downsample_equirect(equirect, source_width)
+    sh, sw = src.shape[0], src.shape[1]
+    dirs_p, omega_p = equirect_texel_directions(sw, sh)
+    dirs_n = cube_texel_directions(size).reshape(-1, 3)          # [NC, 3]
+    cosm = jnp.maximum(jnp.asarray(dirs_n) @ jnp.asarray(dirs_p).T, 0.0)
+    weights = cosm * jnp.asarray(omega_p)[None, :]               # [NC, P]
+    out = (weights @ src.reshape(-1, 3)) / PI
+    return out.reshape(6, size, size, 3)
+
+
+def _ggx_prefilter_kernel(cos_gamma: jnp.ndarray, roughness: float) -> jnp.ndarray:
+    """Radial GGX prefilter kernel under the reference's V=N approximation:
+    L is at angle gamma from N with gamma = 2*theta_H, weighted by NdotL."""
+    cg = jnp.clip(cos_gamma, -1.0, 1.0)
+    cos_half = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cg), 0.0))      # cos(gamma/2)
+    d = B.ndf_ggx(cos_half, jnp.asarray(roughness))
+    return d * cos_half * jnp.maximum(cg, 0.0)
+
+
+def specular_prefilter_mips(equirect: jnp.ndarray, base_size: int = 128,
+                            num_mips: int = 6,
+                            source_width: int = 128) -> list[jnp.ndarray]:
+    """GGX specular prefilter chain: mip m has roughness m/(num_mips-1)
+    (EnvironmentMapRendering.cpp:432). Mip 0 (mirror) is a direct resample;
+    rougher mips are kernel matmuls."""
+    mips = [equirect_to_cubemap(equirect, base_size)]
+    src = downsample_equirect(equirect, source_width)
+    sh, sw = src.shape[0], src.shape[1]
+    dirs_p, omega_p = equirect_texel_directions(sw, sh)
+    dp = jnp.asarray(dirs_p)
+    op = jnp.asarray(omega_p)
+    src_flat = src.reshape(-1, 3)
+    for m in range(1, num_mips):
+        size = max(base_size >> m, 4)
+        roughness = m / (num_mips - 1)
+        dirs_n = jnp.asarray(cube_texel_directions(size).reshape(-1, 3))
+        cosg = dirs_n @ dp.T                                      # [NC, P]
+        k = _ggx_prefilter_kernel(cosg, roughness) * op[None, :]
+        norm = jnp.maximum(k.sum(axis=1, keepdims=True), 1e-9)
+        mips.append(((k @ src_flat) / norm).reshape(6, size, size, 3))
+    return mips
+
+
+_BRDF_LUT_CACHE: dict[int, np.ndarray] = {}
+
+
+def brdf_lut_cached(size: int = 256, num_samples: int = 512) -> np.ndarray:
+    """Process-cached BRDF integration LUT (computed once, like the
+    reference's procedural BRDF_INTEGRATION_LUT texture, Renderer.h:77-84)."""
+    lut = _BRDF_LUT_CACHE.get(size)
+    if lut is None:
+        lut = np.asarray(B.brdf_integration_lut(size, num_samples))
+        _BRDF_LUT_CACHE[size] = lut
+    return lut
+
+
+# ---------------------------------------------------------------------------
+# shading-time environment illumination (Lighting.hlsl:348-395)
+# ---------------------------------------------------------------------------
+
+def hdri_rotation(v: jnp.ndarray, yaw_rad) -> jnp.ndarray:
+    """GetHDRIRotationMatrix (Lighting.hlsl:348-358): rotate sample
+    direction about +Y by -yaw."""
+    c = jnp.cos(-yaw_rad)
+    s = jnp.sin(-yaw_rad)
+    x = c * v[..., 0] + s * v[..., 2]
+    z = -s * v[..., 0] + c * v[..., 2]
+    return jnp.stack([x, v[..., 1], z], axis=-1)
+
+
+def environment_illumination(normal: jnp.ndarray, view: jnp.ndarray,
+                             roughness: jnp.ndarray, metalness: jnp.ndarray,
+                             albedo: jnp.ndarray,
+                             diffuse_cube: jnp.ndarray,
+                             specular_mips: list[jnp.ndarray],
+                             brdf_lut: jnp.ndarray,
+                             hdri_yaw=0.0) -> jnp.ndarray:
+    """CalculateEnvironmentMapIllumination (Lighting.hlsl:360-380):
+    IBL diffuse + prefiltered specular with the split-sum BRDF LUT."""
+    ndotv = jnp.clip((normal * view).sum(-1), 0.0, 1.0)
+    r = B.reflect(-view, normal)
+    r = hdri_rotation(r, hdri_yaw)
+    n_rot = hdri_rotation(normal, hdri_yaw)
+
+    max_lod = len(specular_mips) - 1
+    # integer mip select like the reference (int MIP_LEVEL = r * MAX_LOD)
+    mip = jnp.clip((roughness * max_lod).astype(jnp.int32), 0, max_lod)
+    spec = jnp.zeros_like(albedo)
+    for m in range(len(specular_mips)):
+        sm = sample_cube(specular_mips[m], r)
+        spec = jnp.where((mip == m)[..., None], sm, spec)
+
+    lut_n = brdf_lut.shape[0]
+    ix = jnp.clip((ndotv * lut_n).astype(jnp.int32), 0, lut_n - 1)
+    iy = jnp.clip((roughness * lut_n).astype(jnp.int32), 0, lut_n - 1)
+    f0_scale_bias = brdf_lut[iy, ix]                 # [..., 2]
+
+    diffuse_irr = sample_cube(diffuse_cube, n_rot)
+    return B.environment_brdf(ndotv, roughness, metalness, albedo,
+                              diffuse_irr, spec, f0_scale_bias)
+
+
+def sky_radiance(dirs: jnp.ndarray, equirect: jnp.ndarray, hdri_yaw=0.0) -> jnp.ndarray:
+    """Skydome sampling for background pixels (Skydome.hlsl behavior:
+    equirect lookup of the view ray)."""
+    d = hdri_rotation(dirs, hdri_yaw)
+    return sample_equirect_bilinear(equirect, direction_to_equirect_uv(d))
+
+
+# ---------------------------------------------------------------------------
+# procedural fallback sky (the reference's HDRI files are not shipped)
+# ---------------------------------------------------------------------------
+
+def procedural_sky_equirect(width: int = 512, height: int = 256,
+                            sun_dir=(0.3, 0.8, 0.5), sun_intensity: float = 50.0,
+                            zenith=(0.25, 0.45, 0.85), horizon=(0.8, 0.85, 0.95),
+                            ground=(0.25, 0.22, 0.2)) -> np.ndarray:
+    """Simple physically-plausible HDR sky: gradient + sun disc + ground."""
+    dirs, _ = equirect_texel_directions(width, height)
+    y = dirs[:, 1]
+    sun = np.asarray(sun_dir, np.float32)
+    sun /= np.linalg.norm(sun)
+    cos_sun = dirs @ sun
+    sky_t = np.clip(y, 0.0, 1.0) ** 0.6
+    col = (np.asarray(horizon, np.float32)[None] * (1 - sky_t[:, None])
+           + np.asarray(zenith, np.float32)[None] * sky_t[:, None])
+    g_t = np.clip(-y, 0.0, 1.0)[:, None]
+    col = col * (1 - g_t) + np.asarray(ground, np.float32)[None] * g_t
+    disc = np.exp((cos_sun - 1.0) * 2000.0)[:, None] * sun_intensity
+    halo = np.exp((cos_sun - 1.0) * 20.0)[:, None] * 0.5
+    col = col + (disc + halo) * np.asarray([1.0, 0.95, 0.85], np.float32)[None]
+    return col.reshape(height, width, 3).astype(np.float32)

@@ -16,8 +16,33 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import colorspace as cs
-from ..ops import culling, raster, shading, shadow
+from ..ops import culling, ibl, raster, shading, shadow
 from ..ops import postprocess as pp
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EnvironmentMaps:
+    """Device-resident IBL resources (the output of the reference's
+    load-time PreFilterEnvironmentMap, EnvironmentMapRendering.cpp:139-486)."""
+    equirect: jnp.ndarray                  # [He, We, 3] linear HDR
+    diffuse_cube: jnp.ndarray              # [6, Sd, Sd, 3]
+    specular_mips: tuple                   # tuple of [6, S_m, S_m, 3]
+    brdf_lut: jnp.ndarray                  # [L, L, 2]
+
+
+def build_environment(equirect_np, diffuse_size: int = 64,
+                      specular_base: int = 128, specular_mips: int = 6,
+                      lut_size: int = 256) -> EnvironmentMaps:
+    """Load-time IBL prefilter (runs on device; MXU convolutions)."""
+    eq = jnp.asarray(equirect_np)
+    return EnvironmentMaps(
+        equirect=eq,
+        diffuse_cube=ibl.diffuse_irradiance_cube(eq, size=diffuse_size),
+        specular_mips=tuple(ibl.specular_prefilter_mips(
+            eq, base_size=specular_base, num_mips=specular_mips)),
+        brdf_lut=jnp.asarray(ibl.brdf_lut_cached(lut_size)),
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -106,6 +131,8 @@ class FrameConstants:
     ambient_factor: jnp.ndarray  # scalar (SceneViews.h:61 default 0.055)
     clear_color: jnp.ndarray    # [3]
     frustum_planes: jnp.ndarray  # [6, 4] main-view planes for culling
+    inv_view_proj: jnp.ndarray  # [4, 4] for sky-ray reconstruction
+    hdri_yaw: jnp.ndarray       # scalar, fHDRIOffsetInRadians
     # shadow casters (budgets: 5 spot + 5 point + 1 dir,
     # LightingConstantBufferData.h:42-44); zero-length = feature off
     spot_casters: jnp.ndarray      # [SC, 12]
@@ -231,6 +258,20 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
     return spot_vis, point_vis, dir_vis
 
 
+def sky_directions(consts: FrameConstants, width: int, height: int) -> jnp.ndarray:
+    """Per-pixel world-space view-ray directions for skydome sampling."""
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    py = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    ndc_x = jnp.broadcast_to(px[None, :], (height, width))
+    ndc_y = jnp.broadcast_to(py[:, None], (height, width))
+    clip = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5),
+                      jnp.ones_like(ndc_x)], axis=-1)
+    wp = jnp.einsum("ij,hwj->hwi", consts.inv_view_proj, clip)
+    wp = wp[..., :3] / jnp.where(jnp.abs(wp[..., 3:4]) > 1e-9, wp[..., 3:4], 1e-9)
+    d = wp - consts.camera_pos
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+
+
 def render_forward(scene: DeviceScene, consts: FrameConstants,
                    width: int, height: int,
                    output_display_curve: int = cs.DISPLAY_CURVE_SRGB,
@@ -238,9 +279,10 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    enable_shadows: bool = True,
                    shadow_dims: tuple[int, int, int] = (
                        shadow.SPOT_SHADOW_DIM, shadow.POINT_SHADOW_DIM,
-                       shadow.DIRECTIONAL_SHADOW_DIM)):
+                       shadow.DIRECTIONAL_SHADOW_DIM),
+                   env: EnvironmentMaps | None = None):
     """Full forward frame: geometry -> shadows -> material -> shade ->
-    tonemap. Returns (ldr [H,W,3], depth [H,W], tri_id [H,W])."""
+    skydome -> tonemap. Returns (ldr [H,W,3], depth [H,W], tri_id [H,W])."""
     depth, tri_id, attrs, mask = geometry_pass(scene, consts, width, height)
     mat = material_pass(scene, tri_id)
 
@@ -252,6 +294,15 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         spot_vis, point_vis, dir_vis = shadow_pass(scene, consts,
                                                    attrs["wpos"], n,
                                                    shadow_dims)
+
+    env_illum = None
+    if env is not None:
+        v = consts.camera_pos - attrs["wpos"]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        env_illum = ibl.environment_illumination(
+            n, v, mat["roughness"], mat["metalness"], mat["albedo"],
+            env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
+            hdri_yaw=consts.hdri_yaw)
 
     hdr = shading.shade_forward(
         world_pos=attrs["wpos"],
@@ -272,7 +323,14 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         spot_caster_extra=consts.spot_caster_extra if enable_shadows else None,
         spot_shadow=spot_vis,
         dir_shadow=dir_vis,
+        env_illumination=env_illum,
     )
-    hdr = jnp.where(mask[..., None], hdr, consts.clear_color)
+    if env is not None:
+        # skydome for background pixels (Skydome.hlsl behavior)
+        dirs = sky_directions(consts, width, height)
+        background = ibl.sky_radiance(dirs, env.equirect, consts.hdri_yaw)
+    else:
+        background = consts.clear_color
+    hdr = jnp.where(mask[..., None], hdr, background)
     ldr = pp.tonemap(hdr, output_display_curve, apply_gamma=apply_gamma)
     return ldr, depth, tri_id

@@ -62,26 +62,37 @@ class VQRendererTPU:
 
     def _get_render_fn(self, width: int, height: int, curve: int, gamma: bool,
                        enable_shadows: bool = True,
-                       shadow_dims: tuple[int, int, int] | None = None):
+                       shadow_dims: tuple[int, int, int] | None = None,
+                       has_env: bool = False):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
                            shadow_ops.POINT_SHADOW_DIM,
                            shadow_ops.DIRECTIONAL_SHADOW_DIM)
-        key = (width, height, curve, gamma, enable_shadows, shadow_dims)
+        key = (width, height, curve, gamma, enable_shadows, shadow_dims, has_env)
         fn = self._render_fns.get(key)
         if fn is None:
-            fn = jax.jit(functools.partial(
-                graph.render_forward, width=width, height=height,
-                output_display_curve=curve, apply_gamma=gamma,
-                enable_shadows=enable_shadows, shadow_dims=shadow_dims))
+            if has_env:
+                def wrapped(scene, consts, env):
+                    return graph.render_forward(
+                        scene, consts, width=width, height=height,
+                        output_display_curve=curve, apply_gamma=gamma,
+                        enable_shadows=enable_shadows,
+                        shadow_dims=shadow_dims, env=env)
+                fn = jax.jit(wrapped)
+            else:
+                fn = jax.jit(functools.partial(
+                    graph.render_forward, width=width, height=height,
+                    output_display_curve=curve, apply_gamma=gamma,
+                    enable_shadows=enable_shadows, shadow_dims=shadow_dims))
             self._render_fns[key] = fn
         return fn
 
     # ------------------------------------------------------------------
     def build_frame_constants(self, buffers: SceneBuffers, camera,
                               lights, ambient_factor: float = 0.055,
-                              clear_color=(0.07, 0.07, 0.12)) -> graph.FrameConstants:
+                              clear_color=(0.07, 0.07, 0.12),
+                              hdri_yaw: float = 0.0) -> graph.FrameConstants:
         """Gathers the per-frame light/matrix data — the counterpart of
         Scene::GatherSceneLightData (Scene.cpp:978) + the CB fills."""
         import jax.numpy as jnp
@@ -131,6 +142,8 @@ class VQRendererTPU:
             view_proj=jnp.asarray(vp),
             camera_pos=jnp.asarray(camera.position),
             frustum_planes=jnp.asarray(m3.frustum_planes_from_viewproj(vp)),
+            inv_view_proj=jnp.asarray(np.linalg.inv(vp).astype(np.float32)),
+            hdri_yaw=jnp.asarray(hdri_yaw, jnp.float32),
             point_lights=jnp.asarray(p_packed),
             spot_lights=jnp.asarray(s_packed),
             spot_extra=jnp.asarray(s_extra),
@@ -150,13 +163,18 @@ class VQRendererTPU:
     def render(self, consts: graph.FrameConstants, width: int, height: int,
                hdr10: bool = False, readback: bool = True,
                enable_shadows: bool = True,
-               shadow_dims: tuple[int, int, int] | None = None) -> FrameOutput:
+               shadow_dims: tuple[int, int, int] | None = None,
+               env: "graph.EnvironmentMaps | None" = None) -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
         fn = self._get_render_fn(width, height, curve, True,
-                                 enable_shadows, shadow_dims)
+                                 enable_shadows, shadow_dims,
+                                 has_env=env is not None)
         t0 = time.perf_counter()
-        ldr, depth, tri_id = fn(self._scene, consts)
+        if env is not None:
+            ldr, depth, tri_id = fn(self._scene, consts, env)
+        else:
+            ldr, depth, tri_id = fn(self._scene, consts)
         if readback:
             ldr = np.asarray(jax.device_get(ldr))
         self.stats.num_frames_rendered += 1
