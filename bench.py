@@ -121,10 +121,11 @@ def main() -> None:
     @jax.jit
     def run_n(scene, consts_batch):
         def frame(carry, consts_i):
-            ldr, depth, tid = graph.render_forward(
-                scene, consts_i, width=width, height=height)
+            out = graph.render_forward(scene, consts_i,
+                                       width=width, height=height)
             # checksum over every pixel -> nothing can be dead-code-eliminated
-            return carry + ldr.sum() + depth.sum(), (tid >= 0).mean()
+            return (carry + out["ldr"].sum() + out["depth"].sum(),
+                    (out["tri_id"] >= 0).mean())
         total, cover = jax.lax.scan(frame, jnp.float32(0.0), consts_batch)
         return total, cover
 

@@ -57,7 +57,8 @@ class TestShardedRender:
         consts = [consts_for(buffers, c) for c in cams]
 
         # single-device reference renders
-        ref = [np.asarray(graph.render_forward(scene, c, W, H)[0]) for c in consts]
+        ref = [np.asarray(graph.render_forward(scene, c, W, H)["ldr"])
+               for c in consts]
 
         batch = multichip.stack_frame_constants(consts)
         ldr, depth = multichip.render_forward_sharded(mesh8, scene, batch, W, H)

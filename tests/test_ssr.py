@@ -1,0 +1,100 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqengine_tpu.ops import ssr
+from vqengine_tpu.utils import math3d as m3
+
+
+def ndc_depth(zv, near=0.1, far=100.0):
+    return (far / (far - near)) - (near * far / (far - near)) / zv
+
+
+def floor_and_wall_scene(h=64, w=64, fov=60.0):
+    """Camera at origin looking +Z: a floor (y=-1) in the lower half and a
+    bright emissive wall at z=20 visible in the upper half."""
+    near, far = 0.1, 100.0
+    fov_y = np.deg2rad(fov)
+    tan_half = np.tan(fov_y / 2)
+    aspect = w / h
+    ndc_y = 1.0 - (np.arange(h) + 0.5) / h * 2.0
+    ndc_x = (np.arange(w) + 0.5) / w * 2.0 - 1.0
+    NY, NX = np.meshgrid(ndc_y, ndc_x, indexing="ij")
+
+    # floor: y = -1 -> view depth z = -(-1)/ (NY*tan) for NY<0
+    z_floor = np.where(NY < -0.02, 1.0 / np.maximum(-NY * tan_half, 1e-3), np.inf)
+    z_wall = np.full((h, w), 20.0)
+    zv = np.minimum(z_floor, z_wall).astype(np.float32)
+    depth = ndc_depth(zv, near, far).astype(np.float32)
+
+    is_floor = z_floor < z_wall
+    normals = np.where(is_floor[..., None],
+                       np.array([0, 1, 0], np.float32),
+                       np.array([0, 0, -1], np.float32)).astype(np.float32)
+    color = np.where(is_floor[..., None],
+                     np.array([0.1, 0.1, 0.1], np.float32),
+                     np.array([5.0, 0.2, 0.2], np.float32)).astype(np.float32)
+    info = jnp.asarray([near, far, fov_y, aspect], jnp.float32)
+    view = jnp.asarray(m3.look_at_lh((0, 0, 0), (0, 0, 10)))
+    return (jnp.asarray(color), jnp.asarray(depth), jnp.asarray(normals),
+            view, info, is_floor)
+
+
+class TestTrace:
+    def test_floor_reflects_wall(self):
+        color, depth, normals, view, info, is_floor = floor_and_wall_scene()
+        refl, conf = ssr.trace_reflections(color, depth, normals, view, info)
+        refl, conf = np.asarray(refl), np.asarray(conf)
+        assert np.isfinite(refl).all() and np.isfinite(conf).all()
+        assert (conf >= 0).all() and (conf <= 1).all()
+        # floor pixels that found a hit should reflect the red wall
+        hit_floor = is_floor & (conf > 0.5)
+        assert hit_floor.sum() > 50, f"too few hits: {hit_floor.sum()}"
+        assert refl[hit_floor][:, 0].mean() > 1.0  # red dominated
+
+    def test_wall_pixels_low_confidence(self):
+        # wall normals face the camera; reflections point back at the camera
+        color, depth, normals, view, info, is_floor = floor_and_wall_scene()
+        refl, conf = ssr.trace_reflections(color, depth, normals, view, info)
+        conf = np.asarray(conf)
+        assert conf[~is_floor].mean() < 0.2
+
+
+class TestDenoise:
+    def test_temporal_blend(self):
+        rng = np.random.default_rng(0)
+        refl = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+        conf = jnp.ones((32, 32))
+        rough = jnp.zeros((32, 32))
+        hist = jnp.zeros((32, 32, 3))
+        out, new_hist = ssr.denoise_reflections(refl, conf, rough, hist,
+                                                temporal_alpha=0.75)
+        np.testing.assert_allclose(np.asarray(out),
+                                   0.25 * np.asarray(refl), atol=1e-5)
+
+    def test_rough_pixels_blurred(self):
+        img = np.zeros((32, 32, 3), np.float32)
+        img[16, 16] = 10.0
+        rough_smooth = jnp.zeros((32, 32))
+        rough_rough = jnp.full((32, 32), 0.9)
+        out_s, _ = ssr.denoise_reflections(jnp.asarray(img), jnp.ones((32, 32)),
+                                           rough_smooth)
+        out_r, _ = ssr.denoise_reflections(jnp.asarray(img), jnp.ones((32, 32)),
+                                           rough_rough)
+        assert float(np.asarray(out_s).max()) > float(np.asarray(out_r).max())
+
+
+class TestComposite:
+    def test_smooth_metal_gets_reflection(self):
+        scene = jnp.full((8, 8, 3), 0.1)
+        refl = jnp.full((8, 8, 3), 2.0)
+        conf = jnp.ones((8, 8))
+        out_metal = np.asarray(ssr.apply_reflections(
+            scene, refl, conf, jnp.full((8, 8), 0.05), jnp.ones((8, 8)),
+            jnp.full((8, 8, 3), 0.9), jnp.broadcast_to(jnp.asarray([0., 1., 0.]), (8, 8, 3)),
+            jnp.broadcast_to(jnp.asarray([0., 1., 0.]), (8, 8, 3))))
+        out_rough = np.asarray(ssr.apply_reflections(
+            scene, refl, conf, jnp.full((8, 8), 0.95), jnp.zeros((8, 8)),
+            jnp.full((8, 8, 3), 0.9), jnp.broadcast_to(jnp.asarray([0., 1., 0.]), (8, 8, 3)),
+            jnp.broadcast_to(jnp.asarray([0., 1., 0.]), (8, 8, 3))))
+        assert out_metal.mean() > out_rough.mean() + 0.5

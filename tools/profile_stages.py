@@ -73,6 +73,44 @@ def main():
     consts = VQRendererTPU().build_frame_constants(buffers, cam, lights)
     n = 8
 
+    if "full" in stages:
+        def stage_full(scene, consts):
+            out = graph.render_forward(scene, consts, width=width, height=height)
+            return out["ldr"], out["depth"]
+        print("full render_forward:          ",
+              f"{timed(stage_full, n, scene, consts):8.2f} ms", flush=True)
+
+    if "vertex" in stages:
+        def stage_vertex(scene, consts):
+            pos4 = jnp.concatenate([scene.positions,
+                                    jnp.ones_like(scene.positions[:, :1])], 1)
+            wq = consts.world[scene.item_of_vertex]
+            wpos = jnp.einsum("vij,vj->vi", wq, pos4)[:, :3]
+            nq = consts.normal_mats[scene.item_of_vertex]
+            wnrm = jnp.einsum("vij,vj->vi", nq, scene.normals)
+            wtan = jnp.einsum("vij,vj->vi", nq, scene.tangents)
+            return wpos, wnrm, wtan
+        print("vertex world transforms:      ",
+              f"{timed(stage_vertex, n, scene, consts):8.2f} ms", flush=True)
+
+    if "material" in stages:
+        import functools
+        @jax.jit
+        def mk_tid(scene, consts):
+            wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+            clip = raster.transform_clip_instanced(
+                scene.positions, scene.item_of_vertex, wvp)
+            setup = raster.setup_triangles(clip, scene.indices, width, height)
+            binned = raster.bin_triangles(setup, width, height)
+            _, tid = raster.rasterize(binned, width, height)
+            return tid
+        tid_m = mk_tid(scene, consts)
+        def stage_material(scene, tid):
+            m = graph.material_pass(scene, tid)
+            return m["albedo"], m["roughness"]
+        print("material pass gathers:        ",
+              f"{timed(stage_material, n, scene, tid_m):8.2f} ms", flush=True)
+
     # stage 1: vertex transform + setup + binning
     def stage_bin(scene, consts):
         wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)

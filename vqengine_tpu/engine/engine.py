@@ -102,6 +102,9 @@ class VQEngineTPU:
         self.num_ticks = 0
         self.scene_update_hook = None  # fn(engine, dt) for animated scenes
         self.environment = None        # EnvironmentMaps after scene load
+        self._prev_world = None        # motion-vector history
+        self._prev_vp = None
+        self._last_output = None       # picking readback source
 
     # ------------------------------------------------------------------
     def _load_material_lib(self) -> dict:
@@ -156,6 +159,9 @@ class VQEngineTPU:
         for c in self.cameras:
             c.aspect = aspect
         self.renderer.load_scene(buffers)
+        self._prev_world = None
+        self._prev_vp = None
+        self._last_output = None
         self.environment = self._load_environment(rep)
         log.info(f"scene '{rep.name}' loaded in {time.perf_counter()-t0:.2f}s "
                  f"({len(buffers.items)} items, {len(lights)} lights, "
@@ -219,10 +225,30 @@ class VQEngineTPU:
     def render_frame(self, readback: bool = True):
         cam = self.cameras[self.active_camera]
         consts = self.renderer.build_frame_constants(
-            self.scene_buffers, cam, self.lights)
-        return self.renderer.render(
+            self.scene_buffers, cam, self.lights,
+            prev_world=self._prev_world, prev_view_proj=self._prev_vp)
+        import numpy as _np
+        self._prev_world = _np.asarray(consts.world)
+        self._prev_vp = _np.asarray(consts.view_proj)
+        self._last_output = self.renderer.render(
             consts, self.settings.Width, self.settings.Height,
-            hdr10=False, readback=readback, env=self.environment)
+            hdr10=False, readback=readback, env=self.environment,
+            enable_ssao=self.gfx.bAmbientOcclusion,
+            enable_motion=self.gfx.bMotionVectors)
+        return self._last_output
+
+    def pick(self, x: int, y: int) -> int:
+        """Mouse-picking readback (the reference's ObjectID pass + async
+        COPY-queue readback, ObjectIDPass.cpp:398-428 /
+        VQEngine_Update.cpp:242-278): returns the object id under the
+        pixel, or -1."""
+        if self._last_output is None or self._last_output.object_id is None:
+            return -1
+        import numpy as _np
+        oid = _np.asarray(self._last_output.object_id)
+        if 0 <= y < oid.shape[0] and 0 <= x < oid.shape[1]:
+            return int(oid[y, x])
+        return -1
 
     def tick(self, dt: float = 1 / 60):
         """One simulation tick: update then render

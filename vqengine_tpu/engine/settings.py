@@ -26,6 +26,8 @@ class FGraphicsSettings:
     bHDR: bool = True
     Reflections: int = 1                # 0 off, 1 SSR on
     EnvironmentMapResolution: int = 512
+    bAmbientOcclusion: bool = True      # FFX-CACAO-class SSAO
+    bMotionVectors: bool = False
 
 
 @dataclass

@@ -1,0 +1,131 @@
+"""Screen-space ambient occlusion — counterpart of the reference's
+FFX-CACAO pass (AmbientOcclusionPass.{h,cpp}, ffx_cacao_impl.cpp: multi-pass
+CS — depth prepare, SSAO generate, importance map, blur, apply; runs on the
+GFX or async COMPUTE queue, SceneRendering.cpp:1503).
+
+TPU-native structure (the same algorithmic stages, dense over the frame):
+1. depth prepare: view-space depth + a min-reduced mip pyramid
+2. generate: hemisphere occlusion integral over a spiral tap pattern with
+   radius adaptive to view depth, normal-weighted like CACAO's
+   "adaptive" quality preset; taps read coarser mips at larger radii
+   (CACAO's deinterleave/importance trick becomes mip selection)
+3. smart blur: edge-aware (depth-weighted) separable blur
+4. apply: multiply into the lighting's AO term (ops/shading.py `ao`)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import ffx
+
+
+def view_depth_from_ndc(depth: jnp.ndarray, near: float, far: float) -> jnp.ndarray:
+    """z_ndc [H,W] in [0,1] (D3D) -> view-space depth; background -> far."""
+    denom = jnp.maximum(far - depth * (far - near), 1e-6)
+    z = near * far / denom
+    return jnp.where(depth >= 1.0, far, z)
+
+
+def _spiral_taps(num: int, seed: int = 7) -> np.ndarray:
+    """Golden-angle spiral tap pattern [num, 2] in the unit disk."""
+    i = np.arange(num, dtype=np.float32) + 0.5
+    r = np.sqrt(i / num)
+    a = i * 2.399963229728653 + seed
+    return np.stack([r * np.cos(a), r * np.sin(a)], -1).astype(np.float32)
+
+
+def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
+         radius_world: float = 1.2, num_taps: int = 12,
+         intensity: float = 1.0, power: float = 1.5) -> jnp.ndarray:
+    """-> AO [H, W] in [0, 1] (1 = unoccluded).
+
+    depth: z_ndc [H,W]; normals: world normals [H,W,3];
+    view_proj_info: dict(near, far, fov_y, view [4,4]) — the per-view data
+    CACAO gets from its constants.
+    """
+    h, w = depth.shape
+    near, far = view_proj_info["near"], view_proj_info["far"]
+    view = view_proj_info["view"]
+    fov_y = view_proj_info["fov_y"]
+
+    zv = view_depth_from_ndc(depth, near, far)            # [H,W]
+
+    # view-space position reconstruction
+    tan_half = jnp.tan(fov_y * 0.5)
+    aspect = w / h
+    ndc_x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    ndc_y = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    vx = ndc_x[None, :] * tan_half * aspect * zv
+    vy = ndc_y[:, None] * tan_half * zv
+    pos_v = jnp.stack([vx, vy, zv], axis=-1)              # [H,W,3]
+
+    # world normals -> view space (rotation part of the view matrix)
+    nrm_v = jnp.einsum("ij,hwj->hwi", view[:3, :3], normals)
+
+    # screen-space tap radius: projected world radius, clamped
+    radius_px_y = radius_world / (zv * tan_half * 2.0) * h
+    radius_px_y = jnp.clip(radius_px_y, 2.0, 96.0)
+
+    # depth mip pyramid for far taps (CACAO's depth prepare)
+    zmips = ffx.spd_mip_pyramid(zv, num_mips=5, reduce="mean")
+
+    taps = _spiral_taps(num_taps)
+    occlusion = jnp.zeros_like(zv)
+    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+
+    for t in range(num_taps):
+        dx = taps[t, 0] * radius_px_y
+        dy = taps[t, 1] * radius_px_y
+        sx = jnp.clip(px + dx, 0.5, w - 0.5)
+        sy = jnp.clip(py + dy, 0.5, h - 0.5)
+        # mip by tap distance (in pixels)
+        dist_px = jnp.sqrt(dx * dx + dy * dy)
+        mip = jnp.clip((jnp.log2(jnp.maximum(dist_px, 1.0)) - 2.0),
+                       0, len(zmips) - 1).astype(jnp.int32)
+        z_tap = jnp.zeros_like(zv)
+        for m, zm in enumerate(zmips):
+            ty = jnp.clip((sy / (1 << m)).astype(jnp.int32), 0, zm.shape[0] - 1)
+            tx = jnp.clip((sx / (1 << m)).astype(jnp.int32), 0, zm.shape[1] - 1)
+            z_tap = jnp.where(mip == m, zm[ty, tx], z_tap)
+
+        # view-space sample position
+        s_ndc_x = (sx / w) * 2.0 - 1.0
+        s_ndc_y = 1.0 - (sy / h) * 2.0
+        sv = jnp.stack([s_ndc_x * tan_half * aspect * z_tap,
+                        s_ndc_y * tan_half * z_tap,
+                        z_tap], axis=-1)
+        d = sv - pos_v
+        dist = jnp.linalg.norm(d, axis=-1)
+        d_dir = d / jnp.maximum(dist, 1e-6)[..., None]
+        # horizon-style occlusion: cosine-weighted, range-attenuated
+        cos_h = (d_dir * nrm_v).sum(-1)
+        falloff = jnp.clip(1.0 - dist / radius_world, 0.0, 1.0)
+        occlusion = occlusion + jnp.clip(cos_h - 0.1, 0.0, 1.0) * falloff
+
+    ao = 1.0 - jnp.clip(occlusion / num_taps * 2.0 * intensity, 0.0, 1.0)
+    ao = jnp.power(jnp.clip(ao, 0.0, 1.0), power)
+
+    # smart blur: depth-aware 5x5 separable (CACAO's edge-aware blur)
+    ao = _bilateral_blur(ao, zv)
+    return ao
+
+
+def _bilateral_blur(ao: jnp.ndarray, zv: jnp.ndarray,
+                    radius: int = 2, depth_sigma: float = 0.1) -> jnp.ndarray:
+    def blur_axis(a, z, axis):
+        acc = jnp.zeros_like(a)
+        wacc = jnp.zeros_like(a)
+        n = a.shape[axis]
+        for o in range(-radius, radius + 1):
+            idx = jnp.clip(jnp.arange(n) + o, 0, n - 1)
+            a_o = jnp.take(a, idx, axis=axis)
+            z_o = jnp.take(z, idx, axis=axis)
+            wz = jnp.exp(-jnp.abs(z_o - z) / (depth_sigma * jnp.maximum(z, 1e-3)))
+            wg = float(np.exp(-0.5 * (o / max(radius, 1)) ** 2))
+            acc = acc + a_o * wz * wg
+            wacc = wacc + wz * wg
+        return acc / jnp.maximum(wacc, 1e-6)
+    ao = blur_axis(ao, zv, 1)
+    return blur_axis(ao, zv, 0)

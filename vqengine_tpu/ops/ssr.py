@@ -1,0 +1,171 @@
+"""Screen-space reflections — counterpart of the reference's FFX-SSSR +
+DNSR denoiser stack (ScreenSpaceReflectionsPass, 7 CS subpasses: classify
+tiles, prepare indirect args, blue-noise, hierarchical intersect, reproject,
+prefilter, resolve temporal — ScreenSpaceReflections.h:104-171) and the
+ApplyReflections composite (ApplyReflections.hlsl).
+
+TPU-native restructuring: tile classification + indirect dispatch become
+dense masked compute (divergence-free); the hierarchical ray march becomes a
+fixed-step screen-space march against the SPD depth pyramid with a binary
+refinement; DNSR's reproject/prefilter/temporal become dense reprojection +
+roughness-scaled blur + exponential history blend.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import ffx
+from .ssao import view_depth_from_ndc
+
+
+def _reconstruct_view_pos(depth_v: jnp.ndarray, fov_y, aspect) -> jnp.ndarray:
+    h, w = depth_v.shape
+    tan_half = jnp.tan(fov_y * 0.5)
+    ndc_x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    ndc_y = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    vx = ndc_x[None, :] * tan_half * aspect * depth_v
+    vy = ndc_y[:, None] * tan_half * depth_v
+    return jnp.stack([vx, vy, depth_v], axis=-1)
+
+
+def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
+                      normals_world: jnp.ndarray, view: jnp.ndarray,
+                      proj_params: jnp.ndarray,
+                      num_steps: int = 24, refine_steps: int = 4,
+                      max_distance: float = 60.0,
+                      thickness: float = 0.6):
+    """-> (reflection color [H,W,3], confidence [H,W]).
+
+    scene_color: lit HDR before reflections (the intersect source, like
+    SSSR intersecting the scene color); depth: z_ndc; normals: world space.
+    """
+    h, w = depth.shape
+    near, far = proj_params[0], proj_params[1]
+    fov_y, aspect = proj_params[2], proj_params[3]
+    tan_half = jnp.tan(fov_y * 0.5)
+
+    zv = view_depth_from_ndc(depth, near, far)
+    pos_v = _reconstruct_view_pos(zv, fov_y, aspect)
+    n_v = jnp.einsum("ij,hwj->hwi", view[:3, :3], normals_world)
+
+    view_dir = pos_v / jnp.maximum(
+        jnp.linalg.norm(pos_v, axis=-1, keepdims=True), 1e-6)
+    r = view_dir - 2.0 * (view_dir * n_v).sum(-1, keepdims=True) * n_v
+
+    # depth mips for acceleration (min depth = closest occluder)
+    zmips = ffx.spd_mip_pyramid(zv, num_mips=4, reduce="min")
+
+    valid_px = depth < 1.0
+
+    def sample_depth(uv_x, uv_y, mip):
+        z = jnp.zeros_like(uv_x)
+        for m, zm in enumerate(zmips):
+            ty = jnp.clip((uv_y * zm.shape[0]).astype(jnp.int32), 0, zm.shape[0] - 1)
+            tx = jnp.clip((uv_x * zm.shape[1]).astype(jnp.int32), 0, zm.shape[1] - 1)
+            z = jnp.where(mip == m, zm[ty, tx], z)
+        return z
+
+    def project(p):
+        """view pos -> (u, v, depth) with u,v in [0,1] (y down)."""
+        z = jnp.maximum(p[..., 2], 1e-4)
+        u = (p[..., 0] / (z * tan_half * aspect)) * 0.5 + 0.5
+        v = 0.5 - (p[..., 1] / (z * tan_half)) * 0.5
+        return u, v, z
+
+    # fixed-step march with growing step size (hierarchical-ish)
+    t_hit = jnp.full((h, w), -1.0)
+    step0 = max_distance / (num_steps * 4.0)
+    t = jnp.full((h, w), step0)
+    growth = (max_distance / step0) ** (1.0 / num_steps)
+    prev_t = jnp.zeros((h, w))
+    for i in range(num_steps):
+        p = pos_v + r * t[..., None]
+        u, v, z_ray = project(p)
+        on_screen = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (p[..., 2] > near)
+        mip = jnp.clip(jnp.int32(i // 8), 0, len(zmips) - 1)
+        z_scene = sample_depth(u, v, jnp.full((h, w), mip, jnp.int32))
+        hit = (z_ray > z_scene) & (z_ray - z_scene < thickness * (1.0 + 0.1 * i)) \
+            & on_screen & (t_hit < 0)
+        t_hit = jnp.where(hit, t, t_hit)
+        prev_t = jnp.where(t_hit < 0, t, prev_t)
+        t = t * growth
+
+    # binary refinement between prev step and hit
+    lo = jnp.maximum(t_hit / growth, step0)
+    hi = jnp.where(t_hit > 0, t_hit, max_distance)
+    for _ in range(refine_steps):
+        mid = 0.5 * (lo + hi)
+        p = pos_v + r * mid[..., None]
+        u, v, z_ray = project(p)
+        z_scene = sample_depth(u, v, jnp.zeros((h, w), jnp.int32))
+        crossed = z_ray > z_scene
+        hi = jnp.where(crossed, mid, hi)
+        lo = jnp.where(crossed, lo, mid)
+
+    t_final = hi
+    p = pos_v + r * t_final[..., None]
+    u, v, z_ray = project(p)
+    ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    refl = scene_color[ty, tx]
+
+    # confidence: hit found, facing the camera plane, fade at screen edges
+    edge = (jnp.minimum(u, 1 - u).clip(0, 0.1) * 10.0
+            * jnp.minimum(v, 1 - v).clip(0, 0.1) * 10.0)
+    conf = jnp.where((t_hit > 0) & valid_px, edge, 0.0)
+    # reject rays reflecting toward the camera (negative z never intersects
+    # reliably in screen space)
+    conf = conf * jnp.clip(r[..., 2] * 4.0 + 0.5, 0.0, 1.0)
+    return refl, conf
+
+
+def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
+                        roughness: jnp.ndarray,
+                        history: jnp.ndarray | None = None,
+                        motion: jnp.ndarray | None = None,
+                        temporal_alpha: float = 0.7):
+    """DNSR-style prefilter + temporal resolve:
+    - spatial: roughness-scaled blur chain (mip selection)
+    - temporal: reproject history by motion vectors, exponential blend.
+    Returns (denoised [H,W,3], new_history [H,W,3])."""
+    h, w = refl.shape[:2]
+    mips = ffx.spd_mip_pyramid(refl, num_mips=4, reduce="mean")
+    # pick blur level by roughness
+    out = refl
+    lvl = jnp.clip((roughness * 4.0).astype(jnp.int32), 0, len(mips) - 1)
+    for m in range(1, len(mips)):
+        up = jnp.repeat(jnp.repeat(mips[m], 1 << m, axis=0), 1 << m, axis=1)
+        up = up[:h, :w]
+        out = jnp.where((lvl == m)[..., None], up, out)
+
+    if history is not None:
+        if motion is not None:
+            # reproject: history sampled at prev-frame position
+            ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+            xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+            # motion is ndc delta (curr - prev); prev px = curr - motion*half
+            px = xs - motion[..., 0] * (w * 0.5)
+            py = ys + motion[..., 1] * (h * 0.5)
+            ty = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+            tx = jnp.clip(px.astype(jnp.int32), 0, w - 1)
+            hist = history[ty, tx]
+        else:
+            hist = history
+        out = temporal_alpha * hist + (1 - temporal_alpha) * out
+    return out, out
+
+
+def apply_reflections(scene_color: jnp.ndarray, refl: jnp.ndarray,
+                      conf: jnp.ndarray, roughness: jnp.ndarray,
+                      metalness: jnp.ndarray, albedo: jnp.ndarray,
+                      normals: jnp.ndarray, view_dir: jnp.ndarray):
+    """Composite (ApplyReflections.hlsl): blend the denoised radiance in
+    with a Fresnel-and-roughness weight."""
+    f0 = 0.04 + (albedo - 0.04) * metalness[..., None]
+    ndotv = jnp.clip((normals * view_dir).sum(-1), 0.0, 1.0)
+    fres = f0 + (jnp.maximum(1.0 - roughness[..., None], f0) - f0) \
+        * jnp.power(1.0 - ndotv, 5.0)[..., None]
+    gloss = jnp.clip(1.0 - roughness * roughness * 2.0, 0.0, 1.0)
+    wgt = fres * (conf * gloss)[..., None]
+    return scene_color + refl * wgt

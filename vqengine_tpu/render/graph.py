@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import colorspace as cs
-from ..ops import culling, ibl, raster, shading, shadow
+from ..ops import culling, ibl, raster, shading, shadow, ssao as ssao_ops
 from ..ops import postprocess as pp
 
 
@@ -133,6 +133,12 @@ class FrameConstants:
     frustum_planes: jnp.ndarray  # [6, 4] main-view planes for culling
     inv_view_proj: jnp.ndarray  # [4, 4] for sky-ray reconstruction
     hdri_yaw: jnp.ndarray       # scalar, fHDRIOffsetInRadians
+    view_matrix: jnp.ndarray    # [4, 4] (SSAO view-space reconstruction)
+    proj_params: jnp.ndarray    # [4]: near, far, fov_y, aspect
+    # previous-frame matrices for motion vectors (Transform.h:99 prev pos;
+    # ForwardLighting.hlsl PS_OUTPUT_MOTION_VECTORS)
+    prev_world: jnp.ndarray     # [N, 4, 4]
+    prev_view_proj: jnp.ndarray  # [4, 4]
     # shadow casters (budgets: 5 spot + 5 point + 1 dir,
     # LightingConstantBufferData.h:42-44); zero-length = feature off
     spot_casters: jnp.ndarray      # [SC, 12]
@@ -280,14 +286,45 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    shadow_dims: tuple[int, int, int] = (
                        shadow.SPOT_SHADOW_DIM, shadow.POINT_SHADOW_DIM,
                        shadow.DIRECTIONAL_SHADOW_DIM),
-                   env: EnvironmentMaps | None = None):
-    """Full forward frame: geometry -> shadows -> material -> shade ->
-    skydome -> tonemap. Returns (ldr [H,W,3], depth [H,W], tri_id [H,W])."""
+                   env: EnvironmentMaps | None = None,
+                   enable_ssao: bool = False,
+                   enable_motion_vectors: bool = False):
+    """Full forward frame: geometry -> SSAO -> shadows -> material ->
+    shade -> skydome -> tonemap. Returns a dict with ldr [H,W,3],
+    depth [H,W], tri_id [H,W], object_id [H,W], and optionally ao /
+    motion [H,W,2]."""
     depth, tri_id, attrs, mask = geometry_pass(scene, consts, width, height)
     mat = material_pass(scene, tri_id)
 
     n = attrs["wnrm"]
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+    ao_map = None
+    if enable_ssao:
+        # FFX-CACAO-class AO from the depth pre-pass outputs
+        info = {"near": consts.proj_params[0], "far": consts.proj_params[1],
+                "fov_y": consts.proj_params[2], "view": consts.view_matrix}
+        ao_map = ssao_ops.ssao(depth, n, info)
+
+    motion = None
+    if enable_motion_vectors:
+        # NDC-space motion = curr.xy/w - prev.xy/w at the resolved surface
+        # (ForwardLighting.hlsl:385-388)
+        ones = jnp.ones_like(attrs["wpos"][..., :1])
+        # previous world position of the surface point: approximate rigid
+        # motion via prev_world @ inv(world): per-item delta matrices
+        delta = jnp.einsum("nij,njk->nik", consts.prev_world,
+                           jnp.linalg.inv(consts.world))
+        item = scene.tri_item[jnp.maximum(tri_id, 0)]
+        dm = delta[item]                                   # [H,W,4,4]
+        wp4 = jnp.concatenate([attrs["wpos"], ones], axis=-1)
+        prev_wp = jnp.einsum("hwij,hwj->hwi", dm, wp4)
+        curr_clip = jnp.einsum("ij,hwj->hwi", consts.view_proj, wp4)
+        prev_clip = jnp.einsum("ij,hwj->hwi", consts.prev_view_proj, prev_wp)
+        cw = jnp.where(jnp.abs(curr_clip[..., 3:4]) > 1e-9, curr_clip[..., 3:4], 1e-9)
+        pw = jnp.where(jnp.abs(prev_clip[..., 3:4]) > 1e-9, prev_clip[..., 3:4], 1e-9)
+        motion = curr_clip[..., :2] / cw - prev_clip[..., :2] / pw
+        motion = jnp.where(mask[..., None], motion, 0.0)
 
     spot_vis = point_vis = dir_vis = None
     if enable_shadows:
@@ -304,6 +341,10 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
             hdri_yaw=consts.hdri_yaw)
 
+    ao = jnp.broadcast_to(consts.ambient_factor, mask.shape)
+    if ao_map is not None:
+        ao = ao * ao_map  # SSAO multiplies ambient (ForwardLighting.hlsl:279-281)
+
     hdr = shading.shade_forward(
         world_pos=attrs["wpos"],
         normal=n,
@@ -311,7 +352,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         roughness=mat["roughness"],
         metalness=mat["metalness"],
         emissive=mat["emissive"],
-        ao=jnp.broadcast_to(consts.ambient_factor, mask.shape),
+        ao=ao,
         camera_pos=consts.camera_pos,
         point_lights=consts.point_lights,
         spot_lights=consts.spot_lights,
@@ -333,4 +374,11 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         background = consts.clear_color
     hdr = jnp.where(mask[..., None], hdr, background)
     ldr = pp.tonemap(hdr, output_display_curve, apply_gamma=apply_gamma)
-    return ldr, depth, tri_id
+
+    out = {"ldr": ldr, "depth": depth, "tri_id": tri_id,
+           "object_id": jnp.where(mask, mat["object_id"], -1)}
+    if ao_map is not None:
+        out["ao"] = ao_map
+    if motion is not None:
+        out["motion"] = motion
+    return out

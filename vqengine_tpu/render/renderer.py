@@ -43,6 +43,9 @@ class FrameOutput:
     ldr: np.ndarray          # [H, W, 3] display-ready
     depth: np.ndarray | None = None
     tri_id: np.ndarray | None = None
+    object_id: np.ndarray | None = None  # picking buffer (ObjectIDPass)
+    ao: np.ndarray | None = None
+    motion: np.ndarray | None = None
 
 
 class VQRendererTPU:
@@ -63,28 +66,28 @@ class VQRendererTPU:
     def _get_render_fn(self, width: int, height: int, curve: int, gamma: bool,
                        enable_shadows: bool = True,
                        shadow_dims: tuple[int, int, int] | None = None,
-                       has_env: bool = False):
+                       has_env: bool = False, enable_ssao: bool = False,
+                       enable_motion: bool = False):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
                            shadow_ops.POINT_SHADOW_DIM,
                            shadow_ops.DIRECTIONAL_SHADOW_DIM)
-        key = (width, height, curve, gamma, enable_shadows, shadow_dims, has_env)
+        key = (width, height, curve, gamma, enable_shadows, shadow_dims,
+               has_env, enable_ssao, enable_motion)
         fn = self._render_fns.get(key)
         if fn is None:
+            kwargs = dict(width=width, height=height,
+                          output_display_curve=curve, apply_gamma=gamma,
+                          enable_shadows=enable_shadows,
+                          shadow_dims=shadow_dims, enable_ssao=enable_ssao,
+                          enable_motion_vectors=enable_motion)
             if has_env:
                 def wrapped(scene, consts, env):
-                    return graph.render_forward(
-                        scene, consts, width=width, height=height,
-                        output_display_curve=curve, apply_gamma=gamma,
-                        enable_shadows=enable_shadows,
-                        shadow_dims=shadow_dims, env=env)
+                    return graph.render_forward(scene, consts, env=env, **kwargs)
                 fn = jax.jit(wrapped)
             else:
-                fn = jax.jit(functools.partial(
-                    graph.render_forward, width=width, height=height,
-                    output_display_curve=curve, apply_gamma=gamma,
-                    enable_shadows=enable_shadows, shadow_dims=shadow_dims))
+                fn = jax.jit(functools.partial(graph.render_forward, **kwargs))
             self._render_fns[key] = fn
         return fn
 
@@ -92,7 +95,10 @@ class VQRendererTPU:
     def build_frame_constants(self, buffers: SceneBuffers, camera,
                               lights, ambient_factor: float = 0.055,
                               clear_color=(0.07, 0.07, 0.12),
-                              hdri_yaw: float = 0.0) -> graph.FrameConstants:
+                              hdri_yaw: float = 0.0,
+                              prev_world: np.ndarray | None = None,
+                              prev_view_proj: np.ndarray | None = None
+                              ) -> graph.FrameConstants:
         """Gathers the per-frame light/matrix data — the counterpart of
         Scene::GatherSceneLightData (Scene.cpp:978) + the CB fills."""
         import jax.numpy as jnp
@@ -144,6 +150,13 @@ class VQRendererTPU:
             frustum_planes=jnp.asarray(m3.frustum_planes_from_viewproj(vp)),
             inv_view_proj=jnp.asarray(np.linalg.inv(vp).astype(np.float32)),
             hdri_yaw=jnp.asarray(hdri_yaw, jnp.float32),
+            view_matrix=jnp.asarray(camera.view_matrix()),
+            proj_params=jnp.asarray(np.asarray(
+                [camera.near_z, camera.far_z,
+                 camera.fov_v_deg * np.pi / 180.0, camera.aspect], np.float32)),
+            prev_world=jnp.asarray(prev_world if prev_world is not None else world),
+            prev_view_proj=jnp.asarray(prev_view_proj.astype(np.float32)
+                                       if prev_view_proj is not None else vp),
             point_lights=jnp.asarray(p_packed),
             spot_lights=jnp.asarray(s_packed),
             spot_extra=jnp.asarray(s_extra),
@@ -164,20 +177,27 @@ class VQRendererTPU:
                hdr10: bool = False, readback: bool = True,
                enable_shadows: bool = True,
                shadow_dims: tuple[int, int, int] | None = None,
-               env: "graph.EnvironmentMaps | None" = None) -> FrameOutput:
+               env: "graph.EnvironmentMaps | None" = None,
+               enable_ssao: bool = False,
+               enable_motion: bool = False) -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
         fn = self._get_render_fn(width, height, curve, True,
                                  enable_shadows, shadow_dims,
-                                 has_env=env is not None)
+                                 has_env=env is not None,
+                                 enable_ssao=enable_ssao,
+                                 enable_motion=enable_motion)
         t0 = time.perf_counter()
         if env is not None:
-            ldr, depth, tri_id = fn(self._scene, consts, env)
+            out = fn(self._scene, consts, env)
         else:
-            ldr, depth, tri_id = fn(self._scene, consts)
+            out = fn(self._scene, consts)
+        ldr = out["ldr"]
         if readback:
             ldr = np.asarray(jax.device_get(ldr))
         self.stats.num_frames_rendered += 1
         self.stats.num_draws = int(self._buffers.indices.shape[0])
         self.stats.last_frame_ms = (time.perf_counter() - t0) * 1e3
-        return FrameOutput(ldr=ldr, depth=depth, tri_id=tri_id)
+        return FrameOutput(ldr=ldr, depth=out["depth"], tri_id=out["tri_id"],
+                           object_id=out.get("object_id"),
+                           ao=out.get("ao"), motion=out.get("motion"))
