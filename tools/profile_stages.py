@@ -17,18 +17,29 @@ sys.path.insert(0, ".")
 
 
 def timed(fn, n, *args):
+    """Time fn over n scan iterations. Each iteration perturbs the first
+    float leaf by a tiny per-iteration epsilon so XLA cannot hoist the
+    computation out of the scan as loop-invariant (which would make the
+    measurement an n-fold underestimate)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(args):
-        def body(carry, _):
-            out = fn(*args)
+        def body(carry, eps):
+            # perturb: add eps (~1e-12) to every float leaf
+            def bump(l):
+                if hasattr(l, "dtype") and l.dtype == jnp.float32:
+                    return l + eps
+                return l
+            args_i = jax.tree_util.tree_map(bump, args)
+            out = fn(*args_i)
             leaves = [l for l in jax.tree_util.tree_leaves(out)
                       if hasattr(l, "dtype")]
             s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
             return carry + s, ()
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        total, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                jnp.arange(n, dtype=jnp.float32) * 1e-12)
         return total
 
     @jax.jit

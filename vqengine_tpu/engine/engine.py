@@ -91,6 +91,9 @@ class VQEngineTPU:
             self.scene_mapping.update(load_scene_mapping(d))
             self.env_presets.update(load_environment_map_presets(d))
         self.builtin_meshes = build_builtin_meshes()
+        from ..scene.texture_manager import TextureManager
+        self.texture_manager = TextureManager()
+        self.texture_arrays = None
         self.material_lib = self._load_material_lib()
         self.renderer = VQRendererTPU(self.gfx)
 
@@ -106,21 +109,70 @@ class VQEngineTPU:
         self._prev_vp = None
         self._last_output = None       # picking readback source
 
+        from .events import BufferedEventQueue
+        from .input import Input
+        self.input = Input()
+        self.events = BufferedEventQueue()
+        self._last_stats_log = time.perf_counter()
+        self._frame_times: list[float] = []
+
     # ------------------------------------------------------------------
     def _load_material_lib(self) -> dict:
         lib = {}
+        self.material_tex_paths = {}
         for d in reversed(self.data_dirs):  # earlier dirs win
             mat_dir = d / "Materials"
             if not mat_dir.is_dir():
                 continue
             for xml in sorted(mat_dir.glob("*.xml")):
                 try:
-                    for mat, _tex_paths in parse_material_file(xml):
+                    for mat, tex_paths in parse_material_file(xml):
                         lib[mat.name] = mat
+                        self.material_tex_paths[mat.name] = tex_paths
                 except Exception as e:  # noqa: BLE001 — tolerate bad files like the reference
                     log.warning(f"failed to parse {xml.name}: {e}")
+        # procedural-texture materials (reference EProceduralTextures +
+        # the StressTest's Checkerboard materials)
+        from ..scene.material import Material
+        from ..scene.texture_manager import (checkerboard,
+                                             checkerboard_grayscale)
+        cb = Material(name="Checkerboard")
+        cb.textures["diffuse"] = self.texture_manager.create_from_array(
+            "proc:checkerboard", checkerboard())
+        lib["Checkerboard"] = cb
+        cbg = Material(name="Checkerboard_Grayscale")
+        cbg.textures["diffuse"] = self.texture_manager.create_from_array(
+            "proc:checkerboard_gray", checkerboard_grayscale())
+        lib["Checkerboard_Grayscale"] = cbg
         log.info(f"loaded {len(lib)} materials")
         return lib
+
+    def _resolve_material_textures(self, used_names: set[str]) -> None:
+        """Queue async texture loads for the used materials' texture slots
+        (the AssetLoader::QueueTextureLoad + material-texture assignment
+        join, AssetLoader.cpp:215,314). Missing files drop the slot."""
+        tm = self.texture_manager
+        bases = [d.parent for d in self.data_dirs]
+        queued = []
+        for name in used_names:
+            mat = self.material_lib.get(name)
+            paths = self.material_tex_paths.get(name, {})
+            if mat is None or not paths:
+                continue
+            for slot, path in paths.items():
+                tid = tm.create_from_file(path, search_dirs=bases)
+                mat.textures[slot] = tid
+                queued.append((mat, slot, tid))
+        tm.wait_all()
+        from ..scene.texture_manager import ETextureState
+        dropped = 0
+        for mat, slot, tid in queued:
+            if tm.state(tid) != ETextureState.READY:
+                mat.textures.pop(slot, None)
+                dropped += 1
+        if queued:
+            log.info(f"textures: {len(queued) - dropped} loaded, "
+                     f"{dropped} missing (slots dropped)")
 
     # ------------------------------------------------------------------
     def resolve_scene_file(self, name_or_index) -> Path | None:
@@ -148,6 +200,14 @@ class VQEngineTPU:
         t0 = time.perf_counter()
         rep = parse_scene_file(path)
         self.scene_name = rep.name
+        # typed-scene augmentation (the Scene subclass behaviors,
+        # Source/Scenes/*.cpp): procedural objects + update hooks
+        from ..scene.scenes import augment_scene
+        self.scene_update_hook = augment_scene(
+            rep.name, rep, self.material_lib, self.builtin_meshes)
+        used_materials = {o.model.material_name for o in rep.objects
+                          if o.model.material_name}
+        self._resolve_material_textures(used_materials)
         buffers, cameras, lights = assemble_scene(
             rep, self.builtin_meshes, self.material_lib,
             gltf_loader=self._gltf_loader)
@@ -162,6 +222,14 @@ class VQEngineTPU:
         self._prev_world = None
         self._prev_vp = None
         self._last_output = None
+        # upload textures only if any used material actually has one
+        any_textured = any((m.pack()[15] > 0) for m in
+                           [self.material_lib.get(n) for n in used_materials]
+                           if m is not None) or any(
+            it.material_id and buffers.materials[it.material_id][15] > 0
+            for it in buffers.items)
+        self.texture_arrays = (tuple(self.texture_manager.build_device_arrays())
+                               if any_textured else None)
         self.environment = self._load_environment(rep)
         log.info(f"scene '{rep.name}' loaded in {time.perf_counter()-t0:.2f}s "
                  f"({len(buffers.items)} items, {len(lights)} lights, "
@@ -224,8 +292,10 @@ class VQEngineTPU:
     # ------------------------------------------------------------------
     def render_frame(self, readback: bool = True):
         cam = self.cameras[self.active_camera]
+        yaw01 = getattr(self.scene_update_hook, "hdri_yaw", 0.0)
         consts = self.renderer.build_frame_constants(
             self.scene_buffers, cam, self.lights,
+            hdri_yaw=yaw01 * 2.0 * np.pi,
             prev_world=self._prev_world, prev_view_proj=self._prev_vp)
         import numpy as _np
         self._prev_world = _np.asarray(consts.world)
@@ -234,7 +304,9 @@ class VQEngineTPU:
             consts, self.settings.Width, self.settings.Height,
             hdr10=False, readback=readback, env=self.environment,
             enable_ssao=self.gfx.bAmbientOcclusion,
-            enable_motion=self.gfx.bMotionVectors)
+            enable_motion=self.gfx.bMotionVectors,
+            textures=self.texture_arrays,
+            msaa=self.gfx.bAntiAliasing)
         return self._last_output
 
     def pick(self, x: int, y: int) -> int:
@@ -250,13 +322,101 @@ class VQEngineTPU:
             return int(oid[y, x])
         return -1
 
+    # ------------------------------------------------------------------
+    # events + input (VQEngine_EventHandlers.cpp / HandleEngineInput,
+    # VQEngine_Update.cpp:459-469)
+    # ------------------------------------------------------------------
+    def handle_events(self) -> None:
+        from . import events as ev
+        for e in self.events.swap_and_drain():
+            if isinstance(e, ev.WindowResizeEvent):
+                self.settings.Width = e.width
+                self.settings.Height = e.height
+                aspect = e.width / max(1, e.height)
+                for c in self.cameras:
+                    c.aspect = aspect
+                log.info(f"resized to {e.width}x{e.height}")
+            elif isinstance(e, ev.SetVSyncEvent):
+                self.gfx.bVsync = e.enabled
+            elif isinstance(e, ev.SetHDREvent):
+                self.gfx.bHDR = e.enabled
+            elif isinstance(e, ev.SetEnvironmentMapEvent):
+                from ..scene.serialization import FSceneRepresentation
+                rep = FSceneRepresentation(env_map_preset=e.preset)
+                self.environment = self._load_environment(rep)
+            elif isinstance(e, ev.KeyDownEvent):
+                self.input.on_key_down(e.key)
+            elif isinstance(e, ev.KeyUpEvent):
+                self.input.on_key_up(e.key)
+            elif isinstance(e, ev.MouseMoveEvent):
+                self.input.on_mouse_move(e.dx, e.dy)
+            elif isinstance(e, ev.MouseClickEvent):
+                self.input.on_mouse_click(e.x, e.y, e.button)
+
+    def handle_engine_input(self, dt: float) -> None:
+        """The reference's engine-level key bindings
+        (HandleEngineInput + UI toggles)."""
+        inp = self.input
+        # camera switch by number keys (Scene::Update)
+        for i in range(min(9, len(self.cameras))):
+            if inp.is_key_triggered(str(i + 1)):
+                self.active_camera = i
+        # environment-map cycling (PageUp/PageDown, VQEngine_Main.cpp:669)
+        presets = list(self.env_presets)
+        if presets and (inp.is_key_triggered("pageup") or inp.is_key_triggered("pagedown")):
+            cur = getattr(self, "_env_index", 0)
+            step = 1 if inp.is_key_triggered("pageup") else -1
+            self._env_index = (cur + step) % len(presets)
+            from .events import SetEnvironmentMapEvent
+            self.events.push(SetEnvironmentMapEvent(presets[self._env_index]))
+        # first-person camera drive
+        cam = self.cameras[self.active_camera] if self.cameras else None
+        if cam is not None:
+            move = inp.wasd_vector()
+            if move.any() or inp.mouse_dx or inp.mouse_dy:
+                cam.update_first_person(
+                    dt, move * 0.01,
+                    d_yaw_deg=inp.mouse_dx * cam.params.angular_speed * 57.3 * 0.01,
+                    d_pitch_deg=inp.mouse_dy * cam.params.angular_speed * 57.3 * 0.01)
+        # mouse picking on click (VQEngine_Update.cpp:242-278)
+        for (x, y, _b) in inp.clicks():
+            picked = self.pick(x, y)
+            log.info(f"picked object {picked} at ({x},{y})")
+
+    def _log_periodic_stats(self) -> None:
+        """Frame pacing log every 4 seconds (VQEngine_Simulation.cpp:47-55)
+        + FRenderStats (the F2 profiler window's data)."""
+        now = time.perf_counter()
+        if now - self._last_stats_log < 4.0 or not self._frame_times:
+            return
+        ft = np.asarray(self._frame_times[-256:])
+        s = self.renderer.stats
+        log.info(
+            f"[profiler] frame {self.num_ticks}: "
+            f"{1.0 / max(ft.mean(), 1e-9):.1f} FPS ({ft.mean()*1e3:.2f} ms avg, "
+            f"{ft.max()*1e3:.2f} ms max) | tris {s.num_draws} | "
+            f"frames rendered {s.num_frames_rendered}")
+        self._last_stats_log = now
+
     def tick(self, dt: float = 1 / 60):
-        """One simulation tick: update then render
+        """One simulation tick: events -> input -> update -> render
         (SimulationThread_Tick, VQEngine_Simulation.cpp:88-105)."""
+        t0 = time.perf_counter()
+        self.handle_events()
+        self.handle_engine_input(dt)
         if self.scene_update_hook is not None:
             self.scene_update_hook(self, dt)
         out = self.render_frame(readback=False)
+        self.input.post_update()
         self.num_ticks += 1
+        # frame-rate limiter (Settings.h:47, VQEngine_Update.cpp:343-368)
+        if self.gfx.MaxFrameRate > 0:
+            target = 1.0 / self.gfx.MaxFrameRate
+            elapsed = time.perf_counter() - t0
+            if elapsed < target:
+                time.sleep(target - elapsed)
+        self._frame_times.append(time.perf_counter() - t0)
+        self._log_periodic_stats()
         return out
 
     # ------------------------------------------------------------------

@@ -43,13 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ._backend import pallas_call
 
-# tile size: one VREG of lanes wide, 16 sublane rows tall
-TILE_H = 16
+# tile size: one VREG of lanes wide, 32 sublane rows tall
+TILE_H = 32
 TILE_W = 128
 GROUP = 128           # triangles per DMA'd group block (one lane vector)
 PAIR_ROWS = 16        # rows per group block: e0(3) e1(3) e2(3) dp(3) id(1) pad(3)
-K_MAX_DEFAULT = 8     # max tiles a binned triangle may cover
-GLOBAL_CAP = 1024     # capacity of the per-frame big-triangle list
+K_MAX_DEFAULT = 16    # max tiles a binned triangle may cover
+GLOBAL_CAP = 512      # capacity of the per-frame big-triangle list
 BG_ID = -1            # background triangle id
 
 
@@ -271,76 +271,116 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
 NPX = TILE_H * TILE_W  # pixels per tile, laid out flat on the lane axis
 TILES_PER_BLOCK = 8    # tiles processed per kernel instance (sublane rows)
 
-
-def _raster_kernel(starts_ref, gmeta_ref,            # scalar prefetch (SMEM)
-                   pairs_ref, gpairs_ref,            # HBM ("ANY") residents
-                   depth_ref, id_ref,                # VMEM out [TILES_PER_BLOCK, NPX]
-                   buf, sem):                        # scratch [PAIR_ROWS, GROUP]
-    blk = pl.program_id(0)
-    tiles_x = gmeta_ref[1]
-    sublane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, NPX), 0)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, NPX), 1)
-    dn = (((0,), (0,)), ((), ()))  # contract dim0 x dim0 -> [GROUP, NPX]
-
-    def tile_body(t, _):
-        tile = blk * TILES_PER_BLOCK + t
-        ty = tile // tiles_x
-        tx = tile % tiles_x
-
-        # pixel-center rows P3 [3, NPX] = (px; py; 1). Pixels live on the
-        # lane axis; triangles on the sublane axis — no in-kernel relayouts.
-        px = (lin % TILE_W).astype(jnp.float32) + (tx * TILE_W).astype(jnp.float32) + 0.5
-        py = (lin // TILE_W).astype(jnp.float32) + (ty * TILE_H).astype(jnp.float32) + 0.5
-        p3 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)    # [3, NPX]
-
-        def stream(src_ref, g0, g1, carry):
-            """Depth-test group blocks [g0, g1) of src_ref against this tile.
-
-            One group = GROUP triangles; all edge/depth planes for the whole
-            pixel block evaluate as [GROUP,3]x[3,NPX] contractions on the
-            MXU. Records are self-validating, so no count masking is needed
-            and segment bounds round out to whole groups safely.
-            """
-            def group_body(g, carry):
-                depth, idbuf = carry
-                cp = pltpu.make_async_copy(src_ref.at[g], buf, sem)
-                cp.start()
-                cp.wait()
-
-                b0 = jax.lax.dot_general(buf[0:3], p3, dn, preferred_element_type=jnp.float32)
-                b1 = jax.lax.dot_general(buf[3:6], p3, dn, preferred_element_type=jnp.float32)
-                b2 = jax.lax.dot_general(buf[6:9], p3, dn, preferred_element_type=jnp.float32)
-                z = jax.lax.dot_general(buf[9:12], p3, dn, preferred_element_type=jnp.float32)
-                cover = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & (z >= 0.0)
-                zm = jnp.where(cover, z, 2.0)                       # [GROUP, NPX]
-                zmin = jnp.min(zm, axis=0, keepdims=True)           # [1, NPX]
-                amin = jnp.argmin(zm, axis=0).astype(jnp.int32)[None, :]
-                onehot = (sublane == amin).astype(jnp.float32)      # [GROUP, NPX]
-                idsel = jnp.dot(buf[12:13], onehot,
-                                preferred_element_type=jnp.float32)  # [1, NPX]
-                upd = zmin < depth
-                return jnp.where(upd, zmin, depth), jnp.where(upd, idsel, idbuf)
-
-            return jax.lax.fori_loop(g0, g1, group_body, carry)
-
-        depth0 = jnp.full((1, NPX), 1.0, dtype=jnp.float32)
-        id0 = jnp.full((1, NPX), jnp.float32(BG_ID))
-
-        carry = stream(gpairs_ref, jnp.int32(0), pl.cdiv(gmeta_ref[0], GROUP),
-                       (depth0, id0))
-        start = starts_ref[tile]
-        end = starts_ref[tile + 1]
-        depth, idbuf = stream(pairs_ref, start // GROUP, pl.cdiv(end, GROUP), carry)
-
-        depth_ref[pl.ds(t, 1), :] = depth
-        id_ref[pl.ds(t, 1), :] = idbuf.astype(jnp.int32)
-        return 0
-
-    jax.lax.fori_loop(0, TILES_PER_BLOCK, tile_body, 0)
+# D3D standard 4x MSAA sample offsets from the pixel center, in pixels
+# (the reference renders fixed 4x MSAA, RenderResources.h:25-26)
+MSAA4_OFFSETS = ((-2 / 16, -6 / 16), (6 / 16, -2 / 16),
+                 (-6 / 16, 2 / 16), (2 / 16, 6 / 16))
 
 
-def rasterize(binned: BinnedTriangles, width: int, height: int):
-    """-> (depth [H, W] f32 in [0,1], tri_id [H, W] int32, BG_ID = background).
+def _make_raster_kernel(sample_offsets: tuple):
+    """Build the raster kernel for N coverage samples per pixel.
+    sample_offsets: ((dx, dy), ...) from the pixel center; a single (0,0)
+    entry is the non-MSAA path. Outputs are per-sample depth/id buffers."""
+    ns = len(sample_offsets)
+
+    def kernel(starts_ref, gmeta_ref,          # scalar prefetch (SMEM)
+               pairs_ref, gpairs_ref,          # HBM ("ANY") residents
+               *refs):                         # ns depth outs, ns id outs, buf, sem
+        depth_refs = refs[0:ns]
+        id_refs = refs[ns:2 * ns]
+        buf, sem = refs[2 * ns], refs[2 * ns + 1]
+
+        blk = pl.program_id(0)
+        tiles_x = gmeta_ref[1]
+        sublane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, NPX), 0)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, NPX), 1)
+        dn = (((0,), (0,)), ((), ()))  # contract dim0 x dim0 -> [GROUP, NPX]
+
+        def tile_body(t, _):
+            tile = blk * TILES_PER_BLOCK + t
+            ty = tile // tiles_x
+            tx = tile % tiles_x
+
+            # pixel-center rows P3 [3, NPX] = (px; py; 1). Pixels live on
+            # the lane axis; triangles on the sublane axis.
+            px = (lin % TILE_W).astype(jnp.float32) + (tx * TILE_W).astype(jnp.float32) + 0.5
+            py = (lin // TILE_W).astype(jnp.float32) + (ty * TILE_H).astype(jnp.float32) + 0.5
+            p3 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)
+
+            def stream(src_ref, g0, g1, carry):
+                """Depth-test group blocks [g0, g1). One group = GROUP
+                triangles; edge/depth planes evaluate as [GROUP,3]x[3,NPX]
+                MXU contractions once at the pixel center; per-sample
+                coverage adds the per-record offset terms (e_x*dx + e_y*dy),
+                a cheap [GROUP,1] broadcast. Records are self-validating."""
+                def group_body(g, carry):
+                    cp = pltpu.make_async_copy(src_ref.at[g], buf, sem)
+                    cp.start()
+                    cp.wait()
+
+                    b0 = jax.lax.dot_general(buf[0:3], p3, dn, preferred_element_type=jnp.float32)
+                    b1 = jax.lax.dot_general(buf[3:6], p3, dn, preferred_element_type=jnp.float32)
+                    b2 = jax.lax.dot_general(buf[6:9], p3, dn, preferred_element_type=jnp.float32)
+                    z = jax.lax.dot_general(buf[9:12], p3, dn, preferred_element_type=jnp.float32)
+                    ids = buf[12:13]
+
+                    new = []
+                    for s, (dx, dy) in enumerate(sample_offsets):
+                        depth, idbuf = carry[s]
+                        if dx == 0.0 and dy == 0.0:
+                            b0s, b1s, b2s, zs = b0, b1, b2, z
+                        else:
+                            o0 = buf[0:1] * dx + buf[1:2] * dy   # [1, GROUP]
+                            o1 = buf[3:4] * dx + buf[4:5] * dy
+                            o2 = buf[6:7] * dx + buf[7:8] * dy
+                            oz = buf[9:10] * dx + buf[10:11] * dy
+                            # broadcast [1,GROUP] offsets onto [GROUP,NPX]
+                            b0s = b0 + jnp.broadcast_to(o0.T, (GROUP, NPX))
+                            b1s = b1 + jnp.broadcast_to(o1.T, (GROUP, NPX))
+                            b2s = b2 + jnp.broadcast_to(o2.T, (GROUP, NPX))
+                            zs = z + jnp.broadcast_to(oz.T, (GROUP, NPX))
+                        cover = (b0s >= 0.0) & (b1s >= 0.0) & (b2s >= 0.0) & (zs >= 0.0)
+                        zm = jnp.where(cover, zs, 2.0)
+                        zmin = jnp.min(zm, axis=0, keepdims=True)
+                        amin = jnp.argmin(zm, axis=0).astype(jnp.int32)[None, :]
+                        onehot = (sublane == amin).astype(jnp.float32)
+                        idsel = jnp.dot(ids, onehot, preferred_element_type=jnp.float32)
+                        upd = zmin < depth
+                        new.append((jnp.where(upd, zmin, depth),
+                                    jnp.where(upd, idsel, idbuf)))
+                    return tuple(new)
+
+                return jax.lax.fori_loop(g0, g1, group_body, carry)
+
+            init = tuple((jnp.full((1, NPX), 1.0, dtype=jnp.float32),
+                          jnp.full((1, NPX), jnp.float32(BG_ID)))
+                         for _ in range(ns))
+            carry = stream(gpairs_ref, jnp.int32(0),
+                           pl.cdiv(gmeta_ref[0], GROUP), init)
+            start = starts_ref[tile]
+            end = starts_ref[tile + 1]
+            carry = stream(pairs_ref, start // GROUP, pl.cdiv(end, GROUP), carry)
+
+            for s in range(ns):
+                depth, idbuf = carry[s]
+                depth_refs[s][pl.ds(t, 1), :] = depth
+                id_refs[s][pl.ds(t, 1), :] = idbuf.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, TILES_PER_BLOCK, tile_body, 0)
+
+    return kernel
+
+
+_raster_kernel_center = _make_raster_kernel(((0.0, 0.0),))
+_raster_kernel_msaa4 = _make_raster_kernel(MSAA4_OFFSETS)
+
+
+def rasterize(binned: BinnedTriangles, width: int, height: int,
+              msaa: bool = False):
+    """-> (depth [H, W] f32 in [0,1], tri_id [H, W] int32) for the center
+    sample, or with msaa: per-sample stacks ([4, H, W] each, D3D standard
+    4x pattern).
 
     H/W are padded up to tile multiples internally and cropped on return.
     """
@@ -348,6 +388,8 @@ def rasterize(binned: BinnedTriangles, width: int, height: int):
     nt = tiles_x * tiles_y
     nblk = cdiv(nt, TILES_PER_BLOCK)
     nt_pad = nblk * TILES_PER_BLOCK
+    ns = 4 if msaa else 1
+    kernel = _raster_kernel_msaa4 if msaa else _raster_kernel_center
 
     # pad starts with empty trailing segments for the padded tiles
     starts = binned.starts
@@ -355,6 +397,8 @@ def rasterize(binned: BinnedTriangles, width: int, height: int):
         starts = jnp.concatenate(
             [starts, jnp.broadcast_to(starts[-1], (nt_pad - nt,))])
 
+    out_spec = pl.BlockSpec((TILES_PER_BLOCK, NPX), lambda blk, *_: (blk, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblk,),
@@ -362,24 +406,19 @@ def rasterize(binned: BinnedTriangles, width: int, height: int):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((TILES_PER_BLOCK, NPX), lambda blk, *_: (blk, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILES_PER_BLOCK, NPX), lambda blk, *_: (blk, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_spec] * (2 * ns),
         scratch_shapes=[
             pltpu.VMEM((PAIR_ROWS, GROUP), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    depth, tri_id = pallas_call(
-        _raster_kernel,
+    outs = pallas_call(
+        kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nt_pad, NPX), jnp.float32),
-            jax.ShapeDtypeStruct((nt_pad, NPX), jnp.int32),
-        ],
+        out_shape=(
+            [jax.ShapeDtypeStruct((nt_pad, NPX), jnp.float32)] * ns
+            + [jax.ShapeDtypeStruct((nt_pad, NPX), jnp.int32)] * ns
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -391,7 +430,32 @@ def rasterize(binned: BinnedTriangles, width: int, height: int):
         img = img.transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W)
         return img[:height, :width]
 
-    return untile(depth), untile(tri_id)
+    if not msaa:
+        return untile(outs[0]), untile(outs[1])
+    depth = jnp.stack([untile(outs[s]) for s in range(4)])
+    tri_id = jnp.stack([untile(outs[4 + s]) for s in range(4)])
+    return depth, tri_id
+
+
+def msaa_resolve_visibility(depth_s: jnp.ndarray, tri_id_s: jnp.ndarray):
+    """Per-sample visibility [4,H,W] -> (center-ish depth [H,W], majority
+    tri_id [H,W], coverage [H,W] in {0,.25,..,1}).
+
+    Shading then runs once per pixel on the majority triangle and blends
+    with the background by coverage — the silhouette antialiasing the
+    reference's MSAA 4x + resolve provides (ResolveMSAA,
+    SceneRendering.cpp:2060)."""
+    # majority id: the id matching most samples (ties -> first sample)
+    ids = tri_id_s                                 # [4, H, W]
+    counts = [(ids == ids[s]).sum(axis=0) for s in range(4)]
+    counts = jnp.stack(counts)                     # [4, H, W]
+    # prefer covered samples: background samples count as -1 votes
+    counts = jnp.where(ids >= 0, counts, -1)
+    best = jnp.argmax(counts, axis=0)              # [H, W]
+    maj = jnp.take_along_axis(ids, best[None], axis=0)[0]
+    depth = jnp.take_along_axis(depth_s, best[None], axis=0)[0]
+    coverage = (ids >= 0).mean(axis=0, dtype=jnp.float32)
+    return depth, maj, coverage
 
 
 # ===========================================================================
@@ -400,29 +464,51 @@ def rasterize(binned: BinnedTriangles, width: int, height: int):
 
 def resolve_attributes(tri_id: jnp.ndarray, setup: TriangleSetup,
                        indices: jnp.ndarray,
-                       attributes: dict[str, jnp.ndarray]):
+                       attributes: dict[str, jnp.ndarray],
+                       y_offset: jnp.ndarray | int = 0):
     """tri_id [H,W] int32, setup from setup_triangles, indices [T,3],
-    attributes name -> [V, D]. Returns (dict name -> [H,W,D], mask [H,W])."""
+    attributes name -> [V, D]. Returns (dict name -> [H,W,D], mask [H,W]).
+
+    Gather strategy: all per-triangle resolve data (edge rows, vertex
+    conditioning scales, and the three vertices' attribute values) packs
+    into ONE [T, R] table built with cheap per-triangle gathers, so the
+    expensive per-pixel step is a single row gather — TPU gathers are
+    latency-bound, not bandwidth-bound."""
     h, w = tri_id.shape
     mask = tri_id != BG_ID
     sid = jnp.maximum(tri_id, 0)
+    t = setup.edges.shape[0]
+
+    # pack the per-triangle table: edges(9) | vert_scale(3) | attrs (3V x D)
+    parts = [setup.edges.reshape(t, 9), setup.vert_scale]
+    layout = []
+    off = 12
+    for name, a in attributes.items():
+        d = a.shape[-1]
+        av = a[indices]                              # [T, 3, D] (per-tri gather)
+        parts.append(av.reshape(t, 3 * d))
+        layout.append((name, off, d))
+        off += 3 * d
+    table = jnp.concatenate(parts, axis=1)          # [T, R]
+
+    rows = table[sid]                                # [H, W, R] — THE gather
 
     px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
-    e = setup.edges[sid]                             # [H,W,3,3]
+    py = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+          + jnp.asarray(y_offset, jnp.float32))
+    e = rows[..., 0:9].reshape(*rows.shape[:-1], 3, 3)
     b = e[..., 0] * px[..., None] + e[..., 1] * py[..., None] + e[..., 2]
     b = jnp.maximum(b, 0.0)                          # guard tiny negatives on edges
     # undo the per-vertex 1/|w| conditioning: true weight_i = b'_i * s_i
-    b = b * setup.vert_scale[sid]
+    b = b * rows[..., 9:12]
     bsum = b.sum(axis=-1)
     binv = 1.0 / jnp.where(bsum > 0, bsum, 1.0)
     lam = b * binv[..., None]                        # [H,W,3] perspective barycentrics
 
-    vidx = indices[sid]                              # [H,W,3]
     out = {}
-    for name, a in attributes.items():
-        av = a[vidx]                                 # [H,W,3,D]
-        out[name] = jnp.einsum("hwk,hwkd->hwd", lam, av)
+    for name, off0, d in layout:
+        av = rows[..., off0:off0 + 3 * d].reshape(*rows.shape[:-1], 3, d)
+        out[name] = (lam[..., None] * av).sum(axis=-2)
     return out, mask
 
 

@@ -151,10 +151,12 @@ class FrameConstants:
 
 
 def geometry_pass(scene: DeviceScene, consts: FrameConstants,
-                  width: int, height: int):
+                  width: int, height: int, msaa: bool = False):
     """Vertex transform + cull/LOD + rasterize + resolve: produces the
     interpolated G-buffer (the depth-pre-pass + attribute interpolation
-    stage; culling replaces Scene::CullFrustums, Scene.cpp:1272-1308)."""
+    stage; culling replaces Scene::CullFrustums, Scene.cpp:1272-1308).
+    With msaa, rasterizes the D3D 4x pattern and resolves shading inputs
+    on the majority sample (coverage returned for edge blending)."""
     pos4 = jnp.concatenate(
         [scene.positions, jnp.ones_like(scene.positions[:, :1])], axis=1)
     world_v = consts.world[scene.item_of_vertex]            # [V,4,4]
@@ -175,29 +177,88 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
     setup = raster.setup_triangles(clip, scene.indices, width, height,
                                    tri_mask=tri_mask)
     binned = raster.bin_triangles(setup, width, height)
-    depth, tri_id = raster.rasterize(binned, width, height)
+    coverage = None
+    if msaa:
+        depth_s, tri_id_s = raster.rasterize(binned, width, height, msaa=True)
+        depth, tri_id, coverage = raster.msaa_resolve_visibility(depth_s, tri_id_s)
+    else:
+        depth, tri_id = raster.rasterize(binned, width, height)
 
     attrs, mask = raster.resolve_attributes(
         tri_id, setup, scene.indices,
         {"wpos": wpos, "wnrm": wnrm, "wtan": wtan, "uv": scene.uvs})
-    return depth, tri_id, attrs, mask
+    return depth, tri_id, attrs, mask, coverage
 
 
-def material_pass(scene: DeviceScene, tri_id: jnp.ndarray):
-    """Per-pixel material parameter fetch (the per-draw material CB +
-    texture sampling stage; constant parameters for now — textures arrive
-    with the TextureManager)."""
+def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
+                  uv: jnp.ndarray | None = None,
+                  wnrm: jnp.ndarray | None = None,
+                  wtan: jnp.ndarray | None = None,
+                  textures: tuple | None = None):
+    """Per-pixel material fetch + texture sampling — the PSMain material
+    block (ForwardLighting.hlsl:226-277): per-slot Has*Map tests gate
+    sampled values; albedo/emissive decode sRGB; ORM packs
+    occlusion/roughness/metalness; normal maps perturb via TBN."""
+    from ..ops import colorspace as cs_ops
+    from ..ops import texture as tex_ops
+
     item = scene.tri_item[jnp.maximum(tri_id, 0)]           # [H,W]
     mid = scene.item_material[item]
-    mrow = scene.materials[mid]                             # [H,W,20]
-    return {
+    mrow = scene.materials[mid]                             # [H,W,32]
+    out = {
         "albedo": mrow[..., 0:3],
         "emissive": mrow[..., 4:7] * mrow[..., 7:8],
         "roughness": mrow[..., 12],
         "metalness": mrow[..., 13],
+        "local_ao": jnp.ones_like(mrow[..., 0]),
+        "normal": wnrm,
         "object_id": scene.item_object[item],
         "item_id": item,
     }
+    if textures is None or uv is None:
+        return out
+
+    uv_t = uv * mrow[..., 8:10] + mrow[..., 10:12]          # uvScaleOffset
+    lod = tex_ops.uv_mip_level(uv_t, textures[0].shape[1], len(textures) - 1)
+
+    def slot_id(bit):
+        return mrow[..., 20 + bit].astype(jnp.int32)
+
+    def has(bit):
+        return slot_id(bit) >= 0
+
+    def sample(bit, lod_bias=None):
+        l = lod if lod_bias is None else jnp.clip(lod + lod_bias, 0, len(textures) - 1)
+        return tex_ops.sample_texture_array(textures, slot_id(bit), uv_t, l)
+
+    diffuse_s = sample(0)
+    out["albedo"] = jnp.where(
+        has(0)[..., None],
+        cs_ops.srgb_to_linear_fast(diffuse_s[..., :3]) * mrow[..., 0:3],
+        mrow[..., 0:3])
+    out["alpha"] = jnp.where(has(0), diffuse_s[..., 3], mrow[..., 3])
+
+    if wnrm is not None and wtan is not None:
+        nrm_s = sample(1, lod_bias=mrow[..., 16])
+        n_mapped = tex_ops.unpack_normal_map(nrm_s[..., :3], wnrm, wtan)
+        out["normal"] = jnp.where(has(1)[..., None], n_mapped, wnrm)
+
+    out["local_ao"] = jnp.where(has(2), sample(2)[..., 0], out["local_ao"])
+    out["roughness"] = jnp.where(has(4), out["roughness"] * sample(4)[..., 0],
+                                 out["roughness"])
+    out["metalness"] = jnp.where(has(5), out["metalness"] * sample(5)[..., 0],
+                                 out["metalness"])
+    emis_s = sample(7)
+    out["emissive"] = jnp.where(
+        has(7)[..., None],
+        cs_ops.srgb_to_linear_fast(emis_s[..., :3]) * mrow[..., 4:7] * mrow[..., 7:8],
+        out["emissive"])
+    orm = sample(8)
+    out["roughness"] = jnp.where(has(8), out["roughness"] * orm[..., 1],
+                                 out["roughness"])
+    out["metalness"] = jnp.where(has(8), out["metalness"] * orm[..., 2],
+                                 out["metalness"])
+    return out
 
 
 def shadow_pass(scene: DeviceScene, consts: FrameConstants,
@@ -212,7 +273,7 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
     permutation analog)."""
     sc = int(consts.spot_casters.shape[0])
     pc = int(consts.point_casters.shape[0])
-    has_dir = bool(consts.directional.shape[0]) and True
+    has_dir = int(consts.dir_vp.shape[0]) > 0  # static per scene
 
     spot_vis = None
     if sc:
@@ -254,12 +315,12 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
         # directional shadowing flag rides in directional[8]
         dmap = shadow.render_shadow_depth(
             scene.positions, scene.item_of_vertex, consts.world,
-            consts.dir_vp, scene.indices, shadow_dims[2])
+            consts.dir_vp[0], scene.indices, shadow_dims[2])
         wi = -consts.directional[0:3]
         wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-9)
         ndotl = jnp.clip((normal * wi).sum(-1), 0.0, 1.0)
         dir_vis = shadow.shadow_test_pcf(
-            wpos, ndotl, consts.dir_vp, dmap,
+            wpos, ndotl, consts.dir_vp[0], dmap,
             consts.directional[7], slope_scaled=False)
     return spot_vis, point_vis, dir_vis
 
@@ -288,16 +349,22 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                        shadow.DIRECTIONAL_SHADOW_DIM),
                    env: EnvironmentMaps | None = None,
                    enable_ssao: bool = False,
-                   enable_motion_vectors: bool = False):
+                   enable_motion_vectors: bool = False,
+                   textures: tuple | None = None,
+                   msaa: bool = False):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> tonemap. Returns a dict with ldr [H,W,3],
     depth [H,W], tri_id [H,W], object_id [H,W], and optionally ao /
     motion [H,W,2]."""
-    depth, tri_id, attrs, mask = geometry_pass(scene, consts, width, height)
-    mat = material_pass(scene, tri_id)
+    depth, tri_id, attrs, mask, coverage = geometry_pass(
+        scene, consts, width, height, msaa=msaa)
 
-    n = attrs["wnrm"]
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    wn = attrs["wnrm"]
+    wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-9)
+    wt = attrs["wtan"]
+    mat = material_pass(scene, tri_id, uv=attrs["uv"], wnrm=wn, wtan=wt,
+                        textures=textures)
+    n = mat["normal"] if mat.get("normal") is not None else wn
 
     ao_map = None
     if enable_ssao:
@@ -342,6 +409,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             hdri_yaw=consts.hdri_yaw)
 
     ao = jnp.broadcast_to(consts.ambient_factor, mask.shape)
+    ao = ao * mat["local_ao"]  # material AO map (ForwardLighting.hlsl:269)
     if ao_map is not None:
         ao = ao * ao_map  # SSAO multiplies ambient (ForwardLighting.hlsl:279-281)
 
@@ -371,8 +439,14 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         dirs = sky_directions(consts, width, height)
         background = ibl.sky_radiance(dirs, env.equirect, consts.hdri_yaw)
     else:
-        background = consts.clear_color
-    hdr = jnp.where(mask[..., None], hdr, background)
+        background = jnp.broadcast_to(consts.clear_color, hdr.shape)
+    if coverage is not None:
+        # MSAA resolve: coverage-weighted blend against the background
+        # (the silhouette antialiasing of ResolveMSAA)
+        hdr = hdr * coverage[..., None] + background * (1.0 - coverage[..., None])
+        hdr = jnp.where((mask | (coverage > 0))[..., None], hdr, background)
+    else:
+        hdr = jnp.where(mask[..., None], hdr, background)
     ldr = pp.tonemap(hdr, output_display_curve, apply_gamma=apply_gamma)
 
     out = {"ldr": ldr, "depth": depth, "tri_id": tri_id,

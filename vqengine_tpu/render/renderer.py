@@ -67,27 +67,27 @@ class VQRendererTPU:
                        enable_shadows: bool = True,
                        shadow_dims: tuple[int, int, int] | None = None,
                        has_env: bool = False, enable_ssao: bool = False,
-                       enable_motion: bool = False):
+                       enable_motion: bool = False,
+                       has_textures: bool = False, msaa: bool = False):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
                            shadow_ops.POINT_SHADOW_DIM,
                            shadow_ops.DIRECTIONAL_SHADOW_DIM)
         key = (width, height, curve, gamma, enable_shadows, shadow_dims,
-               has_env, enable_ssao, enable_motion)
+               has_env, enable_ssao, enable_motion, has_textures, msaa)
         fn = self._render_fns.get(key)
         if fn is None:
             kwargs = dict(width=width, height=height,
                           output_display_curve=curve, apply_gamma=gamma,
                           enable_shadows=enable_shadows,
                           shadow_dims=shadow_dims, enable_ssao=enable_ssao,
-                          enable_motion_vectors=enable_motion)
-            if has_env:
-                def wrapped(scene, consts, env):
-                    return graph.render_forward(scene, consts, env=env, **kwargs)
-                fn = jax.jit(wrapped)
-            else:
-                fn = jax.jit(functools.partial(graph.render_forward, **kwargs))
+                          enable_motion_vectors=enable_motion, msaa=msaa)
+
+            def wrapped(scene, consts, env, textures):
+                return graph.render_forward(scene, consts, env=env,
+                                            textures=textures, **kwargs)
+            fn = jax.jit(wrapped, static_argnames=())
             self._render_fns[key] = fn
         return fn
 
@@ -136,9 +136,10 @@ class VQRendererTPU:
                                 for l in point_casters], np.float32)
                     if pc else np.zeros((0, 2), np.float32))
 
+        # dir_vp shape encodes the static has-dir-shadow flag: [1,4,4] or [0,4,4]
         dir_caster = dirs[0] if (dirs and dirs[0].casts_shadows) else None
-        dir_vp = (dir_caster.view_projection() if dir_caster is not None
-                  else np.zeros((4, 4), np.float32))
+        dir_vp = (dir_caster.view_projection()[None]
+                  if dir_caster is not None else np.zeros((0, 4, 4), np.float32))
 
         from ..utils import math3d as m3
         vp = camera.view_projection()
@@ -179,19 +180,20 @@ class VQRendererTPU:
                shadow_dims: tuple[int, int, int] | None = None,
                env: "graph.EnvironmentMaps | None" = None,
                enable_ssao: bool = False,
-               enable_motion: bool = False) -> FrameOutput:
+               enable_motion: bool = False,
+               textures: tuple | None = None,
+               msaa: bool = False) -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
         fn = self._get_render_fn(width, height, curve, True,
                                  enable_shadows, shadow_dims,
                                  has_env=env is not None,
                                  enable_ssao=enable_ssao,
-                                 enable_motion=enable_motion)
+                                 enable_motion=enable_motion,
+                                 has_textures=textures is not None,
+                                 msaa=msaa)
         t0 = time.perf_counter()
-        if env is not None:
-            out = fn(self._scene, consts, env)
-        else:
-            out = fn(self._scene, consts)
+        out = fn(self._scene, consts, env, textures)
         ldr = out["ldr"]
         if readback:
             ldr = np.asarray(jax.device_get(ldr))

@@ -24,7 +24,8 @@ TEXTURE_SLOTS = (
     "orm",          # bit 8 (occlusion-roughness-metalness combined)
 )
 
-MATERIAL_STRIDE = 20  # floats per material in the packed GPU tensor
+MATERIAL_STRIDE = 32  # floats per material in the packed GPU tensor
+_TEX_ID_BASE = 20     # slots [20..28]: per-slot texture ids (-1 = none)
 
 
 @dataclass
@@ -59,7 +60,8 @@ class Material:
         flattened to MATERIAL_STRIDE floats:
         [diffuse(3), alpha, emissiveColor(3), emissiveIntensity,
          uvScale(2), uvOffset(2), roughness, metalness, displacement,
-         textureConfig, normalMapMipBias, pad(3)]"""
+         textureConfig, normalMapMipBias, pad(3),
+         texture ids per TEXTURE_SLOTS (9), pad(3)]"""
         out = np.zeros(MATERIAL_STRIDE, dtype=np.float32)
         out[0:3] = self.diffuse
         out[3] = self.alpha
@@ -72,6 +74,8 @@ class Material:
         out[14] = self.displacement
         out[15] = float(self.texture_config())
         out[16] = self.normal_map_mip_bias
+        for bit, slot in enumerate(TEXTURE_SLOTS):
+            out[_TEX_ID_BASE + bit] = float(self.textures.get(slot, -1))
         return out
 
 

@@ -1,0 +1,241 @@
+"""Built-in scene behaviors — counterparts of Source/Scenes/*.cpp:
+the typed Scene subclasses instantiated by name (VQEngine_Update.cpp:496-504)
+that add procedural content and per-frame animation on top of the XML data.
+
+- DefaultScene / SponzaScene: XML-driven only.
+- EnvironmentMapUnitTestScene: 8x4 roughness/metallic sphere grid
+  (EnvironmentMapUnitTestScene.cpp:49-104).
+- StressTestScene: 16x2x12 randomized cube/sphere cloud (spacing 10,
+  y-offset 25, scale ~2.5) + 8x10 gradient spheres + orbit/rotation
+  animation and HDRI yaw rotation (StressTestScene.cpp:10-120,315-400).
+- TerrainScene: heightmap-displaced detailed grid (the tessellation
+  pipeline's displacement, baked at load since geometry amplification
+  here is just more vertices).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import math3d as m3
+from .material import Material
+from .serialization import (FGameObjectRepresentation, FModelRepresentation,
+                            FSceneRepresentation)
+
+
+def _grad_material(r: int, m: int, nr: int, nm: int,
+                   color=(1.0, 1.0, 1.0)) -> Material:
+    mat = Material(name=f"RoughnessMetallic[{r}][{m}]")
+    mat.diffuse = np.asarray(color, np.float32)
+    mat.roughness = r / max(nr - 1, 1)
+    mat.metalness = m / max(nm - 1, 1)
+    return mat
+
+
+def _add_object(rep, mesh_name: str, pos, scale, material: str = "",
+                rotation=None, name: str = "") -> None:
+    obj = FGameObjectRepresentation()
+    obj.transform = m3.Transform(
+        position=np.asarray(pos, np.float32),
+        rotation=rotation if rotation is not None else m3.quat_identity(),
+        scale=np.asarray(scale, np.float32))
+    obj.model = FModelRepresentation(builtin_mesh_name=mesh_name,
+                                     material_name=material, name=name)
+    rep.objects.append(obj)
+
+
+# ---------------------------------------------------------------------------
+
+def augment_environment_map_unit_test(rep: FSceneRepresentation,
+                                      material_lib: dict) -> None:
+    """EnvironmentMapUnitTestScene.cpp:49-104: an 8x4 grid of spheres with
+    roughness on X and metallic on Y."""
+    nr, nm = 8, 4
+    for r in range(nr):
+        for mtl in range(nm):
+            mat = _grad_material(r, mtl, nr, nm)
+            material_lib[mat.name] = mat
+            s = 5.0
+            x = -50.0 + r * (2 * s + 2.0)
+            y = 50.0 + mtl * (2 * s + 2.0)
+            _add_object(rep, "Sphere", (x, y, 0), (s, s, s), mat.name,
+                        name=f"GradientSphere[{r}][{mtl}]")
+
+
+_STRESS_COLORS = np.asarray([
+    [0.90, 0.90, 0.90], [0.40, 0.15, 0.00], [0.00, 0.05, 0.65],
+    [0.05, 0.05, 0.05], [0.15, 0.15, 0.15],
+], np.float32)  # StressTestScene.cpp:34-41
+
+
+class StressTestAnimation:
+    """Orbit + rotation animation state (StressTestScene.cpp:45-84,
+    randomized axes/speeds per generated object)."""
+
+    def __init__(self, object_names: list[str], rng: np.random.Generator):
+        n = len(object_names)
+        self.names = set(object_names)
+        axes = rng.normal(size=(n, 3)).astype(np.float32)
+        self.rot_axes = axes / np.linalg.norm(axes, axis=1, keepdims=True)
+        self.rot_speeds = rng.uniform(0.0, 400.0, n).astype(np.float32)
+        axes2 = rng.normal(size=(n, 3)).astype(np.float32)
+        self.orbit_axes = axes2 / np.linalg.norm(axes2, axis=1, keepdims=True)
+        self.orbit_speeds = rng.uniform(0.1, 0.8, n).astype(np.float32)
+        self.orbit_point = np.zeros(3, np.float32)
+        self.hdri_yaw = 0.0
+
+    def __call__(self, engine, dt: float) -> None:
+        # HDRI rotation (StressTestScene::UpdateScene yaw slider)
+        self.hdri_yaw = (self.hdri_yaw + 0.01 * dt) % 1.0
+        items = engine.scene_buffers.items
+        i = 0
+        for it in items:
+            if it.name not in self.names:
+                continue
+            tf = it.transform
+            # rotate around own axis
+            q = m3.quat_from_axis_angle(self.rot_axes[i % len(self.rot_axes)],
+                                        np.deg2rad(self.rot_speeds[i % len(self.rot_speeds)]) * dt)
+            tf.rotation = m3.quat_mul(q, tf.rotation)
+            # orbit around the origin point
+            oq = m3.quat_from_axis_angle(self.orbit_axes[i % len(self.orbit_axes)],
+                                         self.orbit_speeds[i % len(self.orbit_speeds)] * dt)
+            tf.position = m3.quat_rotate(oq, tf.position - self.orbit_point) + self.orbit_point
+            i += 1
+
+
+def augment_stress_test(rep: FSceneRepresentation, material_lib: dict,
+                        dims=(16, 2, 12), seed: int = 17):
+    """StressTestScene.cpp:315-400: the randomized object cloud + gradient
+    spheres. Returns the animation hook."""
+    rng = np.random.default_rng(seed)
+    nr, nm = 8, 10
+
+    # material cloud
+    for r in range(nr):
+        for mtl in range(nm):
+            for c in range(len(_STRESS_COLORS)):
+                mat = _grad_material(r, mtl, nr, nm, _STRESS_COLORS[c])
+                mat.name = f"InstanceCloud[{r}][{mtl}][{c}]"
+                material_lib[mat.name] = mat
+
+    dx, dy, dz = dims
+    distance, y_off = 10.0, 25.0
+    base_scale, neg_max = 2.5, 2.5 / 3.0
+    names = []
+    idx = 0
+    for x in range(-dx // 2, (dx - 1) // 2 + 1):
+        for y in range(-dy // 2, (dy - 1) // 2 + 1):
+            for z in range(-dz // 2, (dz - 1) // 2 + 1):
+                pos = (x * distance,
+                       y_off + y * distance + rng.uniform(-4, 4),
+                       z * distance)
+                is_cube = rng.integers(0, 2) == 0
+                if is_cube:
+                    scale = base_scale - rng.uniform(0, neg_max, 3)
+                else:
+                    scale = np.full(3, base_scale - rng.uniform(0, neg_max))
+                rot = m3.quat_mul(
+                    m3.quat_from_axis_angle((1, 0, 0),
+                                            np.deg2rad(rng.uniform(-15, 15))),
+                    m3.quat_from_axis_angle((0, 1, 0),
+                                            np.deg2rad(rng.uniform(0, 360))))
+                mat = f"InstanceCloud[{rng.integers(0, nr)}]" \
+                      f"[{rng.integers(0, nm)}][{rng.integers(0, 5)}]"
+                name = f"StressObj{idx}"
+                _add_object(rep, "Cube" if is_cube else "Sphere",
+                            pos, scale, mat, rotation=rot, name=name)
+                names.append(name)
+                idx += 1
+
+    # gradient spheres at y=200 (StressTestScene.cpp:373-400)
+    for r in range(nr):
+        for mtl in range(nm):
+            mat = _grad_material(r, mtl, nr, nm)
+            material_lib[mat.name] = mat
+            s = 5.0
+            _add_object(rep, "Sphere",
+                        (-50.0 + r * (2 * s + 2), 200.0 + mtl * (2 * s + 2), 0),
+                        (s, s, s), mat.name, name=f"GradSphere[{r}][{mtl}]")
+
+    return StressTestAnimation(names, rng)
+
+
+def _terrain_heightmap(n: int = 256, seed: int = 3) -> np.ndarray:
+    """Procedural fBm heightmap (the reference Terrain scene displaces with
+    a heightmap texture via the tessellation pipeline)."""
+    rng = np.random.default_rng(seed)
+    h = np.zeros((n, n), np.float32)
+    amp, freq = 1.0, 4
+    for _ in range(5):
+        g = rng.normal(size=(freq + 1, freq + 1)).astype(np.float32)
+        ys = np.linspace(0, freq, n)
+        xs = np.linspace(0, freq, n)
+        y0 = np.floor(ys).astype(int)
+        x0 = np.floor(xs).astype(int)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        sy = fy * fy * (3 - 2 * fy)
+        sx = fx * fx * (3 - 2 * fx)
+        v = (g[y0][:, x0] * (1 - sy) * (1 - sx)
+             + g[y0][:, np.minimum(x0 + 1, freq)] * (1 - sy) * sx
+             + g[np.minimum(y0 + 1, freq)][:, x0] * sy * (1 - sx)
+             + g[np.minimum(y0 + 1, freq)][:, np.minimum(x0 + 1, freq)] * sy * sx)
+        h += amp * v
+        amp *= 0.5
+        freq *= 2
+    h -= h.min()
+    h /= max(h.max(), 1e-6)
+    return h
+
+
+def build_terrain_mesh(size: float = 1000.0, height: float = 60.0,
+                       res: int = 400, num_lods: int = 4):
+    """Displaced grid standing in for the tessellated heightmap terrain
+    (TerrainScene + Tessellation.hlsl displacement)."""
+    from . import mesh as meshmod
+    hm = _terrain_heightmap(res)
+    base = meshmod.grid(size, size, res, res, num_lods=num_lods)
+    for lod in base.lods:
+        n = int(np.sqrt(lod.num_vertices))
+        u = ((lod.positions[:, 0] / size) + 0.5) * (res - 1)
+        v = ((lod.positions[:, 2] / size) + 0.5) * (res - 1)
+        ui = np.clip(u.astype(int), 0, res - 1)
+        vi = np.clip(v.astype(int), 0, res - 1)
+        lod.positions[:, 1] = hm[vi, ui] * height
+        del n
+    # recompute normals from the heightmap gradient on LOD0 spacing
+    for lod in base.lods:
+        u = np.clip((((lod.positions[:, 0] / size) + 0.5) * (res - 1)).astype(int), 1, res - 2)
+        v = np.clip((((lod.positions[:, 2] / size) + 0.5) * (res - 1)).astype(int), 1, res - 2)
+        dhdx = (hm[v, u + 1] - hm[v, u - 1]) * height / (2 * size / res)
+        dhdz = (hm[v + 1, u] - hm[v - 1, u]) * height / (2 * size / res)
+        nrm = np.stack([-dhdx, np.ones_like(dhdx), -dhdz], -1)
+        lod.normals[:] = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
+    base.name = "Terrain"
+    return base
+
+
+def augment_terrain(rep: FSceneRepresentation, material_lib: dict,
+                    builtin_meshes) -> None:
+    mat = Material(name="TerrainMat")
+    mat.diffuse = np.asarray([0.35, 0.3, 0.22], np.float32)
+    mat.roughness = 0.9
+    material_lib[mat.name] = mat
+    if "Terrain" not in builtin_meshes._builders:
+        builtin_meshes._builders["Terrain"] = build_terrain_mesh
+    _add_object(rep, "Terrain", (0, -20, 0), (1, 1, 1), "TerrainMat",
+                name="Terrain")
+
+
+# registry: scene name -> augmentation; returns optional update hook
+def augment_scene(name: str, rep: FSceneRepresentation, material_lib: dict,
+                  builtin_meshes):
+    if name == "EnvironmentMapUnitTest":
+        augment_environment_map_unit_test(rep, material_lib)
+        return None
+    if name == "StressTest":
+        return augment_stress_test(rep, material_lib)
+    if name == "Terrain":
+        augment_terrain(rep, material_lib, builtin_meshes)
+        return None
+    return None

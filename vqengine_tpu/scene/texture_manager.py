@@ -1,0 +1,181 @@
+"""TextureManager — counterpart of the reference's
+Source/Renderer/Resources/TextureManager.{h,cpp}: async texture loading
+state machine (Pending -> Reading -> MipGenerating -> Allocating ->
+Uploading -> Ready, TextureManager.h:52-61), path-dedup cache, procedural
+textures (checkerboard, Renderer.h:77-84), mip generation.
+
+TPU adaptation: all textures normalize into one fixed-size array-of-
+textures with a full mip chain ([N, S, S, 4] per mip level) so per-pixel
+texture indexing stays a static-shape gather. Disk decode + mip generation
+run on a host thread pool (the reference's mWorkers + upload thread);
+`build_device_arrays` is the upload.
+"""
+from __future__ import annotations
+
+import concurrent.futures as futures
+import enum
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.log import warning
+
+
+class ETextureState(enum.IntEnum):
+    """Reference TextureManager.h:52-61."""
+    PENDING = 0
+    READING = 1
+    MIP_GENERATING = 2
+    ALLOCATING = 3
+    UPLOADING = 4
+    READY = 5
+    FAILED = 6
+
+
+def _resize_box(img: np.ndarray, size: int) -> np.ndarray:
+    """Box resample to size x size (any input size; nearest for upsample)."""
+    h, w = img.shape[:2]
+    if h == size and w == size:
+        return img
+    ys = (np.arange(size) * (h / size)).astype(np.int32)
+    xs = (np.arange(size) * (w / size)).astype(np.int32)
+    return img[np.clip(ys, 0, h - 1)][:, np.clip(xs, 0, w - 1)]
+
+
+def _to_rgba_f32(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = img.astype(np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    if c == 1:
+        img = np.repeat(img, 3, axis=2)
+        c = 3
+    if c == 2:
+        img = np.concatenate([img[:, :, :1].repeat(3, 2), img[:, :, 1:2]], 2)
+        c = 4
+    if c == 3:
+        img = np.concatenate([img, np.ones_like(img[:, :, :1])], axis=2)
+    return img[:, :, :4]
+
+
+def generate_mips(img: np.ndarray) -> list[np.ndarray]:
+    """Full mip chain by 2x2 box filter (the reference's mip workers).
+    Uses the native kernel when built."""
+    try:
+        from ..utils.native import mip_box
+    except Exception:  # noqa: BLE001
+        mip_box = lambda _: None  # noqa: E731
+    mips = [img]
+    cur = img
+    while min(cur.shape[:2]) > 1:
+        nxt = mip_box(cur)
+        if nxt is None:
+            h2, w2 = max(cur.shape[0] // 2, 1), max(cur.shape[1] // 2, 1)
+            t = cur[: h2 * 2, : w2 * 2]
+            nxt = t.reshape(h2, 2, w2, 2, -1).mean(axis=(1, 3)).astype(np.float32)
+        cur = nxt
+        mips.append(cur)
+    return mips
+
+
+# ---------------------------------------------------------------------------
+# procedural textures (reference EProceduralTextures, Renderer.h:77-84)
+# ---------------------------------------------------------------------------
+
+def checkerboard(size: int = 256, tiles: int = 8,
+                 c0=(1.0, 1.0, 1.0), c1=(0.0, 0.0, 0.0)) -> np.ndarray:
+    y, x = np.mgrid[0:size, 0:size]
+    v = (((y * tiles // size) + (x * tiles // size)) % 2).astype(np.float32)
+    img = np.asarray(c0, np.float32)[None, None] * (1 - v[..., None]) \
+        + np.asarray(c1, np.float32)[None, None] * v[..., None]
+    return _to_rgba_f32(img)
+
+
+def checkerboard_grayscale(size: int = 256, tiles: int = 8) -> np.ndarray:
+    return checkerboard(size, tiles, (0.8, 0.8, 0.8), (0.3, 0.3, 0.3))
+
+
+def flat_normal(size: int = 4) -> np.ndarray:
+    img = np.zeros((size, size, 3), np.float32)
+    img[:] = [0.5, 0.5, 1.0]
+    return _to_rgba_f32(img)
+
+
+class TextureManager:
+    def __init__(self, size: int = 256, num_workers: int = 4):
+        self.size = size
+        self._images: list[np.ndarray] = []   # [S, S, 4] f32 each
+        self._by_key: dict[str, int] = {}
+        self._states: dict[int, ETextureState] = {}
+        self._pool = futures.ThreadPoolExecutor(max_workers=num_workers)
+        self._pending: dict[int, futures.Future] = {}
+
+    # ------------------------------------------------------------------
+    def create_from_array(self, key: str, img: np.ndarray) -> int:
+        if key in self._by_key:
+            return self._by_key[key]
+        tid = len(self._images)
+        self._images.append(_resize_box(_to_rgba_f32(img), self.size))
+        self._by_key[key] = tid
+        self._states[tid] = ETextureState.READY
+        return tid
+
+    def create_from_file(self, path: str | Path, search_dirs=()) -> int:
+        """Queue an async disk load (dedup by path). Returns the id
+        immediately; the slot holds a placeholder until wait_all()."""
+        key = str(path)
+        if key in self._by_key:
+            return self._by_key[key]
+        tid = len(self._images)
+        self._images.append(np.zeros((self.size, self.size, 4), np.float32))
+        self._by_key[key] = tid
+        self._states[tid] = ETextureState.READING
+
+        def load():
+            from ..utils.image_io import read_hdr, read_png
+            for base in list(search_dirs) + ["."]:
+                p = Path(base) / path
+                if not p.is_file():
+                    continue
+                try:
+                    if p.suffix.lower() == ".hdr":
+                        img = read_hdr(p)
+                    else:
+                        img = read_png(p)
+                    self._states[tid] = ETextureState.MIP_GENERATING
+                    self._images[tid] = _resize_box(_to_rgba_f32(img), self.size)
+                    self._states[tid] = ETextureState.READY
+                    return
+                except Exception as e:  # noqa: BLE001
+                    warning(f"texture decode failed {p}: {e}")
+            self._states[tid] = ETextureState.FAILED
+
+        self._pending[tid] = self._pool.submit(load)
+        return tid
+
+    def wait_all(self) -> None:
+        """Join outstanding loads (the WaitForTexture latch)."""
+        for f in self._pending.values():
+            f.result()
+        self._pending.clear()
+
+    def state(self, tid: int) -> ETextureState:
+        return self._states.get(tid, ETextureState.FAILED)
+
+    @property
+    def count(self) -> int:
+        return len(self._images)
+
+    # ------------------------------------------------------------------
+    def build_device_arrays(self):
+        """-> list per mip level of [N, s, s, 4] arrays (the upload)."""
+        self.wait_all()
+        import jax.numpy as jnp
+        if not self._images:
+            self._images.append(np.ones((self.size, self.size, 4), np.float32))
+        per_tex_mips = [generate_mips(img) for img in self._images]
+        n_mips = len(per_tex_mips[0])
+        return [jnp.asarray(np.stack([m[lvl] for m in per_tex_mips]))
+                for lvl in range(n_mips)]

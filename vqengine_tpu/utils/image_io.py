@@ -42,9 +42,17 @@ def write_png(path: str | Path, img: np.ndarray) -> None:
 
 
 def read_png(path: str | Path) -> np.ndarray:
-    """Minimal PNG reader: 8-bit, color types 0/2/4/6, no interlace.
-    Returns uint8 [H, W, C]."""
+    """PNG reader: 8-bit, color types 0/2/3/4/6, no interlace.
+    Returns uint8 [H, W, C]. Uses the native decoder (native/vq_native.cpp)
+    when available; pure-python fallback below."""
     data = Path(path).read_bytes()
+    try:
+        from .native import png_decode
+        out = png_decode(data)
+        if out is not None:
+            return out
+    except Exception:  # noqa: BLE001 — fall through to python path
+        pass
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
     pos = 8
     w = h = bitdepth = color_type = None
