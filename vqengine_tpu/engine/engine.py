@@ -108,6 +108,7 @@ class VQEngineTPU:
         self._prev_world = None        # motion-vector history
         self._prev_vp = None
         self._last_output = None       # picking readback source
+        self._ssr_history = None       # SSR temporal accumulation
 
         from .events import BufferedEventQueue
         from .input import Input
@@ -306,7 +307,10 @@ class VQEngineTPU:
             enable_ssao=self.gfx.bAmbientOcclusion,
             enable_motion=self.gfx.bMotionVectors,
             textures=self.texture_arrays,
-            msaa=self.gfx.bAntiAliasing)
+            msaa=self.gfx.bAntiAliasing,
+            enable_ssr=bool(self.gfx.Reflections),
+            ssr_history=self._ssr_history)
+        self._ssr_history = self._last_output.ssr_history
         return self._last_output
 
     def pick(self, x: int, y: int) -> int:
@@ -424,11 +428,20 @@ class VQEngineTPU:
         """Main loop. With -Test, runs NumAutomatedTestFrames frames and
         exits 0 on success (the Scripts/TestVQE.bat contract)."""
         scene = self.settings.SceneName or self.settings.StartupScene
+        # loading screen (LoadingScreenRendering.cpp behavior)
+        out_dir = Path(self.settings.OutputDir)
+        try:
+            from ..render.hud import loading_screen
+            ls = loading_screen(self.settings.Width, self.settings.Height,
+                                data_dirs=self.data_dirs)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            write_png(out_dir / "loading.png", ls)
+        except Exception:  # noqa: BLE001 — cosmetic only
+            pass
         if not self.start_loading_scene(scene):
             return 1
         n_frames = (self.settings.NumAutomatedTestFrames
                     if self.settings.bAutomatedTestRun else 1)
-        out_dir = Path(self.settings.OutputDir)
         t0 = time.perf_counter()
         last = None
         try:
@@ -447,6 +460,19 @@ class VQEngineTPU:
                  f"({elapsed/max(1,n_frames)*1e3:.2f} ms/frame avg, "
                  f"{self.settings.Width}x{self.settings.Height})")
         out_dir.mkdir(parents=True, exist_ok=True)
+        # stamp the profiler HUD (the F2 window) onto the dumped frame
+        try:
+            from ..render.hud import draw_profiler_hud
+            ft = np.asarray(self._frame_times) if self._frame_times else np.asarray([elapsed])
+            img = draw_profiler_hud(img, {
+                "fps": 1.0 / max(float(ft.mean()), 1e-9),
+                "ms": float(ft.mean()) * 1e3,
+                "tris": self.renderer.stats.num_draws,
+                "scene": self.scene_name,
+                "frame": self.num_ticks,
+            })
+        except Exception:  # noqa: BLE001 — cosmetic only
+            pass
         frame_path = out_dir / f"{self.scene_name}_frame{self.num_ticks:04d}.png"
         write_png(frame_path, img)
         log.info(f"wrote {frame_path}")

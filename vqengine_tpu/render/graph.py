@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..ops import colorspace as cs
 from ..ops import culling, ibl, raster, shading, shadow, ssao as ssao_ops
 from ..ops import postprocess as pp
+from ..ops import ssr as ssr_ops
 
 
 @jax.tree_util.register_dataclass
@@ -351,7 +352,9 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    enable_ssao: bool = False,
                    enable_motion_vectors: bool = False,
                    textures: tuple | None = None,
-                   msaa: bool = False):
+                   msaa: bool = False,
+                   enable_ssr: bool = False,
+                   ssr_history: jnp.ndarray | None = None):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> tonemap. Returns a dict with ldr [H,W,3],
     depth [H,W], tri_id [H,W], object_id [H,W], and optionally ao /
@@ -447,6 +450,20 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         hdr = jnp.where((mask | (coverage > 0))[..., None], hdr, background)
     else:
         hdr = jnp.where(mask[..., None], hdr, background)
+
+    new_ssr_history = None
+    if enable_ssr:
+        # SSSR + DNSR + ApplyReflections (SceneRendering.cpp:2196-2362)
+        refl, conf = ssr_ops.trace_reflections(
+            hdr, depth, n, consts.view_matrix, consts.proj_params)
+        refl_dn, new_ssr_history = ssr_ops.denoise_reflections(
+            refl, conf, mat["roughness"], history=ssr_history, motion=motion)
+        v = consts.camera_pos - attrs["wpos"]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        hdr_refl = ssr_ops.apply_reflections(
+            hdr, refl_dn, conf, mat["roughness"], mat["metalness"],
+            mat["albedo"], n, v)
+        hdr = jnp.where(mask[..., None], hdr_refl, hdr)
     ldr = pp.tonemap(hdr, output_display_curve, apply_gamma=apply_gamma)
 
     out = {"ldr": ldr, "depth": depth, "tri_id": tri_id,
@@ -455,4 +472,6 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         out["ao"] = ao_map
     if motion is not None:
         out["motion"] = motion
+    if new_ssr_history is not None:
+        out["ssr_history"] = new_ssr_history
     return out

@@ -46,6 +46,7 @@ class FrameOutput:
     object_id: np.ndarray | None = None  # picking buffer (ObjectIDPass)
     ao: np.ndarray | None = None
     motion: np.ndarray | None = None
+    ssr_history: np.ndarray | None = None
 
 
 class VQRendererTPU:
@@ -68,25 +69,29 @@ class VQRendererTPU:
                        shadow_dims: tuple[int, int, int] | None = None,
                        has_env: bool = False, enable_ssao: bool = False,
                        enable_motion: bool = False,
-                       has_textures: bool = False, msaa: bool = False):
+                       has_textures: bool = False, msaa: bool = False,
+                       enable_ssr: bool = False, has_ssr_history: bool = False):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
                            shadow_ops.POINT_SHADOW_DIM,
                            shadow_ops.DIRECTIONAL_SHADOW_DIM)
         key = (width, height, curve, gamma, enable_shadows, shadow_dims,
-               has_env, enable_ssao, enable_motion, has_textures, msaa)
+               has_env, enable_ssao, enable_motion, has_textures, msaa,
+               enable_ssr, has_ssr_history)
         fn = self._render_fns.get(key)
         if fn is None:
             kwargs = dict(width=width, height=height,
                           output_display_curve=curve, apply_gamma=gamma,
                           enable_shadows=enable_shadows,
                           shadow_dims=shadow_dims, enable_ssao=enable_ssao,
-                          enable_motion_vectors=enable_motion, msaa=msaa)
+                          enable_motion_vectors=enable_motion, msaa=msaa,
+                          enable_ssr=enable_ssr)
 
-            def wrapped(scene, consts, env, textures):
+            def wrapped(scene, consts, env, textures, ssr_history):
                 return graph.render_forward(scene, consts, env=env,
-                                            textures=textures, **kwargs)
+                                            textures=textures,
+                                            ssr_history=ssr_history, **kwargs)
             fn = jax.jit(wrapped, static_argnames=())
             self._render_fns[key] = fn
         return fn
@@ -182,7 +187,9 @@ class VQRendererTPU:
                enable_ssao: bool = False,
                enable_motion: bool = False,
                textures: tuple | None = None,
-               msaa: bool = False) -> FrameOutput:
+               msaa: bool = False,
+               enable_ssr: bool = False,
+               ssr_history=None) -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
         fn = self._get_render_fn(width, height, curve, True,
@@ -191,9 +198,10 @@ class VQRendererTPU:
                                  enable_ssao=enable_ssao,
                                  enable_motion=enable_motion,
                                  has_textures=textures is not None,
-                                 msaa=msaa)
+                                 msaa=msaa, enable_ssr=enable_ssr,
+                                 has_ssr_history=ssr_history is not None)
         t0 = time.perf_counter()
-        out = fn(self._scene, consts, env, textures)
+        out = fn(self._scene, consts, env, textures, ssr_history)
         ldr = out["ldr"]
         if readback:
             ldr = np.asarray(jax.device_get(ldr))
@@ -202,4 +210,5 @@ class VQRendererTPU:
         self.stats.last_frame_ms = (time.perf_counter() - t0) * 1e3
         return FrameOutput(ldr=ldr, depth=out["depth"], tri_id=out["tri_id"],
                            object_id=out.get("object_id"),
-                           ao=out.get("ao"), motion=out.get("motion"))
+                           ao=out.get("ao"), motion=out.get("motion"),
+                           ssr_history=out.get("ssr_history"))
