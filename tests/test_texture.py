@@ -1,0 +1,114 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqengine_tpu.ops import texture as tex
+from vqengine_tpu.scene.texture_manager import (ETextureState, TextureManager,
+                                                checkerboard, generate_mips)
+
+
+class TestTextureManager:
+    def test_create_dedup_and_states(self):
+        tm = TextureManager(size=32)
+        a = tm.create_from_array("a", np.ones((16, 16, 3), np.float32))
+        b = tm.create_from_array("a", np.zeros((16, 16, 3), np.float32))
+        assert a == b  # dedup by key
+        assert tm.state(a) == ETextureState.READY
+
+    def test_missing_file_fails(self):
+        tm = TextureManager(size=32)
+        tid = tm.create_from_file("does/not/exist.png")
+        tm.wait_all()
+        assert tm.state(tid) == ETextureState.FAILED
+
+    def test_device_arrays_mips(self):
+        tm = TextureManager(size=64)
+        tm.create_from_array("c", checkerboard(64, 8))
+        mips = tm.build_device_arrays()
+        assert mips[0].shape == (1, 64, 64, 4)
+        assert mips[-1].shape[1] == 1
+        # checkerboard averages to grey at the top mip
+        top = np.asarray(mips[-1])[0, 0, 0, :3]
+        np.testing.assert_allclose(top, 0.5, atol=0.01)
+
+    def test_mips_energy(self):
+        img = np.random.default_rng(0).uniform(0, 1, (32, 32, 4)).astype(np.float32)
+        mips = generate_mips(img)
+        assert len(mips) == 6
+        assert abs(mips[-1].mean() - img.mean()) < 1e-3
+
+
+class TestSampling:
+    def test_identity_sample(self):
+        img = np.random.default_rng(1).uniform(0, 1, (16, 16, 4)).astype(np.float32)
+        mips = [jnp.asarray(img[None])]
+        # sample at texel centers -> exact values
+        uv = jnp.stack(jnp.meshgrid(
+            (jnp.arange(16) + 0.5) / 16, (jnp.arange(16) + 0.5) / 16,
+            indexing="xy"), -1)
+        tid = jnp.zeros((16, 16), jnp.int32)
+        out = np.asarray(tex.sample_texture_array(mips, tid, uv,
+                                                  lod=jnp.zeros((16, 16))))
+        np.testing.assert_allclose(out, img, atol=1e-5)
+
+    def test_mip_selection_by_derivatives(self):
+        # highly stretched uv -> coarser mip
+        h = w = 32
+        uv_fine = jnp.stack(jnp.meshgrid(
+            jnp.linspace(0, 0.1, w), jnp.linspace(0, 0.1, h), indexing="xy"), -1)
+        uv_coarse = jnp.stack(jnp.meshgrid(
+            jnp.linspace(0, 8.0, w), jnp.linspace(0, 8.0, h), indexing="xy"), -1)
+        lod_f = np.asarray(tex.uv_mip_level(uv_fine, 64, 6))
+        lod_c = np.asarray(tex.uv_mip_level(uv_coarse, 64, 6))
+        assert lod_c.mean() > lod_f.mean() + 2
+
+    def test_normal_unpack_identity(self):
+        # flat normal map (0.5, 0.5, 1) -> the surface normal
+        n = jnp.asarray([[0.0, 1.0, 0.0]])
+        t = jnp.asarray([[1.0, 0.0, 0.0]])
+        s = jnp.asarray([[0.5, 0.5, 1.0]])
+        out = np.asarray(tex.unpack_normal_map(s, n, t))
+        np.testing.assert_allclose(out, [[0, 1, 0]], atol=1e-5)
+
+    def test_normal_unpack_perturbed(self):
+        n = jnp.asarray([[0.0, 1.0, 0.0]])
+        t = jnp.asarray([[1.0, 0.0, 0.0]])
+        s = jnp.asarray([[1.0, 0.5, 0.5]])  # tilt toward tangent
+        out = np.asarray(tex.unpack_normal_map(s, n, t))
+        assert out[0, 0] > 0.5  # leans along the tangent
+        np.testing.assert_allclose(np.linalg.norm(out), 1.0, atol=1e-5)
+
+
+class TestVisualization:
+    def test_modes(self):
+        from vqengine_tpu.ops import visualization as viz
+        h = w = 8
+        ldr = jnp.zeros((h, w, 3))
+        depth = jnp.full((h, w), 0.5)
+        normals = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (h, w, 3))
+        oid = jnp.arange(h * w).reshape(h, w)
+        for mode in range(9):
+            out = viz.visualize(mode, ldr, depth=depth, normals=normals,
+                                roughness=depth, metalness=depth, ao=depth,
+                                albedo=ldr, motion=jnp.zeros((h, w, 2)),
+                                object_id=oid)
+            assert out.shape == (h, w, 3)
+
+    def test_outline_and_magnifier(self):
+        from vqengine_tpu.ops import visualization as viz
+        img = jnp.zeros((32, 32, 3))
+        oid = jnp.zeros((32, 32), jnp.int32)
+        oid = oid.at[10:20, 10:20].set(7)
+        out = np.asarray(viz.outline(img, oid, 7, thickness=1))
+        assert out.sum() > 0  # rim drawn
+        mag = np.asarray(viz.magnifier(img, (0.5, 0.5), 0.2))
+        assert np.isfinite(mag).all()
+
+
+class TestHud:
+    def test_stamp(self):
+        from vqengine_tpu.render.hud import stamp_text
+        img = np.zeros((32, 128, 3), np.float32)
+        out = stamp_text(img, "FPS 60.0", 2, 2)
+        assert out.sum() > 0
+        assert (img == 0).all()  # original untouched

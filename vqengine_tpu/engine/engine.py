@@ -211,7 +211,9 @@ class VQEngineTPU:
         self._resolve_material_textures(used_materials)
         buffers, cameras, lights = assemble_scene(
             rep, self.builtin_meshes, self.material_lib,
-            gltf_loader=self._gltf_loader)
+            gltf_loader=self._gltf_loader,
+            draw_light_gizmos=self.gfx.bDrawLightBounds,
+            draw_bounding_boxes=self.gfx.bDrawBoundingBoxes)
         self.scene_buffers = buffers
         self.cameras = cameras
         self.lights = lights

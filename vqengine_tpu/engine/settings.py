@@ -28,6 +28,8 @@ class FGraphicsSettings:
     EnvironmentMapResolution: int = 512
     bAmbientOcclusion: bool = True      # FFX-CACAO-class SSAO
     bMotionVectors: bool = False
+    bDrawLightBounds: bool = True       # light gizmo meshes (Unlit.hlsl)
+    bDrawBoundingBoxes: bool = False    # wireframe AABBs (F-key toggle)
 
 
 @dataclass
@@ -127,3 +129,18 @@ def load_environment_map_presets(data_dir: str | Path) -> dict[str, dict[str, st
     if not p.is_file():
         return {}
     return {k: dict(v) for k, v in parse_ini(p).items() if k}
+
+
+def load_hdr_display_profiles(data_dir: str | Path) -> dict[str, dict[str, float]]:
+    """Parse HDRDisplayProfiles.ini: monitor name -> {MinBrightness,
+    MaxBrightness} (reference Data/HDRDisplayProfiles.ini; drives the
+    tonemapper's DisplayReferenceBrightnessLevel)."""
+    p = Path(data_dir) / "HDRDisplayProfiles.ini"
+    if not p.is_file():
+        return {}
+    out = {}
+    for name, kv in parse_ini(p).items():
+        if not name:
+            continue
+        out[name] = {k: float(v) for k, v in kv.items()}
+    return out

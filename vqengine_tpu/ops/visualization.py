@@ -52,11 +52,11 @@ def visualize(mode: int, ldr: jnp.ndarray, depth: jnp.ndarray | None = None,
         m = jnp.clip(motion * 8.0 + 0.5, 0.0, 1.0)
         return jnp.concatenate([m, jnp.full_like(m[..., :1], 0.5)], axis=-1)
     if mode == DRAW_MODE_OBJECT_ID and object_id is not None:
-        # hash ids to colors
-        oid = jnp.maximum(object_id, 0)
-        r = ((oid * 2654435761) % 255).astype(jnp.float32) / 255.0
-        g = ((oid * 40503) % 255).astype(jnp.float32) / 255.0
-        b = ((oid * 69069) % 255).astype(jnp.float32) / 255.0
+        # hash ids to colors (uint32 to avoid int32 literal overflow)
+        oid = jnp.maximum(object_id, 0).astype(jnp.uint32)
+        r = ((oid * np.uint32(2654435761)) % 255).astype(jnp.float32) / 255.0
+        g = ((oid * np.uint32(40503)) % 255).astype(jnp.float32) / 255.0
+        b = ((oid * np.uint32(69069)) % 255).astype(jnp.float32) / 255.0
         bg = object_id < 0
         return jnp.where(bg[..., None], 0.0, jnp.stack([r, g, b], axis=-1))
     return ldr

@@ -135,7 +135,8 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
 
 def assemble_scene(rep, builtin_meshes: dict[str, Mesh],
                    material_lib: dict[str, Material],
-                   gltf_loader=None):
+                   gltf_loader=None, draw_light_gizmos: bool = False,
+                   draw_bounding_boxes: bool = False):
     """rep: FSceneRepresentation. Returns (SceneBuffers, cameras, lights)."""
     materials: list[Material] = [Material(name="__default__")]
     mat_index = {"__default__": 0}
@@ -186,7 +187,14 @@ def assemble_scene(rep, builtin_meshes: dict[str, Mesh],
                               mesh=mesh, transform=obj.transform.copy(),
                               material_id=mat_id, object_id=oid))
 
+    lights: list[Light] = rep.lights
+    if draw_light_gizmos:
+        from .debug_draw import light_gizmo_items
+        items.extend(light_gizmo_items(lights, materials))
+    if draw_bounding_boxes:
+        from .debug_draw import bounding_box_items
+        items.extend(bounding_box_items(items, materials))
+
     buffers = build_scene_buffers(items, materials)
     cameras = [Camera(p) for p in rep.cameras] or [Camera(FCameraParameters())]
-    lights: list[Light] = rep.lights
     return buffers, cameras, lights
