@@ -341,17 +341,34 @@ def _make_raster_kernel(sample_offsets: tuple):
                 triangles; edge/depth planes evaluate as [GROUP,3]x[3,NPX]
                 MXU contractions once at the pixel center; per-sample
                 coverage adds the per-record offset terms (e_x*dx + e_y*dy),
-                a cheap [GROUP,1] broadcast. Records are self-validating."""
-                def group_body(g, carry):
-                    cp = pltpu.make_async_copy(src_ref.at[g], buf, sem)
-                    cp.start()
-                    cp.wait()
+                a cheap [GROUP,1] broadcast. Records are self-validating.
+                Group DMA is double-buffered to overlap with compute."""
+                n_groups = g1 - g0
 
-                    b0 = jax.lax.dot_general(buf[0:3], p3, dn, preferred_element_type=jnp.float32)
-                    b1 = jax.lax.dot_general(buf[3:6], p3, dn, preferred_element_type=jnp.float32)
-                    b2 = jax.lax.dot_general(buf[6:9], p3, dn, preferred_element_type=jnp.float32)
-                    z = jax.lax.dot_general(buf[9:12], p3, dn, preferred_element_type=jnp.float32)
-                    ids = buf[12:13]
+                @pl.when(n_groups > 0)
+                def _():
+                    pltpu.make_async_copy(src_ref.at[g0], buf.at[0],
+                                          sem.at[0]).start()
+
+                def group_body(i, carry):
+                    g = g0 + i
+                    slot = jax.lax.rem(i, 2)
+                    nxt = jax.lax.rem(i + 1, 2)
+
+                    @pl.when(g + 1 < g1)
+                    def _():
+                        pltpu.make_async_copy(src_ref.at[g + 1], buf.at[nxt],
+                                              sem.at[nxt]).start()
+
+                    pltpu.make_async_copy(src_ref.at[g], buf.at[slot],
+                                          sem.at[slot]).wait()
+                    cur = buf.at[slot]
+
+                    b0 = jax.lax.dot_general(cur[0:3], p3, dn, preferred_element_type=jnp.float32)
+                    b1 = jax.lax.dot_general(cur[3:6], p3, dn, preferred_element_type=jnp.float32)
+                    b2 = jax.lax.dot_general(cur[6:9], p3, dn, preferred_element_type=jnp.float32)
+                    z = jax.lax.dot_general(cur[9:12], p3, dn, preferred_element_type=jnp.float32)
+                    ids = cur[12:13]
 
                     new = []
                     for s, (dx, dy) in enumerate(sample_offsets):
@@ -359,10 +376,10 @@ def _make_raster_kernel(sample_offsets: tuple):
                         if dx == 0.0 and dy == 0.0:
                             b0s, b1s, b2s, zs = b0, b1, b2, z
                         else:
-                            o0 = buf[0:1] * dx + buf[1:2] * dy   # [1, GROUP]
-                            o1 = buf[3:4] * dx + buf[4:5] * dy
-                            o2 = buf[6:7] * dx + buf[7:8] * dy
-                            oz = buf[9:10] * dx + buf[10:11] * dy
+                            o0 = cur[0:1] * dx + cur[1:2] * dy   # [1, GROUP]
+                            o1 = cur[3:4] * dx + cur[4:5] * dy
+                            o2 = cur[6:7] * dx + cur[7:8] * dy
+                            oz = cur[9:10] * dx + cur[10:11] * dy
                             # broadcast [1,GROUP] offsets onto [GROUP,NPX]
                             b0s = b0 + jnp.broadcast_to(o0.T, (GROUP, NPX))
                             b1s = b1 + jnp.broadcast_to(o1.T, (GROUP, NPX))
@@ -379,7 +396,7 @@ def _make_raster_kernel(sample_offsets: tuple):
                                     jnp.where(upd, idsel, idbuf)))
                     return tuple(new)
 
-                return jax.lax.fori_loop(g0, g1, group_body, carry)
+                return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
             init = tuple((jnp.full((1, NPX), 1.0, dtype=jnp.float32),
                           jnp.full((1, NPX), jnp.float32(BG_ID)))
@@ -437,8 +454,8 @@ def rasterize(binned: BinnedTriangles, width: int, height: int,
         ],
         out_specs=[out_spec] * (2 * ns),
         scratch_shapes=[
-            pltpu.VMEM((PAIR_ROWS, GROUP), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, PAIR_ROWS, GROUP), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     outs = pallas_call(
