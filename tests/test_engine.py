@@ -15,6 +15,8 @@ def make_engine(scene="HelloCube", w=96, h=64, **flags):
     e = VQEngineTPU(startup=parse_command_line(args))
     e.gfx.bAmbientOcclusion = False
     e.gfx.bAntiAliasing = False
+    e.gfx.bDrawLightBounds = False  # keep picking tests deterministic
+    e.gfx.Reflections = 0
     return e
 
 

@@ -205,7 +205,8 @@ class VQEngineTPU:
         # Source/Scenes/*.cpp): procedural objects + update hooks
         from ..scene.scenes import augment_scene
         self.scene_update_hook = augment_scene(
-            rep.name, rep, self.material_lib, self.builtin_meshes)
+            rep.name, rep, self.material_lib, self.builtin_meshes,
+            data_dirs=self.data_dirs)
         used_materials = {o.model.material_name for o in rep.objects
                           if o.model.material_name}
         self._resolve_material_textures(used_materials)

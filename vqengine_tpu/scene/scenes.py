@@ -227,9 +227,73 @@ def augment_terrain(rep: FSceneRepresentation, material_lib: dict,
                 name="Terrain")
 
 
+def augment_sponza_substitute(rep: FSceneRepresentation, material_lib: dict,
+                              data_dirs=()) -> None:
+    """When the Sponza glTF isn't on disk (the reference downloads it via
+    a script), stand in a procedural colonnade hall of comparable structure
+    (floor, walls, two column rows, upper gallery) so the Sponza config
+    still exercises the full pipeline."""
+    from pathlib import Path
+    for obj in rep.objects:
+        if obj.model.path and any(
+                (Path(base).parent / obj.model.path).is_file()
+                for base in data_dirs or []):
+            return  # real model present; no substitute needed
+    # drop the unresolvable gltf objects; build the hall
+    rep.objects = [o for o in rep.objects if not o.model.path]
+
+    mats = {
+        "SponzaFloor": ((0.45, 0.40, 0.35), 0.75, 0.0),
+        "SponzaWall": ((0.55, 0.48, 0.40), 0.85, 0.0),
+        "SponzaColumn": ((0.50, 0.46, 0.42), 0.6, 0.0),
+        "SponzaTrim": ((0.35, 0.15, 0.12), 0.4, 0.0),
+        "SponzaBrass": ((0.8, 0.6, 0.25), 0.25, 1.0),
+    }
+    for name, (dif, rough, metal) in mats.items():
+        m = Material(name=name)
+        m.diffuse = np.asarray(dif, np.float32)
+        m.roughness = rough
+        m.metalness = metal
+        material_lib[name] = m
+
+    # real-Sponza world scale: the XML camera sits at (700, 170, -50)
+    # looking down -X, so the atrium must extend past |x| ~ 900
+    L, W_, H_ = 2000.0, 600.0, 360.0
+    _add_object(rep, "Cube", (0, -10, 0), (L / 2, 10, W_ / 2), "SponzaFloor", name="Floor")
+    _add_object(rep, "Cube", (0, H_ + 10, 0), (L / 2, 10, W_ / 2), "SponzaWall", name="Ceiling")
+    for sz in (-1, 1):
+        _add_object(rep, "Cube", (0, H_ / 2, sz * W_ / 2), (L / 2, H_ / 2, 10),
+                    "SponzaWall", name=f"WallZ{sz}")
+    for sx in (-1, 1):
+        _add_object(rep, "Cube", (sx * L / 2, H_ / 2, 0), (10, H_ / 2, W_ / 2),
+                    "SponzaWall", name=f"WallX{sx}")
+    # column rows with plinths and capitals (two colonnades)
+    n_cols = 12
+    col_h = 110.0
+    for i in range(n_cols):
+        x = -L / 2 + (i + 0.5) * (L / n_cols)
+        for sz in (-1, 1):
+            z = sz * (W_ / 2 - 110.0)
+            _add_object(rep, "Cube", (x, 10, z), (24, 10, 24),
+                        "SponzaTrim", name=f"Plinth{i}{sz}")
+            _add_object(rep, "Cylinder", (x, 20 + col_h / 2, z),
+                        (15, col_h / 6, 15), "SponzaColumn",
+                        name=f"Column{i}{sz}")
+            _add_object(rep, "Cube", (x, 30 + col_h, z), (26, 10, 26),
+                        "SponzaTrim", name=f"Capital{i}{sz}")
+    # upper gallery ledges
+    for sz in (-1, 1):
+        _add_object(rep, "Cube", (0, 50 + col_h, sz * (W_ / 2 - 110.0)),
+                    (L / 2, 10, 55), "SponzaFloor", name=f"Gallery{sz}")
+    # centerpiece spheres (the lion-head stand-ins)
+    for i, x in enumerate((-300.0, 0.0, 300.0)):
+        _add_object(rep, "Sphere", (x, 50.0, 0), (40, 40, 40),
+                    "SponzaBrass", name=f"Centerpiece{i}")
+
+
 # registry: scene name -> augmentation; returns optional update hook
 def augment_scene(name: str, rep: FSceneRepresentation, material_lib: dict,
-                  builtin_meshes):
+                  builtin_meshes, data_dirs=()):
     if name == "EnvironmentMapUnitTest":
         augment_environment_map_unit_test(rep, material_lib)
         return None
@@ -237,5 +301,8 @@ def augment_scene(name: str, rep: FSceneRepresentation, material_lib: dict,
         return augment_stress_test(rep, material_lib)
     if name == "Terrain":
         augment_terrain(rep, material_lib, builtin_meshes)
+        return None
+    if name == "Sponza":
+        augment_sponza_substitute(rep, material_lib, data_dirs)
         return None
     return None
