@@ -312,7 +312,8 @@ class VQEngineTPU:
             textures=self.texture_arrays,
             msaa=self.gfx.bAntiAliasing,
             enable_ssr=bool(self.gfx.Reflections),
-            ssr_history=self._ssr_history)
+            ssr_history=self._ssr_history,
+            render_scale=self.gfx.RenderScale)
         self._ssr_history = self._last_output.ssr_history
         return self._last_output
 

@@ -354,7 +354,10 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    textures: tuple | None = None,
                    msaa: bool = False,
                    enable_ssr: bool = False,
-                   ssr_history: jnp.ndarray | None = None):
+                   ssr_history: jnp.ndarray | None = None,
+                   out_width: int | None = None,
+                   out_height: int | None = None,
+                   cas_sharpness: float | None = None):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> tonemap. Returns a dict with ldr [H,W,3],
     depth [H,W], tri_id [H,W], object_id [H,W], and optionally ao /
@@ -465,6 +468,17 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             mat["albedo"], n, v)
         hdr = jnp.where(mask[..., None], hdr_refl, hdr)
     ldr = pp.tonemap(hdr, output_display_curve, apply_gamma=apply_gamma)
+
+    # post chain tail (SceneRendering.cpp:2507-2788): CAS, then FSR1
+    # upscale when rendering below display resolution (RenderScale < 1;
+    # the HDR path skips FSR like the reference)
+    from ..ops import ffx
+    if cas_sharpness is not None:
+        ldr = ffx.cas(ldr, cas_sharpness)
+    if (out_width is not None and out_height is not None
+            and (out_width != width or out_height != height)
+            and output_display_curve != cs.DISPLAY_CURVE_ST2084):
+        ldr = ffx.fsr1(ldr, out_height, out_width)
 
     out = {"ldr": ldr, "depth": depth, "tri_id": tri_id,
            "object_id": jnp.where(mask, mat["object_id"], -1)}

@@ -70,7 +70,9 @@ class VQRendererTPU:
                        has_env: bool = False, enable_ssao: bool = False,
                        enable_motion: bool = False,
                        has_textures: bool = False, msaa: bool = False,
-                       enable_ssr: bool = False, has_ssr_history: bool = False):
+                       enable_ssr: bool = False, has_ssr_history: bool = False,
+                       render_scale: float = 1.0,
+                       cas_sharpness: float | None = None):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
@@ -78,10 +80,14 @@ class VQRendererTPU:
                            shadow_ops.DIRECTIONAL_SHADOW_DIM)
         key = (width, height, curve, gamma, enable_shadows, shadow_dims,
                has_env, enable_ssao, enable_motion, has_textures, msaa,
-               enable_ssr, has_ssr_history)
+               enable_ssr, has_ssr_history, render_scale, cas_sharpness)
         fn = self._render_fns.get(key)
         if fn is None:
-            kwargs = dict(width=width, height=height,
+            rw = max(64, int(width * render_scale)) if render_scale != 1.0 else width
+            rh = max(64, int(height * render_scale)) if render_scale != 1.0 else height
+            kwargs = dict(width=rw, height=rh,
+                          out_width=width, out_height=height,
+                          cas_sharpness=cas_sharpness,
                           output_display_curve=curve, apply_gamma=gamma,
                           enable_shadows=enable_shadows,
                           shadow_dims=shadow_dims, enable_ssao=enable_ssao,
@@ -189,7 +195,9 @@ class VQRendererTPU:
                textures: tuple | None = None,
                msaa: bool = False,
                enable_ssr: bool = False,
-               ssr_history=None) -> FrameOutput:
+               ssr_history=None,
+               render_scale: float = 1.0,
+               cas_sharpness: float | None = None) -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
         fn = self._get_render_fn(width, height, curve, True,
@@ -199,7 +207,9 @@ class VQRendererTPU:
                                  enable_motion=enable_motion,
                                  has_textures=textures is not None,
                                  msaa=msaa, enable_ssr=enable_ssr,
-                                 has_ssr_history=ssr_history is not None)
+                                 has_ssr_history=ssr_history is not None,
+                                 render_scale=render_scale,
+                                 cas_sharpness=cas_sharpness)
         t0 = time.perf_counter()
         out = fn(self._scene, consts, env, textures, ssr_history)
         ldr = out["ldr"]
