@@ -511,15 +511,18 @@ def msaa_resolve_visibility(depth_s: jnp.ndarray, tri_id_s: jnp.ndarray):
 def resolve_attributes(tri_id: jnp.ndarray, setup: TriangleSetup,
                        indices: jnp.ndarray,
                        attributes: dict[str, jnp.ndarray],
-                       y_offset: jnp.ndarray | int = 0):
+                       y_offset: jnp.ndarray | int = 0,
+                       tri_features: dict[str, jnp.ndarray] | None = None):
     """tri_id [H,W] int32, setup from setup_triangles, indices [T,3],
-    attributes name -> [V, D]. Returns (dict name -> [H,W,D], mask [H,W]).
+    attributes name -> [V, D] (interpolated), tri_features name -> [T, D]
+    (per-triangle, selected not blended — e.g. the material row).
+    Returns (dict name -> [H,W,D], mask [H,W]).
 
     Gather strategy: all per-triangle resolve data (edge rows, vertex
-    conditioning scales, and the three vertices' attribute values) packs
-    into ONE [T, R] table built with cheap per-triangle gathers, so the
-    expensive per-pixel step is a single row gather — TPU gathers are
-    latency-bound, not bandwidth-bound."""
+    conditioning scales, the three vertices' attribute values, AND any
+    per-triangle features) packs into ONE [T, R] table built with cheap
+    per-triangle gathers, so the expensive per-pixel step is a single row
+    gather — TPU gathers are latency-bound, not bandwidth-bound."""
     h, w = tri_id.shape
     mask = tri_id != BG_ID
     sid = jnp.maximum(tri_id, 0)
@@ -535,6 +538,12 @@ def resolve_attributes(tri_id: jnp.ndarray, setup: TriangleSetup,
         parts.append(av.reshape(t, 3 * d))
         layout.append((name, off, d))
         off += 3 * d
+    feat_layout = []
+    for name, f in (tri_features or {}).items():
+        d = f.shape[-1]
+        parts.append(f.astype(jnp.float32))
+        feat_layout.append((name, off, d))
+        off += d
     table = jnp.concatenate(parts, axis=1)          # [T, R]
 
     rows = table[sid]                                # [H, W, R] — THE gather
@@ -555,6 +564,8 @@ def resolve_attributes(tri_id: jnp.ndarray, setup: TriangleSetup,
     for name, off0, d in layout:
         av = rows[..., off0:off0 + 3 * d].reshape(*rows.shape[:-1], 3, d)
         out[name] = (lam[..., None] * av).sum(axis=-2)
+    for name, off0, d in feat_layout:
+        out[name] = rows[..., off0:off0 + d]
     return out, mask
 
 

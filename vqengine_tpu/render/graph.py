@@ -185,9 +185,15 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
     else:
         depth, tri_id = raster.rasterize(binned, width, height)
 
+    # fold the per-triangle material row + ids into the resolve table so
+    # the whole G-buffer costs ONE per-pixel gather
+    mrow_t = scene.materials[scene.item_material[scene.tri_item]]
+    ids_t = jnp.stack([scene.item_object[scene.tri_item].astype(jnp.float32),
+                       scene.tri_item.astype(jnp.float32)], axis=1)
     attrs, mask = raster.resolve_attributes(
         tri_id, setup, scene.indices,
-        {"wpos": wpos, "wnrm": wnrm, "wtan": wtan, "uv": scene.uvs})
+        {"wpos": wpos, "wnrm": wnrm, "wtan": wtan, "uv": scene.uvs},
+        tri_features={"mrow": mrow_t, "ids": ids_t})
     return depth, tri_id, attrs, mask, coverage
 
 
@@ -195,17 +201,28 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
                   uv: jnp.ndarray | None = None,
                   wnrm: jnp.ndarray | None = None,
                   wtan: jnp.ndarray | None = None,
-                  textures: tuple | None = None):
+                  textures: tuple | None = None,
+                  mrow: jnp.ndarray | None = None,
+                  ids: jnp.ndarray | None = None):
     """Per-pixel material fetch + texture sampling — the PSMain material
     block (ForwardLighting.hlsl:226-277): per-slot Has*Map tests gate
     sampled values; albedo/emissive decode sRGB; ORM packs
-    occlusion/roughness/metalness; normal maps perturb via TBN."""
+    occlusion/roughness/metalness; normal maps perturb via TBN.
+
+    mrow/ids come pre-gathered from the combined resolve table when
+    available (one gather per pixel); else fetched here."""
     from ..ops import colorspace as cs_ops
     from ..ops import texture as tex_ops
 
-    item = scene.tri_item[jnp.maximum(tri_id, 0)]           # [H,W]
-    mid = scene.item_material[item]
-    mrow = scene.materials[mid]                             # [H,W,32]
+    if mrow is None or ids is None:
+        item = scene.tri_item[jnp.maximum(tri_id, 0)]       # [H,W]
+        mid = scene.item_material[item]
+        mrow = scene.materials[mid]                         # [H,W,32]
+        object_id = scene.item_object[item]
+        item_id = item
+    else:
+        object_id = ids[..., 0].astype(jnp.int32)
+        item_id = ids[..., 1].astype(jnp.int32)
     out = {
         "albedo": mrow[..., 0:3],
         "emissive": mrow[..., 4:7] * mrow[..., 7:8],
@@ -213,8 +230,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
         "metalness": mrow[..., 13],
         "local_ao": jnp.ones_like(mrow[..., 0]),
         "normal": wnrm,
-        "object_id": scene.item_object[item],
-        "item_id": item,
+        "object_id": object_id,
+        "item_id": item_id,
     }
     if textures is None or uv is None:
         return out
@@ -369,7 +386,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
     wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-9)
     wt = attrs["wtan"]
     mat = material_pass(scene, tri_id, uv=attrs["uv"], wnrm=wn, wtan=wt,
-                        textures=textures)
+                        textures=textures,
+                        mrow=attrs.get("mrow"), ids=attrs.get("ids"))
     n = mat["normal"] if mat.get("normal") is not None else wn
 
     ao_map = None
