@@ -480,5 +480,18 @@ class VQEngineTPU:
         frame_path = out_dir / f"{self.scene_name}_frame{self.num_ticks:04d}.png"
         write_png(frame_path, img)
         log.info(f"wrote {frame_path}")
+        if self.gfx.bHDR:
+            # HDR10 output path: the swapchain-format analog — also dump an
+            # ST2084-encoded frame (SwapChain.h:76-99 color-space handling)
+            cam = self.cameras[self.active_camera]
+            consts = self.renderer.build_frame_constants(
+                self.scene_buffers, cam, self.lights)
+            hdr_out = self.renderer.render(
+                consts, self.settings.Width, self.settings.Height,
+                hdr10=True, env=self.environment,
+                textures=self.texture_arrays)
+            hdr_path = out_dir / f"{self.scene_name}_hdr10.png"
+            write_png(hdr_path, np.asarray(hdr_out.ldr))
+            log.info(f"wrote {hdr_path} (ST2084/PQ encoded)")
         self.state = EAppState.EXITING
         return 0
