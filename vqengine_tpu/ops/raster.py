@@ -156,9 +156,12 @@ def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray,
     )
 
 
-def _pack_records(setup: TriangleSetup) -> jnp.ndarray:
-    """[T, PAIR_ROWS] f32 records: e0(3) | e1(3) | e2(3) | dp(3) |
-    tri_id(1, exact float up to 2^24) | pad(3).
+def _pack_records(setup: TriangleSetup,
+                  extra: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[T, R] f32 records: e0(3) | e1(3) | e2(3) | dp(3) | tri_id(1, exact
+    float up to 2^24) | s(3 vertex conditioning scales) | extra columns
+    (G-buffer mode: per-vertex attributes + material row), padded to a
+    multiple of 8 rows.
 
     dp is the pre-combined depth plane (sum_i zc_i * e_i) so the kernel
     evaluates z_ndc with a single plane equation.
@@ -171,30 +174,35 @@ def _pack_records(setup: TriangleSetup) -> jnp.ndarray:
     t = setup.edges.shape[0]
     tid = jnp.arange(t, dtype=jnp.float32)
     dp = jnp.einsum("tk,tkj->tj", setup.zc, setup.edges)
-    pad = jnp.zeros((t, 3), dtype=jnp.float32)
-    rec = jnp.concatenate(
-        [setup.edges.reshape(t, 9).astype(jnp.float32),
-         dp.astype(jnp.float32), tid[:, None], pad], axis=1)
-    return jnp.where(setup.valid[:, None], rec, _killed_record())
+    parts = [setup.edges.reshape(t, 9).astype(jnp.float32),
+             dp.astype(jnp.float32), tid[:, None],
+             setup.vert_scale.astype(jnp.float32)]
+    if extra is not None:
+        parts.append(extra.astype(jnp.float32))
+    rec = jnp.concatenate(parts, axis=1)
+    rows = cdiv(rec.shape[1], 8) * 8
+    if rows > rec.shape[1]:
+        rec = jnp.pad(rec, ((0, 0), (0, rows - rec.shape[1])))
+    return jnp.where(setup.valid[:, None], rec, _killed_record(rows))
 
 
-def _killed_record() -> jnp.ndarray:
-    k = np.zeros((PAIR_ROWS,), dtype=np.float32)
+def _killed_record(rows: int = PAIR_ROWS) -> jnp.ndarray:
+    k = np.zeros((rows,), dtype=np.float32)
     k[2] = -1.0  # e0 = (0, 0, -1): b0 == -1 everywhere -> never covered
     k[12] = float(BG_ID)
     return jnp.asarray(k)
 
 
 def _group_blocks(records: jnp.ndarray) -> jnp.ndarray:
-    """[P, PAIR_ROWS] -> lane-aligned group blocks [NG, PAIR_ROWS, GROUP],
-    padding the tail with killed records."""
-    p = records.shape[0]
+    """[P, R] -> lane-aligned group blocks [NG, R, GROUP], padding the
+    tail with killed records."""
+    p, rows = records.shape
     ng = max(1, cdiv(p, GROUP))
     pad = ng * GROUP - p
     if pad:
         records = jnp.concatenate(
-            [records, jnp.broadcast_to(_killed_record(), (pad, PAIR_ROWS))], axis=0)
-    return records.reshape(ng, GROUP, PAIR_ROWS).transpose(0, 2, 1)
+            [records, jnp.broadcast_to(_killed_record(rows), (pad, rows))], axis=0)
+    return records.reshape(ng, GROUP, rows).transpose(0, 2, 1)
 
 
 # ===========================================================================
@@ -214,7 +222,8 @@ class BinnedTriangles:
 
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
                   k_max: int = K_MAX_DEFAULT,
-                  pair_capacity: int | None = None) -> BinnedTriangles:
+                  pair_capacity: int | None = None,
+                  extra: jnp.ndarray | None = None) -> BinnedTriangles:
     """Tile binning via compact-scatter + one fused-key sort.
 
     Pair keys fuse (tile << 22) | tri into one uint32 so a single payload-
@@ -233,10 +242,14 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     assert nt <= 1024, f"too many tiles ({nt}) for the 10-bit fused key"
     assert t < (1 << 22) - 1, f"too many triangles ({t}) for the fused key"
     if pair_capacity is None:
-        pair_capacity = max(GROUP, min(t * 4, 4 * 1024 * 1024))
+        # sort + record-gather cost scales with CAPACITY (sentinel rows
+        # included), so keep it tight: T is already bucket-padded ~1.3-2x
+        # above the live triangle count, and live triangles average ~1.3
+        # covered tiles, so cap = T gives ~2.5x headroom per real triangle.
+        pair_capacity = max(GROUP, min(t, 4 * 1024 * 1024))
     cap = cdiv(pair_capacity, GROUP) * GROUP
 
-    records = _pack_records(setup)
+    records = _pack_records(setup, extra)
 
     tx0, ty0 = setup.tile_lo[:, 0], setup.tile_lo[:, 1]
     tx1, ty1 = setup.tile_hi[:, 0], setup.tile_hi[:, 1]
@@ -275,7 +288,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     # round segment bounds out to whole groups.
     pair_records = jnp.where((sorted_tids < nt)[:, None],
                              records[jnp.minimum(tri_of_pair, t - 1)],
-                             _killed_record())
+                             _killed_record(records.shape[1]))
     pairs = _group_blocks(pair_records)
 
     starts = jnp.searchsorted(sorted_tids, jnp.arange(nt + 1, dtype=jnp.int32),
@@ -285,7 +298,8 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     gorder = jnp.argsort(jnp.where(big, 0, 1).astype(jnp.int32))
     gids = gorder[:GLOBAL_CAP]
     gcount = jnp.minimum(big.sum(dtype=jnp.int32), GLOBAL_CAP)
-    grecords = jnp.where(big[gids][:, None], records[gids], _killed_record())
+    grecords = jnp.where(big[gids][:, None], records[gids],
+                         _killed_record(records.shape[1]))
     gpairs = _group_blocks(grecords)
     gmeta = jnp.stack([gcount, jnp.asarray(tiles_x, jnp.int32)])
 
@@ -420,6 +434,210 @@ def _make_raster_kernel(sample_offsets: tuple):
 
 _raster_kernel_center = _make_raster_kernel(((0.0, 0.0),))
 _raster_kernel_msaa4 = _make_raster_kernel(MSAA4_OFFSETS)
+
+
+# ===========================================================================
+# G-buffer raster kernel: interpolates shading attributes in-kernel.
+#
+# Per-pixel gathers on TPU cost ~1 element/cycle (a [2M]x[T,48] row gather
+# measured 137 ms), so the visibility-buffer + resolve-gather design pays
+# hundreds of ms. Instead, records carry the per-vertex shading attributes
+# and the kernel selects + interpolates the winner's attributes with ONE
+# extra [R_sel, GROUP] x [GROUP, NPX] MXU dot per group — the only per-pixel
+# "gather" left is the systolic array doing one-hot selection.
+#
+# Record layout (GBUF_ROWS = 48):
+#   0-8   e rows        9-11  dp        12  tri id     13-15 vert scales
+#   16-23 v0 attrs (nrm3 tan3 uv2)
+#   24-31 v1 attrs      32-39 v2 attrs
+#   40    material id   41    object id  42  item id   43-47 pad
+# ===========================================================================
+
+GBUF_ROWS = 48
+GBUF_VATTR = 8       # per-vertex attr floats: nrm(3) tan(3) uv(2)
+# kernel gbuf output channels: nrm(3) tan(3) uv(2) mid obj item = 11 -> pad 16
+GBUF_OUT = 16
+
+
+def pack_gbuf_extra(normals_w: jnp.ndarray, tangents_w: jnp.ndarray,
+                    uvs: jnp.ndarray, indices: jnp.ndarray,
+                    tri_mid: jnp.ndarray, tri_obj: jnp.ndarray,
+                    tri_item: jnp.ndarray) -> jnp.ndarray:
+    """Build the extra record columns for the G-buffer kernel:
+    [T, 3*GBUF_VATTR + 3]."""
+    t = indices.shape[0]
+    va = jnp.concatenate([normals_w, tangents_w, uvs], axis=1)   # [V, 8]
+    pv = va[indices]                                             # [T, 3, 8]
+    return jnp.concatenate(
+        [pv.reshape(t, 3 * GBUF_VATTR),
+         tri_mid.astype(jnp.float32)[:, None],
+         tri_obj.astype(jnp.float32)[:, None],
+         tri_item.astype(jnp.float32)[:, None]], axis=1)
+
+
+def _make_gbuf_kernel():
+    def kernel(starts_ref, gmeta_ref,            # scalar prefetch (SMEM)
+               pairs_ref, gpairs_ref,            # HBM residents
+               depth_ref, id_ref, gbuf_ref,      # outs
+               buf, sem):                        # scratch [2, GBUF_ROWS, GROUP]
+        blk = pl.program_id(0)
+        tiles_x = gmeta_ref[1]
+        sublane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, NPX), 0)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, NPX), 1)
+        dn = (((0,), (0,)), ((), ()))
+
+        def tile_body(t, _):
+            tile = blk * TILES_PER_BLOCK + t
+            ty = tile // tiles_x
+            tx = tile % tiles_x
+            px = (lin % TILE_W).astype(jnp.float32) + (tx * TILE_W).astype(jnp.float32) + 0.5
+            py = (lin // TILE_W).astype(jnp.float32) + (ty * TILE_H).astype(jnp.float32) + 0.5
+            p3 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)
+
+            def stream(src_ref, g0, g1, carry):
+                n_groups = g1 - g0
+
+                @pl.when(n_groups > 0)
+                def _():
+                    pltpu.make_async_copy(src_ref.at[g0], buf.at[0],
+                                          sem.at[0]).start()
+
+                def group_body(i, carry):
+                    depth, idbuf, gbuf = carry
+                    g = g0 + i
+                    slot = jax.lax.rem(i, 2)
+                    nxt = jax.lax.rem(i + 1, 2)
+
+                    @pl.when(g + 1 < g1)
+                    def _():
+                        pltpu.make_async_copy(src_ref.at[g + 1], buf.at[nxt],
+                                              sem.at[nxt]).start()
+                    pltpu.make_async_copy(src_ref.at[g], buf.at[slot],
+                                          sem.at[slot]).wait()
+                    cur = buf.at[slot]
+
+                    b0 = jax.lax.dot_general(cur[0:3], p3, dn, preferred_element_type=jnp.float32)
+                    b1 = jax.lax.dot_general(cur[3:6], p3, dn, preferred_element_type=jnp.float32)
+                    b2 = jax.lax.dot_general(cur[6:9], p3, dn, preferred_element_type=jnp.float32)
+                    z = jax.lax.dot_general(cur[9:12], p3, dn, preferred_element_type=jnp.float32)
+                    cover = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & (z >= 0.0)
+                    zm = jnp.where(cover, z, 2.0)
+                    zmin = jnp.min(zm, axis=0, keepdims=True)
+                    amin = jnp.argmin(zm, axis=0).astype(jnp.int32)[None, :]
+                    onehot = (sublane == amin).astype(jnp.float32)
+
+                    # winner's perspective barycentrics: w_i = b_i * s_i
+                    s0 = jnp.broadcast_to(cur[13:14].T, (GROUP, NPX))
+                    s1 = jnp.broadcast_to(cur[14:15].T, (GROUP, NPX))
+                    s2 = jnp.broadcast_to(cur[15:16].T, (GROUP, NPX))
+                    l0 = jnp.sum(jnp.maximum(b0, 0.0) * s0 * onehot, axis=0,
+                                 keepdims=True)
+                    l1 = jnp.sum(jnp.maximum(b1, 0.0) * s1 * onehot, axis=0,
+                                 keepdims=True)
+                    l2 = jnp.sum(jnp.maximum(b2, 0.0) * s2 * onehot, axis=0,
+                                 keepdims=True)
+                    lsum = jnp.maximum(l0 + l1 + l2, 1e-30)
+                    l0, l1, l2 = l0 / lsum, l1 / lsum, l2 / lsum
+
+                    # ONE MXU dot selects the winner's record columns:
+                    # rows = id(1) | v0(8) | v1(8) | v2(8) | mid obj item
+                    sel = jnp.dot(cur[12:43], onehot,
+                                  preferred_element_type=jnp.float32)  # [31, NPX]
+                    idsel = sel[0:1]
+                    a0 = sel[4:12]
+                    a1 = sel[12:20]
+                    a2 = sel[20:28]
+                    misc = sel[28:31]                            # mid obj item
+                    interp = a0 * l0 + a1 * l1 + a2 * l2         # [8, NPX]
+                    new_gvals = jnp.concatenate(
+                        [interp, misc,
+                         jnp.zeros((GBUF_OUT - 11, NPX), jnp.float32)], axis=0)
+
+                    upd = zmin < depth
+                    return (jnp.where(upd, zmin, depth),
+                            jnp.where(upd, idsel, idbuf),
+                            jnp.where(upd, new_gvals, gbuf))
+
+                return jax.lax.fori_loop(0, n_groups, group_body, carry)
+
+            depth0 = jnp.full((1, NPX), 1.0, dtype=jnp.float32)
+            id0 = jnp.full((1, NPX), jnp.float32(BG_ID))
+            g0buf = jnp.zeros((GBUF_OUT, NPX), jnp.float32)
+
+            carry = stream(gpairs_ref, jnp.int32(0),
+                           pl.cdiv(gmeta_ref[0], GROUP), (depth0, id0, g0buf))
+            start = starts_ref[tile]
+            end = starts_ref[tile + 1]
+            depth, idbuf, gvals = stream(pairs_ref, start // GROUP,
+                                         pl.cdiv(end, GROUP), carry)
+
+            depth_ref[pl.ds(t, 1), :] = depth
+            id_ref[pl.ds(t, 1), :] = idbuf.astype(jnp.int32)
+            gbuf_ref[t, :, :] = gvals
+            return 0
+
+        jax.lax.fori_loop(0, TILES_PER_BLOCK, tile_body, 0)
+
+    return kernel
+
+
+_gbuf_kernel = _make_gbuf_kernel()
+
+
+def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int):
+    """G-buffer rasterization: -> (depth [H,W], tri_id [H,W],
+    gbuf [GBUF_OUT, H, W]) with channels
+    0-2 world normal | 3-5 world tangent | 6-7 uv | 8 material id |
+    9 object id | 10 item id. Records must be packed with pack_gbuf_extra.
+    """
+    tiles_x, tiles_y = binned.tiles_x, binned.tiles_y
+    nt = tiles_x * tiles_y
+    nblk = cdiv(nt, TILES_PER_BLOCK)
+    nt_pad = nblk * TILES_PER_BLOCK
+
+    starts = binned.starts
+    if nt_pad > nt:
+        starts = jnp.concatenate(
+            [starts, jnp.broadcast_to(starts[-1], (nt_pad - nt,))])
+
+    out_spec2d = pl.BlockSpec((TILES_PER_BLOCK, NPX), lambda blk, *_: (blk, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec3d = pl.BlockSpec((TILES_PER_BLOCK, GBUF_OUT, NPX),
+                              lambda blk, *_: (blk, 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[out_spec2d, out_spec2d, out_spec3d],
+        scratch_shapes=[
+            pltpu.VMEM((2, GBUF_ROWS, GROUP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, tri_id, gbuf = pallas_call(
+        _gbuf_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt_pad, NPX), jnp.float32),
+            jax.ShapeDtypeStruct((nt_pad, NPX), jnp.int32),
+            jax.ShapeDtypeStruct((nt_pad, GBUF_OUT, NPX), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(starts, binned.gmeta, binned.pairs, binned.gpairs)
+
+    def untile(a):
+        img = a[:nt].reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+        img = img.transpose(0, 2, 1, 3).reshape(tiles_y * TILE_H, tiles_x * TILE_W)
+        return img[:height, :width]
+
+    g = gbuf[:nt].reshape(tiles_y, tiles_x, GBUF_OUT, TILE_H, TILE_W)
+    g = g.transpose(2, 0, 3, 1, 4).reshape(GBUF_OUT, tiles_y * TILE_H,
+                                           tiles_x * TILE_W)
+    return untile(depth), untile(tri_id), g[:, :height, :width]
 
 
 def rasterize(binned: BinnedTriangles, width: int, height: int,

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import colorspace as cs
-from ..ops import culling, ibl, raster, shading, shadow, ssao as ssao_ops
+from ..ops import culling, ibl, palette, raster, shading, shadow
+from ..ops import ssao as ssao_ops
 from ..ops import postprocess as pp
 from ..ops import ssr as ssr_ops
 
@@ -151,17 +152,34 @@ class FrameConstants:
     dir_vp: jnp.ndarray            # [4, 4]
 
 
+def world_pos_from_depth(depth: jnp.ndarray, consts: FrameConstants,
+                         width: int, height: int) -> jnp.ndarray:
+    """Reconstruct world position from the depth buffer (projective
+    unproject via inv_view_proj) — replaces interpolating world positions,
+    which would cost 9 gathered columns per pixel."""
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    py = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    ndc_x = jnp.broadcast_to(px[None, :], (height, width))
+    ndc_y = jnp.broadcast_to(py[:, None], (height, width))
+    clip = jnp.stack([ndc_x, ndc_y, depth, jnp.ones_like(depth)], axis=-1)
+    wp = jnp.einsum("ij,hwj->hwi", consts.inv_view_proj, clip)
+    w = jnp.where(jnp.abs(wp[..., 3:4]) > 1e-12, wp[..., 3:4], 1e-12)
+    return wp[..., :3] / w
+
+
 def geometry_pass(scene: DeviceScene, consts: FrameConstants,
-                  width: int, height: int, msaa: bool = False):
-    """Vertex transform + cull/LOD + rasterize + resolve: produces the
-    interpolated G-buffer (the depth-pre-pass + attribute interpolation
-    stage; culling replaces Scene::CullFrustums, Scene.cpp:1272-1308).
+                  width: int, height: int, msaa: bool = False,
+                  use_gbuf: bool = True):
+    """Vertex transform + cull/LOD + rasterize: produces the interpolated
+    G-buffer (the depth-pre-pass + attribute interpolation stage; culling
+    replaces Scene::CullFrustums, Scene.cpp:1272-1308).
+
+    use_gbuf: interpolate attributes inside the raster kernel (one MXU
+    selection dot per group) instead of per-pixel resolve gathers, which
+    cost ~2.9 ms per gathered float column at 1080p. World position comes
+    from depth reconstruction. MSAA currently uses the resolve path.
     With msaa, rasterizes the D3D 4x pattern and resolves shading inputs
     on the majority sample (coverage returned for edge blending)."""
-    pos4 = jnp.concatenate(
-        [scene.positions, jnp.ones_like(scene.positions[:, :1])], axis=1)
-    world_v = consts.world[scene.item_of_vertex]            # [V,4,4]
-    wpos = jnp.einsum("vij,vj->vi", world_v, pos4)[:, :3]
     nrm_v = consts.normal_mats[scene.item_of_vertex]        # [V,3,3]
     wnrm = jnp.einsum("vij,vj->vi", nrm_v, scene.normals)
     wtan = jnp.einsum("vij,vj->vi", nrm_v, scene.tangents)
@@ -177,6 +195,32 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
                                            scene.item_of_vertex, wvp)
     setup = raster.setup_triangles(clip, scene.indices, width, height,
                                    tri_mask=tri_mask)
+
+    if use_gbuf and not msaa:
+        extra = raster.pack_gbuf_extra(
+            wnrm, wtan, scene.uvs, scene.indices,
+            scene.item_material[scene.tri_item],
+            scene.item_object[scene.tri_item], scene.tri_item)
+        binned = raster.bin_triangles(setup, width, height, extra=extra)
+        depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width, height)
+        mask = tri_id != raster.BG_ID
+        wpos = world_pos_from_depth(depth, consts, width, height)
+        attrs = {
+            "wpos": jnp.where(mask[..., None], wpos, 0.0),
+            "wnrm": jnp.moveaxis(gbuf[0:3], 0, -1),
+            "wtan": jnp.moveaxis(gbuf[3:6], 0, -1),
+            "uv": jnp.moveaxis(gbuf[6:8], 0, -1),
+            "mrow": palette.palette_lookup(
+                gbuf[8].astype(jnp.int32), scene.materials),
+            "ids": jnp.moveaxis(gbuf[9:11], 0, -1),
+        }
+        return depth, tri_id, attrs, mask, None
+
+    pos4 = jnp.concatenate(
+        [scene.positions, jnp.ones_like(scene.positions[:, :1])], axis=1)
+    world_v = consts.world[scene.item_of_vertex]            # [V,4,4]
+    wpos = jnp.einsum("vij,vj->vi", world_v, pos4)[:, :3]
+
     binned = raster.bin_triangles(setup, width, height)
     coverage = None
     if msaa:
