@@ -42,8 +42,15 @@ def _make_kernel(m: int, k: int):
 
 
 def palette_lookup(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    """idx [H, W] int32 (values in [0, M)), table [M, K] f32 ->
-    out [H, W, K]."""
+    """idx [...] int32 (values in [0, M)), table [M, K] f32 ->
+    out [..., K]. Any index shape; internally flattened to lane blocks."""
+    shape = idx.shape
+    if idx.ndim == 1:
+        out = palette_lookup(idx.reshape(1, -1), table)
+        return out.reshape(shape[0], table.shape[1])
+    if idx.ndim > 2:
+        out = palette_lookup(idx.reshape(1, -1), table)
+        return out.reshape(*shape, table.shape[1])
     h, w = idx.shape
     m, k = table.shape
     mp = max(8, -(-m // 8) * 8)

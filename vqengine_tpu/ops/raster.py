@@ -48,7 +48,7 @@ TILE_H = 32
 TILE_W = 128
 GROUP = 128           # triangles per DMA'd group block (one lane vector)
 PAIR_ROWS = 16        # rows per group block: e0(3) e1(3) e2(3) dp(3) id(1) pad(3)
-K_MAX_DEFAULT = 16    # max tiles a binned triangle may cover
+K_MAX_DEFAULT = 12    # max tiles a binned triangle may cover (4x3 of 32x128px)
 GLOBAL_CAP = 512      # capacity of the per-frame big-triangle list
 BG_ID = -1            # background triangle id
 
@@ -70,9 +70,13 @@ def transform_clip(positions: jnp.ndarray, mvp: jnp.ndarray) -> jnp.ndarray:
 def transform_clip_instanced(positions: jnp.ndarray, item_of_vertex: jnp.ndarray,
                              mvps: jnp.ndarray) -> jnp.ndarray:
     """positions [V,3], item_of_vertex [V] int32, mvps [N,4,4] -> clip [V,4].
-    The per-draw-item WVP gather replaces the reference's per-instance
-    constant-buffer indexing (ForwardLighting.hlsl:119-124)."""
-    m = mvps[item_of_vertex]                       # [V,4,4]
+    The per-draw-item WVP lookup replaces the reference's per-instance
+    constant-buffer indexing (ForwardLighting.hlsl:119-124); the matrix
+    fetch runs through the palette kernel (XLA row gathers cost ~1
+    element/cycle)."""
+    from .palette import palette_lookup
+    n = mvps.shape[0]
+    m = palette_lookup(item_of_vertex, mvps.reshape(n, 16)).reshape(-1, 4, 4)
     p = jnp.concatenate([positions, jnp.ones_like(positions[:, :1])], axis=1)
     return jnp.einsum("vij,vj->vi", m, p)
 

@@ -180,7 +180,10 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
     from depth reconstruction. MSAA currently uses the resolve path.
     With msaa, rasterizes the D3D 4x pattern and resolves shading inputs
     on the majority sample (coverage returned for edge blending)."""
-    nrm_v = consts.normal_mats[scene.item_of_vertex]        # [V,3,3]
+    n_items = consts.normal_mats.shape[0]
+    nrm_v = palette.palette_lookup(
+        scene.item_of_vertex, consts.normal_mats.reshape(n_items, 9)
+    ).reshape(-1, 3, 3)
     wnrm = jnp.einsum("vij,vj->vi", nrm_v, scene.normals)
     wtan = jnp.einsum("vij,vj->vi", nrm_v, scene.tangents)
 
