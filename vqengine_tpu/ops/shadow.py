@@ -145,6 +145,37 @@ def _cube_face_uv(d: jnp.ndarray):
     return face, uv
 
 
+def prefilter_esm(shadow_map: jnp.ndarray, c: float = 80.0,
+                  radius: int = 2) -> jnp.ndarray:
+    """Exponential shadow map prefilter: blur exp(c*d_occluder) so the
+    shading-time test needs ONE tap instead of 25 PCF taps (per-pixel
+    gathers cost ~3 ms per tap at 1080p on TPU). Returns log-space map
+    back (log of blurred exponential) for bounded storage."""
+    e = jnp.exp(jnp.clip(shadow_map, 0.0, 1.0) * c - c)  # normalized exp
+    def blur_axis(a, axis):
+        acc = jnp.zeros_like(a)
+        n = 0.0
+        for o in range(-radius, radius + 1):
+            acc = acc + jnp.roll(a, o, axis=axis)
+            n += 1.0
+        return acc / n
+    e = blur_axis(blur_axis(e, 0), 1)
+    return jnp.log(jnp.maximum(e, 1e-30)) / c + 1.0      # back to depth units
+
+
+def shadow_test_esm(wpos: jnp.ndarray, light_vp: jnp.ndarray,
+                    esm_map: jnp.ndarray, depth_bias: float,
+                    c: float = 80.0) -> jnp.ndarray:
+    """Single-tap exponential shadow test against a prefilter_esm map:
+    visibility = clamp(exp(c * (d_map - d_receiver + bias))). Softness
+    comes from the prefilter blur; out-of-frustum = 0 like the reference.
+    """
+    uv, z, inside = _project_to_light(wpos, light_vp)
+    closest = _fetch_nearest(esm_map, uv)
+    vis = jnp.exp(jnp.clip((closest - z + depth_bias) * c, -60.0, 0.0))
+    return jnp.where(inside, vis, 0.0)
+
+
 def omni_shadow_test_pcf(wpos: jnp.ndarray, light_pos: jnp.ndarray,
                          cube_maps: jnp.ndarray, far: float,
                          depth_bias: float, cam_pos: jnp.ndarray) -> jnp.ndarray:

@@ -330,7 +330,8 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
                 wpos: jnp.ndarray, normal: jnp.ndarray,
                 shadow_dims: tuple[int, int, int] = (
                     shadow.SPOT_SHADOW_DIM, shadow.POINT_SHADOW_DIM,
-                    shadow.DIRECTIONAL_SHADOW_DIM)):
+                    shadow.DIRECTIONAL_SHADOW_DIM),
+                filter_mode: str = "esm"):
     """Render every shadow caster's depth map and evaluate its PCF
     visibility over the main view (the reference's per-light shadow passes,
     SceneRendering.cpp:1114-1263, + the in-shader tests). Caster counts are
@@ -348,12 +349,17 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
                 scene.positions, scene.item_of_vertex, consts.world,
                 consts.spot_caster_vps[i], scene.indices, shadow_dims[0])
             lrow = consts.spot_casters[i]
-            wi = lrow[0:3] - wpos
-            wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-9)
-            ndotl = jnp.clip((normal * wi).sum(-1), 0.0, 1.0)
-            vis.append(shadow.shadow_test_pcf(
-                wpos, ndotl, consts.spot_caster_vps[i], dmap,
-                lrow[11], slope_scaled=True))
+            if filter_mode == "esm":
+                vis.append(shadow.shadow_test_esm(
+                    wpos, consts.spot_caster_vps[i],
+                    shadow.prefilter_esm(dmap), lrow[11]))
+            else:
+                wi = lrow[0:3] - wpos
+                wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-9)
+                ndotl = jnp.clip((normal * wi).sum(-1), 0.0, 1.0)
+                vis.append(shadow.shadow_test_pcf(
+                    wpos, ndotl, consts.spot_caster_vps[i], dmap,
+                    lrow[11], slope_scaled=True))
         spot_vis = jnp.stack(vis)
 
     point_vis = None
@@ -381,12 +387,17 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
         dmap = shadow.render_shadow_depth(
             scene.positions, scene.item_of_vertex, consts.world,
             consts.dir_vp[0], scene.indices, shadow_dims[2])
-        wi = -consts.directional[0:3]
-        wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-9)
-        ndotl = jnp.clip((normal * wi).sum(-1), 0.0, 1.0)
-        dir_vis = shadow.shadow_test_pcf(
-            wpos, ndotl, consts.dir_vp[0], dmap,
-            consts.directional[7], slope_scaled=False)
+        if filter_mode == "esm":
+            dir_vis = shadow.shadow_test_esm(
+                wpos, consts.dir_vp[0], shadow.prefilter_esm(dmap),
+                consts.directional[7])
+        else:
+            wi = -consts.directional[0:3]
+            wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-9)
+            ndotl = jnp.clip((normal * wi).sum(-1), 0.0, 1.0)
+            dir_vis = shadow.shadow_test_pcf(
+                wpos, ndotl, consts.dir_vp[0], dmap,
+                consts.directional[7], slope_scaled=False)
     return spot_vis, point_vis, dir_vis
 
 
@@ -421,7 +432,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    ssr_history: jnp.ndarray | None = None,
                    out_width: int | None = None,
                    out_height: int | None = None,
-                   cas_sharpness: float | None = None):
+                   cas_sharpness: float | None = None,
+                   shadow_filter: str = "esm"):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> tonemap. Returns a dict with ldr [H,W,3],
     depth [H,W], tri_id [H,W], object_id [H,W], and optionally ao /
@@ -439,10 +451,14 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
 
     ao_map = None
     if enable_ssao:
-        # FFX-CACAO-class AO from the depth pre-pass outputs
+        # FFX-CACAO-class AO from the depth pre-pass outputs, computed at
+        # half resolution like CACAO's default (per-pixel taps are gathers
+        # at ~1 element/cycle; half res quarters the cost) and upsampled
         info = {"near": consts.proj_params[0], "far": consts.proj_params[1],
                 "fov_y": consts.proj_params[2], "view": consts.view_matrix}
-        ao_map = ssao_ops.ssao(depth, n, info)
+        ao_half = ssao_ops.ssao(depth[::2, ::2], n[::2, ::2], info)
+        ao_map = jnp.repeat(jnp.repeat(ao_half, 2, axis=0), 2, axis=1)
+        ao_map = ao_map[:height, :width]
 
     motion = None
     if enable_motion_vectors:
@@ -468,7 +484,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
     if enable_shadows:
         spot_vis, point_vis, dir_vis = shadow_pass(scene, consts,
                                                    attrs["wpos"], n,
-                                                   shadow_dims)
+                                                   shadow_dims, shadow_filter)
 
     env_illum = None
     if env is not None:

@@ -72,7 +72,8 @@ class VQRendererTPU:
                        has_textures: bool = False, msaa: bool = False,
                        enable_ssr: bool = False, has_ssr_history: bool = False,
                        render_scale: float = 1.0,
-                       cas_sharpness: float | None = None):
+                       cas_sharpness: float | None = None,
+                       shadow_filter: str = "esm"):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
@@ -80,7 +81,8 @@ class VQRendererTPU:
                            shadow_ops.DIRECTIONAL_SHADOW_DIM)
         key = (width, height, curve, gamma, enable_shadows, shadow_dims,
                has_env, enable_ssao, enable_motion, has_textures, msaa,
-               enable_ssr, has_ssr_history, render_scale, cas_sharpness)
+               enable_ssr, has_ssr_history, render_scale, cas_sharpness,
+               shadow_filter)
         fn = self._render_fns.get(key)
         if fn is None:
             rw = max(64, int(width * render_scale)) if render_scale != 1.0 else width
@@ -88,6 +90,7 @@ class VQRendererTPU:
             kwargs = dict(width=rw, height=rh,
                           out_width=width, out_height=height,
                           cas_sharpness=cas_sharpness,
+                          shadow_filter=shadow_filter,
                           output_display_curve=curve, apply_gamma=gamma,
                           enable_shadows=enable_shadows,
                           shadow_dims=shadow_dims, enable_ssao=enable_ssao,
