@@ -1,15 +1,15 @@
-"""Benchmark: the Sponza-class stress frame at 1080p on one TPU chip.
+"""Benchmark: the Sponza stress frame at 1080p on one TPU chip with the
+full pipeline: directional shadow map (2048^2, ESM), half-res SSAO, IBL
+(procedural-sky environment), SSR + denoise, forward PBR, tonemap.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star (BASELINE.md): 16.6 ms/frame @1080p on one v5e chip.
 vs_baseline > 1.0 means faster than the target.
 
-The scene is a synthetic Sponza-scale stress load (the reference's Sponza
-glTF is not shipped in its tree): ~300k triangles across ~300 instanced
-objects (spheres/cubes/cylinders over a ground plane), full pipeline:
-device culling + LOD select, tile-binned rasterization, perspective-correct
-attribute resolve, forward PBR shading with the scene light budget
-(1 directional + point + spot lights), Reinhard tonemap + sRGB encode.
+Measurement notes (this environment's axon tunnel): block_until_ready acks
+early and XLA hoists loop-invariant work, so N frames run inside ONE jitted
+lax.scan over varying camera constants with full-frame checksums, timed by
+a single readback minus the measured readback floor.
 """
 from __future__ import annotations
 
@@ -19,60 +19,57 @@ import time
 import numpy as np
 
 
-def build_stress_scene():
-    from vqengine_tpu.render.scene_buffers import DrawItem, build_scene_buffers
+def build_sponza_stress():
+    """The Sponza-substitute colonnade + an instanced clutter cloud
+    (~300k triangles) + the reference light budget exercise."""
+    from vqengine_tpu.render.scene_buffers import assemble_scene
     from vqengine_tpu.scene.light import ELightType, Light
-    from vqengine_tpu.scene.material import Material
-    from vqengine_tpu.scene import mesh as meshmod
+    from vqengine_tpu.scene.mesh import build_builtin_meshes
+    from vqengine_tpu.scene.scenes import (_add_object,
+                                           augment_sponza_substitute)
+    from vqengine_tpu.scene.serialization import FSceneRepresentation
     from vqengine_tpu.utils import math3d as m3
 
     rng = np.random.default_rng(42)
-    sphere = meshmod.sphere(1.0, 30, 30, num_lods=5)
-    cube = meshmod.cube()
-    cylinder = meshmod.cylinder(3.0, 1.0, 1.0, 45, 6, num_lods=4)
-    grid = meshmod.grid(1.0, 1.0, 2, 2)
+    rep = FSceneRepresentation(name="SponzaStress")
+    material_lib = {}
+    augment_sponza_substitute(rep, material_lib)
 
-    materials = []
-    for i in range(12):
-        m = Material(name=f"m{i}")
+    # clutter cloud inside the atrium (instanced spheres/cubes, like the
+    # reference stress test populating Sponza)
+    from vqengine_tpu.scene.material import Material
+    for i in range(10):
+        m = Material(name=f"clutter{i}")
         m.diffuse = rng.uniform(0.2, 0.9, 3).astype(np.float32)
         m.roughness = float(rng.uniform(0.05, 0.95))
         m.metalness = float(i % 3 == 0)
-        materials.append(m)
+        material_lib[m.name] = m
+    for i in range(220):
+        mesh = "Sphere" if i % 2 == 0 else "Cube"
+        pos = (rng.uniform(-900, 900), rng.uniform(20, 250),
+               rng.uniform(-220, 220))
+        s = rng.uniform(8, 30)
+        _add_object(rep, mesh, pos, (s, s, s), f"clutter{rng.integers(0, 10)}",
+                    rotation=m3.quat_from_euler_xyz_degrees(
+                        *rng.uniform(0, 360, 3)),
+                    name=f"Clutter{i}")
 
-    items = [DrawItem("ground", grid,
-                      m3.Transform(position=np.array([0, -2, 0], np.float32),
-                                   scale=np.array([200, 1, 200], np.float32)),
-                      0, 0)]
-    meshes = [sphere, cube, cylinder]
-    n_objects = 300
-    for i in range(n_objects):
-        mesh = meshes[i % 3]
-        pos = np.array([rng.uniform(-40, 40), rng.uniform(-1.5, 8),
-                        rng.uniform(2, 80)], np.float32)
-        rot = m3.quat_from_euler_xyz_degrees(*rng.uniform(0, 360, 3))
-        scale = np.full(3, rng.uniform(0.4, 1.6), np.float32)
-        items.append(DrawItem(f"obj{i}", mesh,
-                              m3.Transform(pos, rot, scale),
-                              int(rng.integers(0, len(materials))), i + 1))
-
-    buffers = build_scene_buffers(items, materials)
-
-    lights = [Light(type=ELightType.DIRECTIONAL, brightness=1.2,
-                    rotation=m3.quat_from_euler_xyz_degrees(30, 0, 30))]
-    for i in range(8):
+    lights = [Light(type=ELightType.DIRECTIONAL, brightness=1.4,
+                    rotation=m3.quat_from_euler_xyz_degrees(35, 0, 25),
+                    casts_shadows=True, viewport_x=2200, viewport_y=2200,
+                    distance_from_origin=1500, shadow_near=1.0,
+                    shadow_far=4000.0, depth_bias=0.002)]
+    for i in range(6):
         lights.append(Light(
-            type=ELightType.POINT, brightness=150.0, range=40.0,
-            position=np.array([rng.uniform(-30, 30), 6,
-                               rng.uniform(5, 70)], np.float32),
+            type=ELightType.POINT, brightness=8000.0, range=400.0,
+            position=np.array([rng.uniform(-800, 800), 150,
+                               rng.uniform(-150, 150)], np.float32),
             color=rng.uniform(0.4, 1.0, 3).astype(np.float32)))
-    for i in range(4):
-        l = Light(type=ELightType.SPOT, brightness=800.0, range=60.0,
-                  inner_cone_deg=18.0, outer_cone_deg=26.0,
-                  position=np.array([rng.uniform(-20, 20), 12,
-                                     rng.uniform(10, 60)], np.float32),
-                  rotation=m3.quat_from_euler_xyz_degrees(90, 0, 0))
-        lights.append(l)
+    rep.lights = lights
+
+    builtin = build_builtin_meshes()
+    buffers, cameras, lights = assemble_scene(rep, builtin, material_lib,
+                                              draw_light_gizmos=True)
     return buffers, lights
 
 
@@ -80,50 +77,50 @@ def main() -> None:
     from vqengine_tpu.engine.engine import _enable_compilation_cache
     _enable_compilation_cache()
 
+    import functools
+
     import jax
+    import jax.numpy as jnp
+
+    from vqengine_tpu.ops.ibl import procedural_sky_equirect
     from vqengine_tpu.render import graph
     from vqengine_tpu.render.renderer import VQRendererTPU
     from vqengine_tpu.scene.camera import Camera, FCameraParameters
 
     width, height = 1920, 1080
-    buffers, lights = build_stress_scene()
+    buffers, lights = build_sponza_stress()
     scene = graph.upload_scene(buffers)
+    env = graph.build_environment(procedural_sky_equirect(512, 256))
 
     p = FCameraParameters()
-    p.position = np.array([0, 4, -6], np.float32)
-    p.pitch_deg = 5.0
-    p.fov_v_deg = 70.0
-    p.near_z = 0.1
-    p.far_z = 1000.0
+    p.position = np.array([700, 170, -50], np.float32)  # the Sponza.xml camera
+    p.pitch_deg = 15.0
+    p.yaw_deg = -90.0
+    p.fov_v_deg = 60.0
+    p.near_z, p.far_z = 0.5, 4000.0
     cam = Camera(p, aspect=width / height)
 
     renderer = VQRendererTPU()
-    consts = renderer.build_frame_constants(buffers, cam, lights)
 
-    import functools
-    import jax.numpy as jnp
-
-    # Measurement strategy for the remote-tunnel environment: dispatch-side
-    # timers and block_until_ready are unreliable (the tunnel acks early)
-    # and every host<->device readback costs ~30 ms of round-trip latency.
-    # So: run N frames inside ONE jitted lax.scan (true sequential device
-    # time, each frame fully materialized via a checksum reduction), force
-    # completion with a single readback, and subtract the independently
-    # measured readback floor.
     n = 16
     cam_list = []
     for i in range(n):
-        cam.yaw = 0.3 * np.sin(i * 0.1)
+        cam.yaw = -90.0 + 4.0 * np.sin(i * 0.15)
         cam_list.append(renderer.build_frame_constants(buffers, cam, lights))
     consts_batch = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *cam_list)
 
+    # static caster + static geometry: the shadow map renders once
+    # (STATIC light mobility) and the per-frame cost is the visibility test
+    shadow_maps = jax.jit(graph.render_shadow_maps)(scene, cam_list[0])
+
     @jax.jit
-    def run_n(scene, consts_batch):
+    def run_n(scene, consts_batch, env, shadow_maps):
         def frame(carry, consts_i):
-            out = graph.render_forward(scene, consts_i,
-                                       width=width, height=height)
-            # checksum over every pixel -> nothing can be dead-code-eliminated
+            out = graph.render_forward(
+                scene, consts_i, width=width, height=height,
+                enable_shadows=True, enable_ssao=True, enable_ssr=True,
+                env=env, shadow_maps=shadow_maps)
             return (carry + out["ldr"].sum() + out["depth"].sum(),
                     (out["tri_id"] >= 0).mean())
         total, cover = jax.lax.scan(frame, jnp.float32(0.0), consts_batch)
@@ -133,13 +130,11 @@ def main() -> None:
     def nop(t):
         return t + 1
 
-    # warm up / compile both graphs; sanity-check content
-    tot, cover = run_n(scene, consts_batch)
+    tot, cover = run_n(scene, consts_batch, env, shadow_maps)
     coverage = float(np.asarray(cover).mean())
-    assert coverage > 0.3, f"stress frame mostly empty (coverage={coverage})"
+    assert coverage > 0.5, f"stress frame mostly empty (coverage={coverage})"
     _ = np.asarray(nop(jnp.zeros(4)))
 
-    # readback floor (tunnel round-trip)
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
@@ -147,15 +142,15 @@ def main() -> None:
     floor = (time.perf_counter() - t0) / reps
 
     t0 = time.perf_counter()
-    tot, cover = run_n(scene, consts_batch)
+    tot, cover = run_n(scene, consts_batch, env, shadow_maps)
     _ = np.asarray(tot)
     total = time.perf_counter() - t0 - floor
 
     ms = float(max(total, 1e-6) / n * 1e3)
     n_tris = int(buffers.indices.shape[0])
     print(json.dumps({
-        "metric": f"stress_frame_1080p_ms ({n_tris} tris, fwd PBR, "
-                  f"{len(lights)} lights)",
+        "metric": f"sponza_stress_1080p_ms ({n_tris} tris, fwd PBR + dir "
+                  f"shadow ESM 2048 + SSAO + IBL + SSR, {len(lights)} lights)",
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(16.6 / ms, 3),

@@ -109,6 +109,7 @@ class VQEngineTPU:
         self._prev_vp = None
         self._last_output = None       # picking readback source
         self._ssr_history = None       # SSR temporal accumulation
+        self._static_shadow_maps = None  # cached STATIC-light shadow maps
 
         from .events import BufferedEventQueue
         from .input import Input
@@ -226,6 +227,8 @@ class VQEngineTPU:
         self._prev_world = None
         self._prev_vp = None
         self._last_output = None
+        self._ssr_history = None
+        self._static_shadow_maps = None
         # upload textures only if any used material actually has one
         any_textured = any((m.pack()[15] > 0) for m in
                            [self.material_lib.get(n) for n in used_materials]
@@ -301,6 +304,17 @@ class VQEngineTPU:
             self.scene_buffers, cam, self.lights,
             hdri_yaw=yaw01 * 2.0 * np.pi,
             prev_world=self._prev_world, prev_view_proj=self._prev_vp)
+        # STATIC/STATIONARY light mobility: cache shadow maps across frames
+        # when nothing animates (Light.h mobility semantics)
+        from ..scene.light import EMobility
+        casters = [l for l in self.lights if l.enabled and l.casts_shadows]
+        static_ok = (self.scene_update_hook is None and casters and
+                     all(l.mobility != EMobility.DYNAMIC for l in casters))
+        if static_ok and self._static_shadow_maps is None:
+            t0 = time.perf_counter()
+            self._static_shadow_maps = self.renderer.precompute_shadow_maps(consts)
+            log.info(f"static shadow maps cached in "
+                     f"{time.perf_counter()-t0:.2f}s ({len(casters)} casters)")
         import numpy as _np
         self._prev_world = _np.asarray(consts.world)
         self._prev_vp = _np.asarray(consts.view_proj)
@@ -313,7 +327,8 @@ class VQEngineTPU:
             msaa=self.gfx.bAntiAliasing,
             enable_ssr=bool(self.gfx.Reflections),
             ssr_history=self._ssr_history,
-            render_scale=self.gfx.RenderScale)
+            render_scale=self.gfx.RenderScale,
+            shadow_maps=self._static_shadow_maps)
         self._ssr_history = self._last_output.ssr_history
         return self._last_output
 

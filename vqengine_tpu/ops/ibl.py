@@ -107,6 +107,40 @@ def sample_equirect_bilinear(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
             + c01 * (1 - fx) * fy + c11 * fx * fy)
 
 
+def flatten_mip_pyramid(mips: list[jnp.ndarray]):
+    """Flatten a list of [..., S_m, S_m, C] mips into one [Ntexels, C]
+    array + static per-level offsets, so a per-pixel mip-varying fetch is
+    ONE gather (index arithmetic selects the level; TPU gathers cost ~1
+    element/cycle, so fetching every level and selecting costs L x more).
+    Returns (flat [N, C], offsets list, sizes list)."""
+    flats = []
+    offsets = []
+    off = 0
+    for m in mips:
+        c = m.shape[-1]
+        flats.append(m.reshape(-1, c))
+        offsets.append(off)
+        off += flats[-1].shape[0]
+    return jnp.concatenate(flats, axis=0), offsets, [m.shape for m in mips]
+
+
+def sample_cube_pyramid_nearest(flat: jnp.ndarray, offsets, shapes,
+                                dirs: jnp.ndarray, level: jnp.ndarray
+                                ) -> jnp.ndarray:
+    """Nearest sample from a flattened cubemap mip pyramid:
+    flat from flatten_mip_pyramid over [6,S,S,C] mips; dirs [...,3];
+    level [...] int32. ONE gather total."""
+    face, uv = _cube_face_uv(dirs)
+    idx = jnp.zeros(level.shape, jnp.int32)
+    for m, (off, shp) in enumerate(zip(offsets, shapes)):
+        s = shp[1]
+        tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
+        ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
+        cand = off + (face * s + ty) * s + tx
+        idx = jnp.where(level == m, cand, idx)
+    return flat[idx]
+
+
 def sample_cube(cube: jnp.ndarray, dirs: jnp.ndarray,
                 bilinear: bool = True) -> jnp.ndarray:
     """cube [6, S, S, C], dirs [..., 3] -> [..., C] (clamped within face)."""
@@ -247,19 +281,19 @@ def environment_illumination(normal: jnp.ndarray, view: jnp.ndarray,
     n_rot = hdri_rotation(normal, hdri_yaw)
 
     max_lod = len(specular_mips) - 1
-    # integer mip select like the reference (int MIP_LEVEL = r * MAX_LOD)
+    # integer mip select like the reference (int MIP_LEVEL = r * MAX_LOD);
+    # one gather through the flattened pyramid instead of sampling every
+    # level and selecting (gathers are ~1 element/cycle)
     mip = jnp.clip((roughness * max_lod).astype(jnp.int32), 0, max_lod)
-    spec = jnp.zeros_like(albedo)
-    for m in range(len(specular_mips)):
-        sm = sample_cube(specular_mips[m], r)
-        spec = jnp.where((mip == m)[..., None], sm, spec)
+    flat, offs, shapes = flatten_mip_pyramid(list(specular_mips))
+    spec = sample_cube_pyramid_nearest(flat, offs, shapes, r, mip)
 
     lut_n = brdf_lut.shape[0]
     ix = jnp.clip((ndotv * lut_n).astype(jnp.int32), 0, lut_n - 1)
     iy = jnp.clip((roughness * lut_n).astype(jnp.int32), 0, lut_n - 1)
     f0_scale_bias = brdf_lut[iy, ix]                 # [..., 2]
 
-    diffuse_irr = sample_cube(diffuse_cube, n_rot)
+    diffuse_irr = sample_cube(diffuse_cube, n_rot, bilinear=False)
     return B.environment_brdf(ndotv, roughness, metalness, albedo,
                               diffuse_irr, spec, f0_scale_bias)
 

@@ -67,8 +67,16 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
     radius_px_y = radius_world / (zv * tan_half * 2.0) * h
     radius_px_y = jnp.clip(radius_px_y, 2.0, 96.0)
 
-    # depth mip pyramid for far taps (CACAO's depth prepare)
-    zmips = ffx.spd_mip_pyramid(zv, num_mips=5, reduce="mean")
+    # depth mip pyramid for far taps (CACAO's depth prepare), flattened so
+    # each tap is ONE gather with index arithmetic selecting the level
+    zmips = ffx.spd_mip_pyramid(zv[..., None], num_mips=5, reduce="mean")
+    zflat_parts, zoffs, zshapes = [], [], []
+    off = 0
+    for zm in zmips:
+        zflat_parts.append(zm.reshape(-1))
+        zoffs.append(off)
+        off += zflat_parts[-1].shape[0]
+    zflat = jnp.concatenate(zflat_parts)
 
     taps = _spiral_taps(num_taps)
     occlusion = jnp.zeros_like(zv)
@@ -84,11 +92,13 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
         dist_px = jnp.sqrt(dx * dx + dy * dy)
         mip = jnp.clip((jnp.log2(jnp.maximum(dist_px, 1.0)) - 2.0),
                        0, len(zmips) - 1).astype(jnp.int32)
-        z_tap = jnp.zeros_like(zv)
+        idx = jnp.zeros(zv.shape, jnp.int32)
         for m, zm in enumerate(zmips):
-            ty = jnp.clip((sy / (1 << m)).astype(jnp.int32), 0, zm.shape[0] - 1)
-            tx = jnp.clip((sx / (1 << m)).astype(jnp.int32), 0, zm.shape[1] - 1)
-            z_tap = jnp.where(mip == m, zm[ty, tx], z_tap)
+            mh, mw = zm.shape[0], zm.shape[1]
+            ty = jnp.clip((sy / (1 << m)).astype(jnp.int32), 0, mh - 1)
+            tx = jnp.clip((sx / (1 << m)).astype(jnp.int32), 0, mw - 1)
+            idx = jnp.where(mip == m, zoffs[m] + ty * mw + tx, idx)
+        z_tap = zflat[idx]
 
         # view-space sample position
         s_ndc_x = (sx / w) * 2.0 - 1.0

@@ -58,13 +58,14 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
 
     valid_px = depth < 1.0
 
-    def sample_depth(uv_x, uv_y, mip):
-        z = jnp.zeros_like(uv_x)
-        for m, zm in enumerate(zmips):
-            ty = jnp.clip((uv_y * zm.shape[0]).astype(jnp.int32), 0, zm.shape[0] - 1)
-            tx = jnp.clip((uv_x * zm.shape[1]).astype(jnp.int32), 0, zm.shape[1] - 1)
-            z = jnp.where(mip == m, zm[ty, tx], z)
-        return z
+    def sample_depth(uv_x, uv_y, mip: int):
+        """Fetch the min-depth mip at a STATIC level: one gather per call
+        (per-pixel mip selection would multiply gather cost by the level
+        count — TPU gathers run at ~1 element/cycle)."""
+        zm = zmips[mip]
+        ty = jnp.clip((uv_y * zm.shape[0]).astype(jnp.int32), 0, zm.shape[0] - 1)
+        tx = jnp.clip((uv_x * zm.shape[1]).astype(jnp.int32), 0, zm.shape[1] - 1)
+        return zm[ty, tx]
 
     def project(p):
         """view pos -> (u, v, depth) with u,v in [0,1] (y down)."""
@@ -83,8 +84,8 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
         p = pos_v + r * t[..., None]
         u, v, z_ray = project(p)
         on_screen = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (p[..., 2] > near)
-        mip = jnp.clip(jnp.int32(i // 8), 0, len(zmips) - 1)
-        z_scene = sample_depth(u, v, jnp.full((h, w), mip, jnp.int32))
+        mip = min(i // 8, len(zmips) - 1)  # static per step
+        z_scene = sample_depth(u, v, mip)
         hit = (z_ray > z_scene) & (z_ray - z_scene < thickness * (1.0 + 0.1 * i)) \
             & on_screen & (t_hit < 0)
         t_hit = jnp.where(hit, t, t_hit)
@@ -98,7 +99,7 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
         mid = 0.5 * (lo + hi)
         p = pos_v + r * mid[..., None]
         u, v, z_ray = project(p)
-        z_scene = sample_depth(u, v, jnp.zeros((h, w), jnp.int32))
+        z_scene = sample_depth(u, v, 0)
         crossed = z_ray > z_scene
         hi = jnp.where(crossed, mid, hi)
         lo = jnp.where(crossed, lo, mid)

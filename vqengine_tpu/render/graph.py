@@ -326,33 +326,80 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
     return out
 
 
+def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
+                       shadow_dims: tuple[int, int, int] = (
+                           shadow.SPOT_SHADOW_DIM, shadow.POINT_SHADOW_DIM,
+                           shadow.DIRECTIONAL_SHADOW_DIM),
+                       filter_mode: str = "esm") -> dict:
+    """Render every caster's depth map (the per-light shadow passes,
+    SceneRendering.cpp:1114-1263). Separated from the per-frame visibility
+    tests so STATIC/STATIONARY lights over static geometry can cache their
+    maps across frames (the reference's Light mobility semantics,
+    Light.h:45-186)."""
+    maps: dict = {}
+    sc = int(consts.spot_casters.shape[0])
+    pc = int(consts.point_casters.shape[0])
+    has_dir = int(consts.dir_vp.shape[0]) > 0
+
+    if sc:
+        dm = []
+        for i in range(sc):
+            d = shadow.render_shadow_depth(
+                scene.positions, scene.item_of_vertex, consts.world,
+                consts.spot_caster_vps[i], scene.indices, shadow_dims[0])
+            dm.append(shadow.prefilter_esm(d) if filter_mode == "esm" else d)
+        maps["spot"] = jnp.stack(dm)
+    if pc:
+        cubes = []
+        for i in range(pc):
+            faces = []
+            near = consts.point_caster_range[i, 0]
+            far = consts.point_caster_range[i, 1]
+            for f in range(6):
+                d = shadow.render_shadow_depth(
+                    scene.positions, scene.item_of_vertex, consts.world,
+                    consts.point_caster_vps[i, f], scene.indices,
+                    shadow_dims[1])
+                faces.append(shadow.ndc_depth_to_radial(d, near, far))
+            cubes.append(jnp.stack(faces))
+        maps["point"] = jnp.stack(cubes)
+    if has_dir:
+        d = shadow.render_shadow_depth(
+            scene.positions, scene.item_of_vertex, consts.world,
+            consts.dir_vp[0], scene.indices, shadow_dims[2])
+        maps["dir"] = shadow.prefilter_esm(d) if filter_mode == "esm" else d
+    return maps
+
+
 def shadow_pass(scene: DeviceScene, consts: FrameConstants,
                 wpos: jnp.ndarray, normal: jnp.ndarray,
                 shadow_dims: tuple[int, int, int] = (
                     shadow.SPOT_SHADOW_DIM, shadow.POINT_SHADOW_DIM,
                     shadow.DIRECTIONAL_SHADOW_DIM),
-                filter_mode: str = "esm"):
-    """Render every shadow caster's depth map and evaluate its PCF
-    visibility over the main view (the reference's per-light shadow passes,
-    SceneRendering.cpp:1114-1263, + the in-shader tests). Caster counts are
-    static per scene, so the python loops specialize the graph (the PSO-
-    permutation analog)."""
+                filter_mode: str = "esm",
+                shadow_maps: dict | None = None):
+    """Evaluate per-caster shadow visibility over the main view (the
+    reference's in-shader shadow tests). Maps come from `shadow_maps`
+    (cached for static lights) or are rendered in-frame via
+    render_shadow_maps. Caster counts are static per scene, so the python
+    loops specialize the graph (the PSO-permutation analog)."""
     sc = int(consts.spot_casters.shape[0])
     pc = int(consts.point_casters.shape[0])
     has_dir = int(consts.dir_vp.shape[0]) > 0  # static per scene
+
+    if shadow_maps is None:
+        shadow_maps = render_shadow_maps(scene, consts, shadow_dims,
+                                         filter_mode)
 
     spot_vis = None
     if sc:
         vis = []
         for i in range(sc):
-            dmap = shadow.render_shadow_depth(
-                scene.positions, scene.item_of_vertex, consts.world,
-                consts.spot_caster_vps[i], scene.indices, shadow_dims[0])
+            dmap = shadow_maps["spot"][i]
             lrow = consts.spot_casters[i]
             if filter_mode == "esm":
                 vis.append(shadow.shadow_test_esm(
-                    wpos, consts.spot_caster_vps[i],
-                    shadow.prefilter_esm(dmap), lrow[11]))
+                    wpos, consts.spot_caster_vps[i], dmap, lrow[11]))
             else:
                 wi = lrow[0:3] - wpos
                 wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-9)
@@ -366,16 +413,7 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
     if pc:
         vis = []
         for i in range(pc):
-            faces = []
-            near = consts.point_caster_range[i, 0]
-            far = consts.point_caster_range[i, 1]
-            for f in range(6):
-                dmap = shadow.render_shadow_depth(
-                    scene.positions, scene.item_of_vertex, consts.world,
-                    consts.point_caster_vps[i, f], scene.indices,
-                    shadow_dims[1])
-                faces.append(shadow.ndc_depth_to_radial(dmap, near, far))
-            cube = jnp.stack(faces)
+            cube = shadow_maps["point"][i]
             lrow = consts.point_casters[i]
             vis.append(shadow.omni_shadow_test_pcf(
                 wpos, lrow[0:3], cube, lrow[9], lrow[8], consts.camera_pos))
@@ -384,13 +422,10 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
     dir_vis = None
     if has_dir:
         # directional shadowing flag rides in directional[8]
-        dmap = shadow.render_shadow_depth(
-            scene.positions, scene.item_of_vertex, consts.world,
-            consts.dir_vp[0], scene.indices, shadow_dims[2])
+        dmap = shadow_maps["dir"]
         if filter_mode == "esm":
             dir_vis = shadow.shadow_test_esm(
-                wpos, consts.dir_vp[0], shadow.prefilter_esm(dmap),
-                consts.directional[7])
+                wpos, consts.dir_vp[0], dmap, consts.directional[7])
         else:
             wi = -consts.directional[0:3]
             wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-9)
@@ -433,7 +468,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    out_width: int | None = None,
                    out_height: int | None = None,
                    cas_sharpness: float | None = None,
-                   shadow_filter: str = "esm"):
+                   shadow_filter: str = "esm",
+                   shadow_maps: dict | None = None):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> tonemap. Returns a dict with ldr [H,W,3],
     depth [H,W], tri_id [H,W], object_id [H,W], and optionally ao /
@@ -482,9 +518,9 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
 
     spot_vis = point_vis = dir_vis = None
     if enable_shadows:
-        spot_vis, point_vis, dir_vis = shadow_pass(scene, consts,
-                                                   attrs["wpos"], n,
-                                                   shadow_dims, shadow_filter)
+        spot_vis, point_vis, dir_vis = shadow_pass(
+            scene, consts, attrs["wpos"], n, shadow_dims, shadow_filter,
+            shadow_maps=shadow_maps)
 
     env_illum = None
     if env is not None:
@@ -537,9 +573,14 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
 
     new_ssr_history = None
     if enable_ssr:
-        # SSSR + DNSR + ApplyReflections (SceneRendering.cpp:2196-2362)
-        refl, conf = ssr_ops.trace_reflections(
-            hdr, depth, n, consts.view_matrix, consts.proj_params)
+        # SSSR + DNSR + ApplyReflections (SceneRendering.cpp:2196-2362);
+        # traced at half resolution (the reference SSSR's common config;
+        # per-step depth fetches are per-pixel gathers)
+        refl_h, conf_h = ssr_ops.trace_reflections(
+            hdr[::2, ::2], depth[::2, ::2], n[::2, ::2],
+            consts.view_matrix, consts.proj_params)
+        refl = jnp.repeat(jnp.repeat(refl_h, 2, 0), 2, 1)[:height, :width]
+        conf = jnp.repeat(jnp.repeat(conf_h, 2, 0), 2, 1)[:height, :width]
         refl_dn, new_ssr_history = ssr_ops.denoise_reflections(
             refl, conf, mat["roughness"], history=ssr_history, motion=motion)
         v = consts.camera_pos - attrs["wpos"]

@@ -73,7 +73,8 @@ class VQRendererTPU:
                        enable_ssr: bool = False, has_ssr_history: bool = False,
                        render_scale: float = 1.0,
                        cas_sharpness: float | None = None,
-                       shadow_filter: str = "esm"):
+                       shadow_filter: str = "esm",
+                       has_shadow_maps: bool = False):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
@@ -82,7 +83,7 @@ class VQRendererTPU:
         key = (width, height, curve, gamma, enable_shadows, shadow_dims,
                has_env, enable_ssao, enable_motion, has_textures, msaa,
                enable_ssr, has_ssr_history, render_scale, cas_sharpness,
-               shadow_filter)
+               shadow_filter, has_shadow_maps)
         fn = self._render_fns.get(key)
         if fn is None:
             rw = max(64, int(width * render_scale)) if render_scale != 1.0 else width
@@ -97,10 +98,12 @@ class VQRendererTPU:
                           enable_motion_vectors=enable_motion, msaa=msaa,
                           enable_ssr=enable_ssr)
 
-            def wrapped(scene, consts, env, textures, ssr_history):
+            def wrapped(scene, consts, env, textures, ssr_history,
+                        shadow_maps):
                 return graph.render_forward(scene, consts, env=env,
                                             textures=textures,
-                                            ssr_history=ssr_history, **kwargs)
+                                            ssr_history=ssr_history,
+                                            shadow_maps=shadow_maps, **kwargs)
             fn = jax.jit(wrapped, static_argnames=())
             self._render_fns[key] = fn
         return fn
@@ -188,6 +191,22 @@ class VQRendererTPU:
         )
 
     # ------------------------------------------------------------------
+    def precompute_shadow_maps(self, consts: graph.FrameConstants,
+                               shadow_dims=None, filter_mode: str = "esm"):
+        """Render caster shadow maps once (STATIC/STATIONARY light
+        mobility, Light.h:45-186): static scenes skip the per-frame shadow
+        renders entirely."""
+        from ..ops import shadow as shadow_ops
+        if shadow_dims is None:
+            shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
+                           shadow_ops.POINT_SHADOW_DIM,
+                           shadow_ops.DIRECTIONAL_SHADOW_DIM)
+        fn = jax.jit(functools.partial(graph.render_shadow_maps,
+                                       shadow_dims=shadow_dims,
+                                       filter_mode=filter_mode))
+        return fn(self._scene, consts)
+
+    # ------------------------------------------------------------------
     def render(self, consts: graph.FrameConstants, width: int, height: int,
                hdr10: bool = False, readback: bool = True,
                enable_shadows: bool = True,
@@ -200,7 +219,8 @@ class VQRendererTPU:
                enable_ssr: bool = False,
                ssr_history=None,
                render_scale: float = 1.0,
-               cas_sharpness: float | None = None) -> FrameOutput:
+               cas_sharpness: float | None = None,
+               shadow_maps: dict | None = None) -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
         fn = self._get_render_fn(width, height, curve, True,
@@ -212,9 +232,11 @@ class VQRendererTPU:
                                  msaa=msaa, enable_ssr=enable_ssr,
                                  has_ssr_history=ssr_history is not None,
                                  render_scale=render_scale,
-                                 cas_sharpness=cas_sharpness)
+                                 cas_sharpness=cas_sharpness,
+                                 has_shadow_maps=shadow_maps is not None)
         t0 = time.perf_counter()
-        out = fn(self._scene, consts, env, textures, ssr_history)
+        out = fn(self._scene, consts, env, textures, ssr_history,
+                 shadow_maps)
         ldr = out["ldr"]
         if readback:
             ldr = np.asarray(jax.device_get(ldr))
