@@ -298,11 +298,19 @@ def environment_illumination(normal: jnp.ndarray, view: jnp.ndarray,
                               diffuse_irr, spec, f0_scale_bias)
 
 
-def sky_radiance(dirs: jnp.ndarray, equirect: jnp.ndarray, hdri_yaw=0.0) -> jnp.ndarray:
+def sky_radiance(dirs: jnp.ndarray, equirect: jnp.ndarray, hdri_yaw=0.0,
+                 bilinear: bool = False) -> jnp.ndarray:
     """Skydome sampling for background pixels (Skydome.hlsl behavior:
-    equirect lookup of the view ray)."""
+    equirect lookup of the view ray). Nearest by default — per-pixel
+    gathers cost ~1 element/cycle, and sky content is low frequency."""
     d = hdri_rotation(dirs, hdri_yaw)
-    return sample_equirect_bilinear(equirect, direction_to_equirect_uv(d))
+    uv = direction_to_equirect_uv(d)
+    if bilinear:
+        return sample_equirect_bilinear(equirect, uv)
+    h, w = equirect.shape[0], equirect.shape[1]
+    tx = jnp.mod((uv[..., 0] * w).astype(jnp.int32), w)
+    ty = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    return equirect[ty, tx]
 
 
 # ---------------------------------------------------------------------------

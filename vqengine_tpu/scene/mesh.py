@@ -328,6 +328,68 @@ def fullscreen_quad() -> Mesh:
     return m
 
 
+def subdivide(lod: GeometryLOD, levels: int = 1) -> GeometryLOD:
+    """Midpoint (1:4) triangle subdivision — the TPU-native stand-in for
+    the reference's hull/domain-shader tessellation (Tessellation.hlsl:
+    tri/quad domains with adaptive factors). Geometry amplification happens
+    at load time; adaptivity comes from the LOD system instead of
+    per-patch factors."""
+    out = lod
+    for _ in range(levels):
+        v = out.positions.shape[0]
+        tri = out.indices
+        # midpoint vertices per edge (deduplicated via sorted edge keys)
+        e = np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]])
+        e_sorted = np.sort(e, axis=1)
+        keys = e_sorted[:, 0].astype(np.int64) * v + e_sorted[:, 1]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        ua = (uniq // v).astype(np.int64)
+        ub = (uniq % v).astype(np.int64)
+
+        def mid(attr):
+            return 0.5 * (attr[ua] + attr[ub])
+
+        mpos = mid(out.positions)
+        mnrm = mid(out.normals)
+        n = np.linalg.norm(mnrm, axis=1, keepdims=True)
+        mnrm = np.where(n > 1e-9, mnrm / np.maximum(n, 1e-12), [0, 1, 0])
+        mtan = mid(out.tangents)
+        muv = mid(out.uvs)
+
+        m01 = v + inv[: len(tri)]
+        m12 = v + inv[len(tri): 2 * len(tri)]
+        m20 = v + inv[2 * len(tri):]
+        a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+        new_idx = np.concatenate([
+            np.stack([a, m01, m20], 1),
+            np.stack([m01, b, m12], 1),
+            np.stack([m20, m12, c], 1),
+            np.stack([m01, m12, m20], 1),
+        ]).astype(np.int32)
+        out = GeometryLOD(
+            positions=np.concatenate([out.positions, mpos]).astype(np.float32),
+            normals=np.concatenate([out.normals, mnrm]).astype(np.float32),
+            tangents=np.concatenate([out.tangents, mtan]).astype(np.float32),
+            uvs=np.concatenate([out.uvs, muv]).astype(np.float32),
+            indices=new_idx)
+    return out
+
+
+def displace(lod: GeometryLOD, heightmap: np.ndarray, amount: float,
+             direction=(0.0, 1.0, 0.0)) -> GeometryLOD:
+    """Heightmap vertex displacement (the domain-shader displacement,
+    ForwardLighting.hlsl CalcHeightOffset / Tessellation.hlsl), baked at
+    load: position += dir * height(uv) * amount."""
+    h, w = heightmap.shape[:2]
+    u = np.clip((lod.uvs[:, 0] % 1.0) * (w - 1), 0, w - 1).astype(int)
+    v = np.clip((lod.uvs[:, 1] % 1.0) * (h - 1), 0, h - 1).astype(int)
+    hv = heightmap[v, u] if heightmap.ndim == 2 else heightmap[v, u, 0]
+    pos = lod.positions + np.asarray(direction, np.float32)[None] \
+        * (hv * amount)[:, None]
+    return GeometryLOD(positions=pos.astype(np.float32), normals=lod.normals,
+                       tangents=lod.tangents, uvs=lod.uvs, indices=lod.indices)
+
+
 # Builtin mesh registry mirroring EBuiltInMeshes + GenerateBuiltinMeshes
 # (reference VQEngine_Render.cpp:228-285)
 BUILTIN_MESH_BUILDERS = {
