@@ -125,6 +125,68 @@ def bounding_box_items(items: list[DrawItem], materials: list[Material],
     return out
 
 
+def vertex_axes_items(item: DrawItem, materials: list[Material],
+                      axis_length: float = 0.12, thickness: float = 0.01,
+                      max_vertices: int = 512,
+                      object_id_base: int = 300000) -> list[DrawItem]:
+    """Per-vertex T/B/N axis tubes for one selected object
+    (RenderDebugVertexAxes, SceneRendering.cpp:2018; VertexDebug.hlsl draws
+    instanced axis geometry at each vertex).
+
+    One merged mesh per axis color (R=tangent, G=bitangent, B=normal)
+    keeps it at 3 extra draw items instead of 3*V."""
+    lod = item.mesh.lods[0]
+    n = min(lod.positions.shape[0], max_vertices)
+    pos = lod.positions[:n]
+    nrm = lod.normals[:n]
+    tan = lod.tangents[:n]
+    bit = np.cross(nrm, tan)
+
+    def tube_mesh(dirs: np.ndarray, name: str) -> Mesh:
+        # a thin quad pair (cross section) along each axis direction —
+        # emissive/unlit so winding & shading don't matter; both
+        # orientations emitted like edge_tube_box
+        d = dirs / np.maximum(np.linalg.norm(dirs, axis=1, keepdims=True),
+                              1e-8)
+        helper = np.where(np.abs(d[:, 1:2]) < 0.9,
+                          np.array([[0.0, 1.0, 0.0]], np.float32),
+                          np.array([[1.0, 0.0, 0.0]], np.float32))
+        side = np.cross(d, helper)
+        side /= np.maximum(np.linalg.norm(side, axis=1, keepdims=True), 1e-8)
+        up = np.cross(d, side)
+        p0 = pos
+        p1 = pos + d * axis_length
+        verts, tris = [], []
+        for a, b in ((side, up), (up, side)):
+            w = a * thickness
+            quad = np.stack([p0 - w, p0 + w, p1 + w, p1 - w], axis=1)
+            base = sum(v.shape[0] for v in verts)
+            verts.append(quad.reshape(-1, 3))
+            i0 = base + np.arange(n) * 4
+            for (x, y, z) in ((0, 1, 2), (0, 2, 3), (0, 2, 1), (0, 3, 2)):
+                tris.append(np.stack([i0 + x, i0 + y, i0 + z], axis=1))
+        v = np.concatenate(verts).astype(np.float32)
+        idx = np.concatenate(tris).astype(np.int32)
+        glod = GeometryLOD(
+            positions=v,
+            normals=np.tile(np.float32([0, 1, 0]), (v.shape[0], 1)),
+            tangents=np.tile(np.float32([1, 0, 0]), (v.shape[0], 1)),
+            uvs=np.zeros((v.shape[0], 2), np.float32), indices=idx)
+        return Mesh(name, [glod])
+
+    axes = (("tan", tan, (1, 0.1, 0.1)), ("bit", bit, (0.1, 1, 0.1)),
+            ("nrm", nrm, (0.1, 0.3, 1)))
+    out = []
+    for k, (name, dv, c) in enumerate(axes):
+        mat = _unlit_material(f"__tbn_{name}_{item.name}__", c)
+        materials.append(mat)
+        out.append(DrawItem(
+            name=f"TBN_{name}_{item.name}", mesh=tube_mesh(dv, f"tbn_{name}"),
+            transform=item.transform.copy(), material_id=len(materials) - 1,
+            object_id=object_id_base + k))
+    return out
+
+
 class _MatrixTransform(m3.Transform):
     """Transform wrapper carrying a precomposed matrix (AABB boxes compose
     object x box-local transforms that don't decompose into SRT cleanly)."""

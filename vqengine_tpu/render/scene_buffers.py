@@ -136,7 +136,8 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
 def assemble_scene(rep, builtin_meshes: dict[str, Mesh],
                    material_lib: dict[str, Material],
                    gltf_loader=None, draw_light_gizmos: bool = False,
-                   draw_bounding_boxes: bool = False):
+                   draw_bounding_boxes: bool = False,
+                   draw_vertex_axes_of: int | None = None):
     """rep: FSceneRepresentation. Returns (SceneBuffers, cameras, lights)."""
     materials: list[Material] = [Material(name="__default__")]
     mat_index = {"__default__": 0}
@@ -194,6 +195,10 @@ def assemble_scene(rep, builtin_meshes: dict[str, Mesh],
     if draw_bounding_boxes:
         from .debug_draw import bounding_box_items
         items.extend(bounding_box_items(items, materials))
+    if draw_vertex_axes_of is not None and items:
+        from .debug_draw import vertex_axes_items
+        sel = items[min(draw_vertex_axes_of, len(items) - 1)]
+        items.extend(vertex_axes_items(sel, materials))
 
     buffers = build_scene_buffers(items, materials)
     cameras = [Camera(p) for p in rep.cameras] or [Camera(FCameraParameters())]
