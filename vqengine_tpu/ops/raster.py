@@ -450,17 +450,34 @@ _raster_kernel_msaa4 = _make_raster_kernel(MSAA4_OFFSETS)
 # extra [R_sel, GROUP] x [GROUP, NPX] MXU dot per group — the only per-pixel
 # "gather" left is the systolic array doing one-hot selection.
 #
-# Record layout (GBUF_ROWS = 48):
+# Record layout (GBUF_ROWS = 40). Binning cost scales with record width
+# (the per-pair record gather moves width * capacity elements), so the
+# per-vertex normal+tangent pairs ride as bf16 packed into single f32
+# words and (material, item) ids fuse into one integer-exact f32:
 #   0-8   e rows        9-11  dp        12  tri id     13-15 vert scales
-#   16-23 v0 attrs (nrm3 tan3 uv2)
-#   24-31 v1 attrs      32-39 v2 attrs
-#   40    material id   41    object id  42  item id   43-47 pad
+#   16-20 v0 attrs: pack(nrm.x,tan.x) pack(nrm.y,tan.y) pack(nrm.z,tan.z) u v
+#   21-25 v1 attrs      26-30 v2 attrs
+#   31    mid*65536+item (exact < 2^24)  32  object id  33-39 pad
+# The normal is biased +3.0 before bf16 rounding so the packed word's
+# exponent is always normal (a zero normal component would otherwise make
+# the f32 denormal and the MXU selection dot would flush the tangent bits).
 # ===========================================================================
 
-GBUF_ROWS = 48
-GBUF_VATTR = 8       # per-vertex attr floats: nrm(3) tan(3) uv(2)
+GBUF_ROWS = 40
+GBUF_VATTR = 5       # per-vertex attr rows: packed nrm/tan(3) uv(2)
+NRM_PACK_BIAS = 3.0
 # kernel gbuf output channels: nrm(3) tan(3) uv(2) mid obj item = 11 -> pad 16
 GBUF_OUT = 16
+
+
+def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 arrays -> one f32 whose top/bottom 16 bits are their bf16
+    roundings (hi supplies the exponent; keep it away from 0 and 255)."""
+    hb = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    lb = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((hb << 16) | lb, jnp.float32)
 
 
 def pack_gbuf_extra(normals_w: jnp.ndarray, tangents_w: jnp.ndarray,
@@ -468,15 +485,17 @@ def pack_gbuf_extra(normals_w: jnp.ndarray, tangents_w: jnp.ndarray,
                     tri_mid: jnp.ndarray, tri_obj: jnp.ndarray,
                     tri_item: jnp.ndarray) -> jnp.ndarray:
     """Build the extra record columns for the G-buffer kernel:
-    [T, 3*GBUF_VATTR + 3]."""
+    [T, 3*GBUF_VATTR + 2]."""
     t = indices.shape[0]
-    va = jnp.concatenate([normals_w, tangents_w, uvs], axis=1)   # [V, 8]
-    pv = va[indices]                                             # [T, 3, 8]
+    packed_nt = _pack_bf16_pair(normals_w + NRM_PACK_BIAS, tangents_w)
+    va = jnp.concatenate([packed_nt, uvs], axis=1)               # [V, 5]
+    pv = va[indices]                                             # [T, 3, 5]
+    mid_item = (tri_mid.astype(jnp.float32) * 65536.0
+                + tri_item.astype(jnp.float32))
     return jnp.concatenate(
         [pv.reshape(t, 3 * GBUF_VATTR),
-         tri_mid.astype(jnp.float32)[:, None],
-         tri_obj.astype(jnp.float32)[:, None],
-         tri_item.astype(jnp.float32)[:, None]], axis=1)
+         mid_item[:, None],
+         tri_obj.astype(jnp.float32)[:, None]], axis=1)
 
 
 def _make_gbuf_kernel():
@@ -544,14 +563,29 @@ def _make_gbuf_kernel():
                     l0, l1, l2 = l0 / lsum, l1 / lsum, l2 / lsum
 
                     # ONE MXU dot selects the winner's record columns:
-                    # rows = id(1) | v0(8) | v1(8) | v2(8) | mid obj item
-                    sel = jnp.dot(cur[12:43], onehot,
-                                  preferred_element_type=jnp.float32)  # [31, NPX]
+                    # rows = id(1) s(3) | v0(5) | v1(5) | v2(5) | mid_item obj
+                    sel = jnp.dot(cur[12:33], onehot,
+                                  preferred_element_type=jnp.float32)  # [21, NPX]
                     idsel = sel[0:1]
-                    a0 = sel[4:12]
-                    a1 = sel[12:20]
-                    a2 = sel[20:28]
-                    misc = sel[28:31]                            # mid obj item
+
+                    def unpack(rows):            # [5, NPX] -> [8, NPX]
+                        pw = jax.lax.bitcast_convert_type(rows[0:3],
+                                                          jnp.uint32)
+                        nrm = jax.lax.bitcast_convert_type(
+                            pw & jnp.uint32(0xFFFF0000),
+                            jnp.float32) - NRM_PACK_BIAS
+                        tan = jax.lax.bitcast_convert_type(pw << 16,
+                                                           jnp.float32)
+                        return jnp.concatenate([nrm, tan, rows[3:5]], axis=0)
+
+                    a0 = unpack(sel[4:9])
+                    a1 = unpack(sel[9:14])
+                    a2 = unpack(sel[14:19])
+                    mi = sel[19:20].astype(jnp.int32)
+                    misc = jnp.concatenate([
+                        (mi >> 16).astype(jnp.float32),
+                        sel[20:21],
+                        (mi & 0xFFFF).astype(jnp.float32)], axis=0)
                     interp = a0 * l0 + a1 * l1 + a2 * l2         # [8, NPX]
                     new_gvals = jnp.concatenate(
                         [interp, misc,

@@ -68,8 +68,14 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
     radius_px_y = jnp.clip(radius_px_y, 2.0, 96.0)
 
     # depth mip pyramid for far taps (CACAO's depth prepare), flattened so
-    # each tap is ONE gather with index arithmetic selecting the level
-    zmips = ffx.spd_mip_pyramid(zv[..., None], num_mips=5, reduce="mean")
+    # each tap is ONE gather with index arithmetic selecting the level.
+    # The pyramid base is 2x-downsampled: gather tables under ~1-2 MB hit
+    # the fast TPU gather path (~5x faster than multi-MB tables), and the
+    # tap-distance mip schedule rarely wanted level 0 anyway.
+    z2 = zv[: (h // 2) * 2, : (w // 2) * 2]
+    zbase = 0.25 * (z2[0::2, 0::2] + z2[1::2, 1::2]
+                    + z2[0::2, 1::2] + z2[1::2, 0::2])
+    zmips = ffx.spd_mip_pyramid(zbase[..., None], num_mips=4, reduce="mean")
     zflat_parts, zoffs, zshapes = [], [], []
     off = 0
     for zm in zmips:
@@ -90,13 +96,14 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
         sy = jnp.clip(py + dy, 0.5, h - 0.5)
         # mip by tap distance (in pixels)
         dist_px = jnp.sqrt(dx * dx + dy * dy)
-        mip = jnp.clip((jnp.log2(jnp.maximum(dist_px, 1.0)) - 2.0),
+        mip = jnp.clip((jnp.log2(jnp.maximum(dist_px, 1.0)) - 3.0),
                        0, len(zmips) - 1).astype(jnp.int32)
         idx = jnp.zeros(zv.shape, jnp.int32)
         for m, zm in enumerate(zmips):
+            # pyramid level m sits at input scale 2^(m+1) (2x-down base)
             mh, mw = zm.shape[0], zm.shape[1]
-            ty = jnp.clip((sy / (1 << m)).astype(jnp.int32), 0, mh - 1)
-            tx = jnp.clip((sx / (1 << m)).astype(jnp.int32), 0, mw - 1)
+            ty = jnp.clip((sy / (1 << (m + 1))).astype(jnp.int32), 0, mh - 1)
+            tx = jnp.clip((sx / (1 << (m + 1))).astype(jnp.int32), 0, mw - 1)
             idx = jnp.where(mip == m, zoffs[m] + ty * mw + tx, idx)
         z_tap = zflat[idx]
 

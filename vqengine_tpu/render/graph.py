@@ -579,10 +579,14 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         refl_h, conf_h = ssr_ops.trace_reflections(
             hdr[::2, ::2], depth[::2, ::2], n[::2, ::2],
             consts.view_matrix, consts.proj_params)
-        refl = jnp.repeat(jnp.repeat(refl_h, 2, 0), 2, 1)[:height, :width]
+        # denoise + temporal history at half resolution: the history
+        # reprojection gather from a full-res [H,W,3] table runs on the
+        # slow large-table gather path; half-res history stays small
+        refl_dn_h, new_ssr_history = ssr_ops.denoise_reflections(
+            refl_h, conf_h, mat["roughness"][::2, ::2], history=ssr_history,
+            motion=None if motion is None else motion[::2, ::2])
+        refl_dn = jnp.repeat(jnp.repeat(refl_dn_h, 2, 0), 2, 1)[:height, :width]
         conf = jnp.repeat(jnp.repeat(conf_h, 2, 0), 2, 1)[:height, :width]
-        refl_dn, new_ssr_history = ssr_ops.denoise_reflections(
-            refl, conf, mat["roughness"], history=ssr_history, motion=motion)
         v = consts.camera_pos - attrs["wpos"]
         v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
         hdr_refl = ssr_ops.apply_reflections(
