@@ -89,30 +89,23 @@ def main() -> None:
         tri_mask = culling.triangle_mask_from_items(
             scene.tri_item, scene.tri_lod, visible, lod)
         wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
-        clip = raster.transform_clip_instanced(
-            scene.positions, scene.item_of_vertex, wvp)
-        return raster.setup_triangles(clip, scene.indices, width, height,
-                                      tri_mask=tri_mask)
-
-    def gbuf_extra():
-        n_items = consts_batch.normal_mats.shape[1]
-        return None  # placeholder; extra built per-frame below
+        tl = scene.num_tris_live
+        clip_c = raster.transform_clip_corners(
+            scene.corner_positions, scene.tri_item[:tl], wvp)
+        return raster.setup_triangles(clip_c, None, width, height,
+                                      tri_mask=tri_mask[:tl])
 
     def stage_setup(consts):
         return checksum(setup_only(consts))
 
     def stage_bin(consts):
         setup = setup_only(consts)
-        n_items = consts.normal_mats.shape[0]
-        nrm_v = palette.palette_lookup(
-            scene.item_of_vertex, consts.normal_mats.reshape(n_items, 9)
-        ).reshape(-1, 3, 3)
-        wnrm = jnp.einsum("vij,vj->vi", nrm_v, scene.normals)
-        wtan = jnp.einsum("vij,vj->vi", nrm_v, scene.tangents)
-        extra = raster.pack_gbuf_extra(
-            wnrm, wtan, scene.uvs, scene.indices,
-            scene.item_material[scene.tri_item],
-            scene.item_object[scene.tri_item], scene.tri_item)
+        tl = scene.num_tris_live
+        tri_item = scene.tri_item[:tl]
+        extra = raster.pack_gbuf_extra_corners(
+            scene.corner_normals, scene.corner_tangents, scene.corner_uvs,
+            tri_item, consts.normal_mats,
+            scene.item_material[tri_item], scene.item_object[tri_item])
         binned = raster.bin_triangles(setup, width, height, extra=extra)
         return checksum(binned)
 

@@ -138,7 +138,7 @@ def sample_cube_pyramid_nearest(flat: jnp.ndarray, offsets, shapes,
         ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
         cand = off + (face * s + ty) * s + tx
         idx = jnp.where(level == m, cand, idx)
-    return flat[idx]
+    return flat[idx].astype(jnp.float32)
 
 
 def sample_cube(cube: jnp.ndarray, dirs: jnp.ndarray,
@@ -153,7 +153,7 @@ def sample_cube(cube: jnp.ndarray, dirs: jnp.ndarray,
     if not bilinear:
         tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
         ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
-        return flat[(face * s + ty) * s + tx]
+        return flat[(face * s + ty) * s + tx].astype(jnp.float32)
     x = uv[..., 0] * s - 0.5
     y = uv[..., 1] * s - 0.5
     x0 = jnp.floor(x)
@@ -296,7 +296,8 @@ def environment_illumination(normal: jnp.ndarray, view: jnp.ndarray,
     lut_n = brdf_lut.shape[0]
     ix = jnp.clip((ndotv * lut_n).astype(jnp.int32), 0, lut_n - 1)
     iy = jnp.clip((roughness * lut_n).astype(jnp.int32), 0, lut_n - 1)
-    f0_scale_bias = brdf_lut[iy, ix]                 # [..., 2]
+    f0_scale_bias = brdf_lut.reshape(-1, 2)[iy * lut_n + ix].astype(
+        jnp.float32)                                 # [..., 2]
 
     diffuse_irr = sample_cube(diffuse_cube, n_rot, bilinear=False)
     return B.environment_brdf(ndotv, roughness, metalness, albedo,
@@ -315,7 +316,8 @@ def sky_radiance(dirs: jnp.ndarray, equirect: jnp.ndarray, hdri_yaw=0.0,
     h, w = equirect.shape[0], equirect.shape[1]
     tx = jnp.mod((uv[..., 0] * w).astype(jnp.int32), w)
     ty = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    return equirect[ty, tx]
+    return equirect.reshape(-1, equirect.shape[-1])[ty * w + tx].astype(
+        jnp.float32)
 
 
 # ---------------------------------------------------------------------------

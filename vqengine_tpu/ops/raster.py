@@ -67,6 +67,26 @@ def transform_clip(positions: jnp.ndarray, mvp: jnp.ndarray) -> jnp.ndarray:
     return p @ mvp.T
 
 
+def transform_clip_corners(corner_positions: jnp.ndarray,
+                           tri_item: jnp.ndarray,
+                           mvps: jnp.ndarray) -> jnp.ndarray:
+    """corner_positions [3T, 3] (static positions[indices] table),
+    tri_item [T] int32, mvps [N,4,4] -> clip corners [T, 3, 4].
+
+    Per-corner storage removes the per-frame clip[indices] gather from
+    triangle setup (vertex indices are static, so the gather was pure
+    waste: ~25 ms at 283k tris on TPU); the per-corner matrix fetch is a
+    palette-kernel MXU matmul, not a gather."""
+    from .palette import palette_lookup
+    t = tri_item.shape[0]
+    n = mvps.shape[0]
+    item3 = jnp.repeat(tri_item, 3, total_repeat_length=3 * t)
+    m = palette_lookup(item3, mvps.reshape(n, 16)).reshape(-1, 4, 4)
+    p = jnp.concatenate(
+        [corner_positions, jnp.ones_like(corner_positions[:, :1])], axis=1)
+    return jnp.einsum("cij,cj->ci", m, p).reshape(t, 3, 4)
+
+
 def transform_clip_instanced(positions: jnp.ndarray, item_of_vertex: jnp.ndarray,
                              mvps: jnp.ndarray) -> jnp.ndarray:
     """positions [V,3], item_of_vertex [V] int32, mvps [N,4,4] -> clip [V,4].
@@ -96,12 +116,14 @@ class TriangleSetup:
     big: jnp.ndarray         # [T] bool — route to the global list
 
 
-def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray,
+def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray | None,
                     width: int, height: int,
                     tri_mask: jnp.ndarray | None = None,
                     full_height: int | None = None,
                     y_offset: jnp.ndarray | int = 0) -> TriangleSetup:
-    """clip [V,4] (x,y,z,w D3D clip space), indices [T,3] -> TriangleSetup.
+    """clip [V,4] (x,y,z,w D3D clip space) + indices [T,3], or pre-gathered
+    clip corners [T,3,4] with indices=None (transform_clip_corners path —
+    avoids the per-frame clip[indices] gather) -> TriangleSetup.
     tri_mask [T] bool optionally deactivates triangles (culled items,
     non-selected LOD levels).
 
@@ -111,7 +133,7 @@ def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray,
     w, so all edge/interp math stays exact)."""
     if full_height is None:
         full_height = height
-    c = clip[indices]                              # [T,3,4]
+    c = clip if indices is None else clip[indices]   # [T,3,4]
     w = c[..., 3]
     # screen-homogeneous coords (pixel units, y down; band-local)
     xs = (c[..., 0] * 0.5 + w * 0.5) * width
@@ -494,6 +516,34 @@ def pack_gbuf_extra(normals_w: jnp.ndarray, tangents_w: jnp.ndarray,
                 + tri_item.astype(jnp.float32))
     return jnp.concatenate(
         [pv.reshape(t, 3 * GBUF_VATTR),
+         mid_item[:, None],
+         tri_obj.astype(jnp.float32)[:, None]], axis=1)
+
+
+def pack_gbuf_extra_corners(corner_normals: jnp.ndarray,
+                            corner_tangents: jnp.ndarray,
+                            corner_uvs: jnp.ndarray,
+                            tri_item: jnp.ndarray,
+                            normal_mats: jnp.ndarray,
+                            tri_mid: jnp.ndarray,
+                            tri_obj: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free variant of pack_gbuf_extra: per-corner object-space
+    normals/tangents/uvs come from static [3T, .] tables (built once at
+    upload from the static index buffer), and the per-corner normal-matrix
+    fetch is a palette-kernel MXU matmul."""
+    from .palette import palette_lookup
+    t = tri_item.shape[0]
+    n = normal_mats.shape[0]
+    item3 = jnp.repeat(tri_item, 3, total_repeat_length=3 * t)
+    nm = palette_lookup(item3, normal_mats.reshape(n, 9)).reshape(-1, 3, 3)
+    wnrm = jnp.einsum("cij,cj->ci", nm, corner_normals)
+    wtan = jnp.einsum("cij,cj->ci", nm, corner_tangents)
+    packed_nt = _pack_bf16_pair(wnrm + NRM_PACK_BIAS, wtan)      # [3T, 3]
+    va = jnp.concatenate([packed_nt, corner_uvs], axis=1)       # [3T, 5]
+    mid_item = (tri_mid.astype(jnp.float32) * 65536.0
+                + tri_item.astype(jnp.float32))
+    return jnp.concatenate(
+        [va.reshape(t, 3 * GBUF_VATTR),
          mid_item[:, None],
          tri_obj.astype(jnp.float32)[:, None]], axis=1)
 

@@ -50,32 +50,38 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
     band = jax.lax.axis_index("sp")
     y0 = band * band_height
 
-    pos4 = jnp.concatenate(
-        [scene.positions, jnp.ones_like(scene.positions[:, :1])], axis=1)
-    world_v = consts.world[scene.item_of_vertex]
-    wpos = jnp.einsum("vij,vj->vi", world_v, pos4)[:, :3]
-    nrm_v = consts.normal_mats[scene.item_of_vertex]
-    wnrm = jnp.einsum("vij,vj->vi", nrm_v, scene.normals)
-
     visible, lod = culling.cull_and_select_lod(
         consts.world, scene.aabb_center, scene.aabb_extent,
         consts.frustum_planes, consts.view_proj, scene.item_num_lods)
     tri_mask = culling.triangle_mask_from_items(
         scene.tri_item, scene.tri_lod, visible, lod)
 
+    # the same gather-free corner/G-buffer pipeline as geometry_pass,
+    # restricted to this band via the homogeneous y-shift (exact)
     wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
-    clip = raster.transform_clip_instanced(scene.positions,
-                                           scene.item_of_vertex, wvp)
-    setup = raster.setup_triangles(clip, scene.indices, width, band_height,
-                                   tri_mask=tri_mask,
+    tl = scene.num_tris_live
+    tri_item = scene.tri_item[:tl]
+    clip_c = raster.transform_clip_corners(
+        scene.corner_positions, tri_item, wvp)
+    setup = raster.setup_triangles(clip_c, None, width, band_height,
+                                   tri_mask=tri_mask[:tl],
                                    full_height=height, y_offset=y0)
-    binned = raster.bin_triangles(setup, width, band_height)
-    depth, tri_id = raster.rasterize(binned, width, band_height)
+    extra = raster.pack_gbuf_extra_corners(
+        scene.corner_normals, scene.corner_tangents, scene.corner_uvs,
+        tri_item, consts.normal_mats,
+        scene.item_material[tri_item], scene.item_object[tri_item])
+    binned = raster.bin_triangles(setup, width, band_height, extra=extra)
+    depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width, band_height)
+    mask = tri_id != raster.BG_ID
+    wpos = graph.world_pos_from_depth(depth, consts, width, band_height,
+                                      full_height=height, y_offset=y0)
+    attrs = {"wpos": jnp.where(mask[..., None], wpos, 0.0),
+             "wnrm": jnp.moveaxis(gbuf[0:3], 0, -1)}
 
-    attrs, mask = raster.resolve_attributes(
-        tri_id, setup, scene.indices, {"wpos": wpos, "wnrm": wnrm})
-
-    mat = graph.material_pass(scene, tri_id)
+    from ..ops import palette
+    mrow = palette.palette_lookup(gbuf[8].astype(jnp.int32), scene.materials)
+    ids = jnp.moveaxis(gbuf[9:11], 0, -1)
+    mat = graph.material_pass(scene, tri_id, mrow=mrow, ids=ids)
     n = attrs["wnrm"]
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
     hdr = shading.shade_forward(

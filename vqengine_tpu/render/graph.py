@@ -36,13 +36,19 @@ class EnvironmentMaps:
 def build_environment(equirect_np, diffuse_size: int = 64,
                       specular_base: int = 128, specular_mips: int = 6,
                       lut_size: int = 256) -> EnvironmentMaps:
-    """Load-time IBL prefilter (runs on device; MXU convolutions)."""
+    """Load-time IBL prefilter (runs on device; MXU convolutions).
+
+    The shading-time sample tables are stored bf16: per-pixel gathers hit
+    the fast TPU path only for tables under ~1-2 MB, and prefiltered
+    radiance tolerates 8-bit mantissas (samplers upcast to f32)."""
     eq = jnp.asarray(equirect_np)
     return EnvironmentMaps(
-        equirect=eq,
-        diffuse_cube=ibl.diffuse_irradiance_cube(eq, size=diffuse_size),
-        specular_mips=tuple(ibl.specular_prefilter_mips(
-            eq, base_size=specular_base, num_mips=specular_mips)),
+        equirect=eq.astype(jnp.bfloat16),
+        diffuse_cube=ibl.diffuse_irradiance_cube(
+            eq, size=diffuse_size).astype(jnp.bfloat16),
+        specular_mips=tuple(
+            m.astype(jnp.bfloat16) for m in ibl.specular_prefilter_mips(
+                eq, base_size=specular_base, num_mips=specular_mips)),
         brdf_lut=jnp.asarray(ibl.brdf_lut_cached(lut_size)),
     )
 
@@ -64,6 +70,16 @@ class DeviceScene:
     item_num_lods: jnp.ndarray
     aabb_center: jnp.ndarray
     aabb_extent: jnp.ndarray
+    # static per-corner tables, positions[indices] etc. flattened to
+    # [3*Tlive, .]: the index buffer is static, so gathering per frame was
+    # pure waste (~45 ms at 283k tris on TPU); Tlive is the unpadded live
+    # triangle count rounded to the raster group size, so binning work
+    # (sort, scatter, record gather) skips the power-of-two bucket padding
+    corner_positions: jnp.ndarray = None  # [3Tl, 3]
+    corner_normals: jnp.ndarray = None    # [3Tl, 3]
+    corner_tangents: jnp.ndarray = None   # [3Tl, 3]
+    corner_uvs: jnp.ndarray = None        # [3Tl, 2]
+    num_tris_live: int = field(metadata=dict(static=True), default=0)
 
 
 def _bucket(n: int, minimum: int = 256) -> int:
@@ -82,8 +98,11 @@ def upload_scene(buffers, bucketize: bool = True) -> DeviceScene:
     v = buffers.positions.shape[0]
     t = buffers.indices.shape[0]
     n = max(1, len(buffers.items))
+    # live-count rounded to the raster group size (corner-table length;
+    # triangle-indexed buffers are padded to at least this)
+    tl = raster.cdiv(max(t, 1), raster.GROUP) * raster.GROUP
     vp = _bucket(max(v, 1)) if bucketize else v
-    tp = _bucket(max(t, 1)) if bucketize else t
+    tp = _bucket(max(t, 1)) if bucketize else tl
 
     def padv(a, rows):
         if a.shape[0] == rows:
@@ -91,9 +110,20 @@ def upload_scene(buffers, bucketize: bool = True) -> DeviceScene:
         pad = np.zeros((rows - a.shape[0],) + a.shape[1:], dtype=a.dtype)
         return np.concatenate([a, pad], axis=0)
 
+    idx_l = padv(buffers.indices, tl).reshape(-1)         # [3Tl]
+    pos_l = padv(buffers.positions, max(v, 1))
+    nrm_l = padv(buffers.normals, max(v, 1))
+    tan_l = padv(buffers.tangents, max(v, 1))
+    uv_l = padv(buffers.uvs, max(v, 1))
+
     # padded triangles index vertex 0 three times -> zero area -> the
     # rasterizer's setup kills them (det <= 0); no masks needed.
     return DeviceScene(
+        corner_positions=jnp.asarray(pos_l[idx_l]),
+        corner_normals=jnp.asarray(nrm_l[idx_l]),
+        corner_tangents=jnp.asarray(tan_l[idx_l]),
+        corner_uvs=jnp.asarray(uv_l[idx_l]),
+        num_tris_live=tl,
         positions=jnp.asarray(padv(buffers.positions, vp)),
         normals=jnp.asarray(padv(buffers.normals, vp)),
         tangents=jnp.asarray(padv(buffers.tangents, vp)),
@@ -153,12 +183,18 @@ class FrameConstants:
 
 
 def world_pos_from_depth(depth: jnp.ndarray, consts: FrameConstants,
-                         width: int, height: int) -> jnp.ndarray:
+                         width: int, height: int,
+                         full_height: int | None = None,
+                         y_offset: jnp.ndarray | int = 0) -> jnp.ndarray:
     """Reconstruct world position from the depth buffer (projective
     unproject via inv_view_proj) — replaces interpolating world positions,
-    which would cost 9 gathered columns per pixel."""
+    which would cost 9 gathered columns per pixel. For screen-band
+    sharding, full_height/y_offset locate this band's rows in the frame."""
+    if full_height is None:
+        full_height = height
     px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    py = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    py = 1.0 - (y_offset + jnp.arange(height, dtype=jnp.float32) + 0.5) \
+        / full_height * 2.0
     ndc_x = jnp.broadcast_to(px[None, :], (height, width))
     ndc_y = jnp.broadcast_to(py[:, None], (height, width))
     clip = jnp.stack([ndc_x, ndc_y, depth, jnp.ones_like(depth)], axis=-1)
@@ -180,13 +216,6 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
     from depth reconstruction. MSAA currently uses the resolve path.
     With msaa, rasterizes the D3D 4x pattern and resolves shading inputs
     on the majority sample (coverage returned for edge blending)."""
-    n_items = consts.normal_mats.shape[0]
-    nrm_v = palette.palette_lookup(
-        scene.item_of_vertex, consts.normal_mats.reshape(n_items, 9)
-    ).reshape(-1, 3, 3)
-    wnrm = jnp.einsum("vij,vj->vi", nrm_v, scene.normals)
-    wtan = jnp.einsum("vij,vj->vi", nrm_v, scene.tangents)
-
     visible, lod = culling.cull_and_select_lod(
         consts.world, scene.aabb_center, scene.aabb_extent,
         consts.frustum_planes, consts.view_proj, scene.item_num_lods)
@@ -194,16 +223,20 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
         scene.tri_item, scene.tri_lod, visible, lod)
 
     wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
-    clip = raster.transform_clip_instanced(scene.positions,
-                                           scene.item_of_vertex, wvp)
-    setup = raster.setup_triangles(clip, scene.indices, width, height,
-                                   tri_mask=tri_mask)
 
     if use_gbuf and not msaa:
-        extra = raster.pack_gbuf_extra(
-            wnrm, wtan, scene.uvs, scene.indices,
-            scene.item_material[scene.tri_item],
-            scene.item_object[scene.tri_item], scene.tri_item)
+        # gather-free geometry front end: static corner tables sized to
+        # the live (unpadded) triangle count
+        tl = scene.num_tris_live
+        tri_item = scene.tri_item[:tl]
+        clip_c = raster.transform_clip_corners(
+            scene.corner_positions, tri_item, wvp)
+        setup = raster.setup_triangles(clip_c, None, width, height,
+                                       tri_mask=tri_mask[:tl])
+        extra = raster.pack_gbuf_extra_corners(
+            scene.corner_normals, scene.corner_tangents, scene.corner_uvs,
+            tri_item, consts.normal_mats,
+            scene.item_material[tri_item], scene.item_object[tri_item])
         binned = raster.bin_triangles(setup, width, height, extra=extra)
         depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width, height)
         mask = tri_id != raster.BG_ID
@@ -219,6 +252,17 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
         }
         return depth, tri_id, attrs, mask, None
 
+    # resolve-gather path (MSAA / use_gbuf=False): per-vertex tables
+    n_items = consts.normal_mats.shape[0]
+    nrm_v = palette.palette_lookup(
+        scene.item_of_vertex, consts.normal_mats.reshape(n_items, 9)
+    ).reshape(-1, 3, 3)
+    wnrm = jnp.einsum("vij,vj->vi", nrm_v, scene.normals)
+    wtan = jnp.einsum("vij,vj->vi", nrm_v, scene.tangents)
+    clip = raster.transform_clip_instanced(scene.positions,
+                                           scene.item_of_vertex, wvp)
+    setup = raster.setup_triangles(clip, scene.indices, width, height,
+                                   tri_mask=tri_mask)
     pos4 = jnp.concatenate(
         [scene.positions, jnp.ones_like(scene.positions[:, :1])], axis=1)
     world_v = consts.world[scene.item_of_vertex]            # [V,4,4]
