@@ -90,3 +90,38 @@ class TestEngine:
                    "-Scene=HelloTriangle", f"-OutputDir={tmp_path}"])
         assert rc == 0
         assert list(Path(tmp_path).glob("*.png"))
+
+
+class TestDebugViews:
+    def test_draw_mode_and_outline_and_magnifier(self):
+        from vqengine_tpu.engine.events import (KeyDownEvent, KeyUpEvent,
+                                                MouseClickEvent)
+        e = make_engine()
+        e.start_loading_scene("HelloCube")
+        e.tick()
+        lit = e._last_output.ldr.copy()
+
+        # cycle draw mode via the 'v' binding -> depth view differs from lit
+        e.events.push(KeyDownEvent("v"))
+        e.tick()
+        e.events.push(KeyUpEvent("v"))
+        assert e.draw_mode == 1
+        depth_view = e._last_output.ldr
+        assert abs(depth_view - lit).mean() > 1e-3
+        # depth view is grayscale
+        assert abs(depth_view[..., 0] - depth_view[..., 1]).max() < 1e-5
+
+        # click the cube -> selection outline appears in LIT mode
+        e.draw_mode = 0
+        e.events.push(MouseClickEvent(48, 32, 0))
+        e.tick()
+        assert e.selected_object == 0
+        e.tick()
+        outlined = e._last_output.ldr
+        assert abs(outlined - lit).mean() > 1e-5
+
+        # magnifier lens
+        e.selected_object = -1
+        e.magnifier_on = True
+        e.tick()
+        assert abs(e._last_output.ldr - lit).mean() > 1e-5

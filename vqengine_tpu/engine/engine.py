@@ -110,6 +110,12 @@ class VQEngineTPU:
         self._last_output = None       # picking readback source
         self._ssr_history = None       # SSR temporal accumulation
         self._static_shadow_maps = None  # cached STATIC-light shadow maps
+        # UI/debug state (the VQUI F3 draw-mode dropdown, MagnifierPass
+        # params and the editor's selected-object outline)
+        self.draw_mode = 0             # visualization.DRAW_MODE_*
+        self.magnifier_on = False
+        self.magnifier_center = (0.5, 0.5)
+        self.selected_object = -1
 
         from .events import BufferedEventQueue
         from .input import Input
@@ -330,7 +336,37 @@ class VQEngineTPU:
             render_scale=self.gfx.RenderScale,
             shadow_maps=self._static_shadow_maps)
         self._ssr_history = self._last_output.ssr_history
+        self._apply_debug_views()
         return self._last_output
+
+    def _apply_debug_views(self) -> None:
+        """Engine-side debug view chain on the finished frame: draw-mode
+        visualization (Visualization.hlsl CS), selected-object outline
+        (OutlinePass) and the magnifier lens (MagnifierPass)."""
+        out = self._last_output
+        if out is None or out.ldr is None:
+            return
+        if not (self.draw_mode or self.magnifier_on
+                or self.selected_object >= 0):
+            return
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from ..ops import visualization as viz
+        ldr = jnp.asarray(out.ldr)
+        if self.draw_mode:
+            ldr = viz.visualize(self.draw_mode, ldr, depth=out.depth,
+                                ao=out.ao, motion=out.motion,
+                                object_id=out.object_id)
+        if self.selected_object >= 0 and out.object_id is not None:
+            ldr = viz.outline(ldr, jnp.asarray(out.object_id),
+                              self.selected_object)
+        if self.magnifier_on:
+            ldr = viz.magnifier(ldr, self.magnifier_center)
+        self._last_output = dataclasses.replace(
+            out, ldr=_np.asarray(ldr))
 
     def pick(self, x: int, y: int) -> int:
         """Mouse-picking readback (the reference's ObjectID pass + async
@@ -401,10 +437,19 @@ class VQEngineTPU:
                     dt, move * 0.01,
                     d_yaw_deg=inp.mouse_dx * cam.params.angular_speed * 57.3 * 0.01,
                     d_pitch_deg=inp.mouse_dy * cam.params.angular_speed * 57.3 * 0.01)
-        # mouse picking on click (VQEngine_Update.cpp:242-278)
+        # mouse picking on click (VQEngine_Update.cpp:242-278); the picked
+        # object drives the editor outline (OutlinePass)
         for (x, y, _b) in inp.clicks():
             picked = self.pick(x, y)
+            self.selected_object = picked
             log.info(f"picked object {picked} at ({x},{y})")
+        # draw-mode cycle + magnifier toggle (VQUI F3 dropdown /
+        # MagnifierPass; bound to plain keys in the windowless build)
+        if inp.is_key_triggered("v"):
+            self.draw_mode = (self.draw_mode + 1) % 9
+            log.info(f"draw mode {self.draw_mode}")
+        if inp.is_key_triggered("m"):
+            self.magnifier_on = not self.magnifier_on
 
     def _log_periodic_stats(self) -> None:
         """Frame pacing log every 4 seconds (VQEngine_Simulation.cpp:47-55)

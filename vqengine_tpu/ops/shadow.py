@@ -92,7 +92,10 @@ def _fetch_nearest(shadow_map: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     s = shadow_map.shape[-1]
     tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
     ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
-    return shadow_map[ty, tx]
+    # flat single-index row-of-4 gather (multi-index forms and scalar
+    # gathers both lower slower on TPU)
+    from .ssao import gather_scalar_rows4
+    return gather_scalar_rows4(shadow_map.reshape(-1), ty * s + tx)
 
 
 def shadow_test_pcf(wpos: jnp.ndarray, ndotl: jnp.ndarray,
@@ -200,7 +203,9 @@ def omni_shadow_test_pcf(wpos: jnp.ndarray, light_pos: jnp.ndarray,
         face, uv = _cube_face_uv(sample_vec)
         tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
         ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
-        # flat single-index gather (3-index form is ~5x slower on TPU)
-        closest = cube_maps.reshape(-1)[(face * s + ty) * s + tx] * far
+        # flat single-index row-of-4 gather (3-index form is ~5x slower)
+        from .ssao import gather_scalar_rows4
+        closest = gather_scalar_rows4(
+            cube_maps.reshape(-1), (face * s + ty) * s + tx) * far
         shadow = shadow + (dist > closest + depth_bias + 0.001).astype(jnp.float32)
     return 1.0 - shadow / OMNI_TAPS.shape[0]

@@ -35,9 +35,26 @@ def _spiral_taps(num: int, seed: int = 7) -> np.ndarray:
     return np.stack([r * np.cos(a), r * np.sin(a)], -1).astype(np.float32)
 
 
+def gather_scalar_rows4(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """flat [N] scalar gather routed through [N/4, 4] row fetches: TPU row
+    gathers cost ~3x less per index than scalar gathers (measured 4.8 ms
+    per 2M 3-element rows vs 14.6 ms per 2M scalars), so fetching a 4-wide
+    row and lane-selecting wins ~2.5x."""
+    n = flat.shape[0]
+    pad = (-n) % 4
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    r = flat.reshape(-1, 4)[idx >> 2]                  # [..., 4]
+    lane = idx & 3
+    return jnp.where(lane == 0, r[..., 0],
+                     jnp.where(lane == 1, r[..., 1],
+                               jnp.where(lane == 2, r[..., 2], r[..., 3])))
+
+
 def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
          radius_world: float = 1.2, num_taps: int = 12,
-         intensity: float = 1.0, power: float = 1.5) -> jnp.ndarray:
+         intensity: float = 1.0, power: float = 1.5,
+         skip_blur: bool = False) -> jnp.ndarray:
     """-> AO [H, W] in [0, 1] (1 = unoccluded).
 
     depth: z_ndc [H,W]; normals: world normals [H,W,3];
@@ -73,8 +90,7 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
     # the fast TPU gather path (~5x faster than multi-MB tables), and the
     # tap-distance mip schedule rarely wanted level 0 anyway.
     z2 = zv[: (h // 2) * 2, : (w // 2) * 2]
-    zbase = 0.25 * (z2[0::2, 0::2] + z2[1::2, 1::2]
-                    + z2[0::2, 1::2] + z2[1::2, 0::2])
+    zbase = z2.reshape(z2.shape[0] // 2, 2, z2.shape[1] // 2, 2).mean((1, 3))
     zmips = ffx.spd_mip_pyramid(zbase[..., None], num_mips=4, reduce="mean")
     zflat_parts, zoffs, zshapes = [], [], []
     off = 0
@@ -105,7 +121,7 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
             ty = jnp.clip((sy / (1 << (m + 1))).astype(jnp.int32), 0, mh - 1)
             tx = jnp.clip((sx / (1 << (m + 1))).astype(jnp.int32), 0, mw - 1)
             idx = jnp.where(mip == m, zoffs[m] + ty * mw + tx, idx)
-        z_tap = zflat[idx]
+        z_tap = gather_scalar_rows4(zflat, idx)
 
         # view-space sample position
         s_ndc_x = (sx / w) * 2.0 - 1.0
@@ -124,6 +140,8 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
     ao = 1.0 - jnp.clip(occlusion / num_taps * 2.0 * intensity, 0.0, 1.0)
     ao = jnp.power(jnp.clip(ao, 0.0, 1.0), power)
 
+    if skip_blur:
+        return ao
     # smart blur: depth-aware 5x5 separable (CACAO's edge-aware blur)
     ao = _bilateral_blur(ao, zv)
     return ao

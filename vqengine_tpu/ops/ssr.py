@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ffx
-from .ssao import view_depth_from_ndc
+from .ssao import gather_scalar_rows4, view_depth_from_ndc
 
 
 def _reconstruct_view_pos(depth_v: jnp.ndarray, fov_y, aspect) -> jnp.ndarray:
@@ -58,8 +58,7 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     # table, and tables under ~1-2 MB hit the fast TPU gather path
     # (measured ~5x faster than multi-MB tables)
     z2 = zv[: (h // 2) * 2, : (w // 2) * 2]
-    zbase = jnp.minimum(jnp.minimum(z2[0::2, 0::2], z2[1::2, 1::2]),
-                        jnp.minimum(z2[0::2, 1::2], z2[1::2, 0::2]))
+    zbase = z2.reshape(z2.shape[0] // 2, 2, z2.shape[1] // 2, 2).min((1, 3))
     zmips = ffx.spd_mip_pyramid(zbase, num_mips=3, reduce="min")
 
     valid_px = depth < 1.0
@@ -71,7 +70,7 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
         zm = zmips[mip]
         ty = jnp.clip((uv_y * zm.shape[0]).astype(jnp.int32), 0, zm.shape[0] - 1)
         tx = jnp.clip((uv_x * zm.shape[1]).astype(jnp.int32), 0, zm.shape[1] - 1)
-        return zm[ty, tx]
+        return gather_scalar_rows4(zm.reshape(-1), ty * zm.shape[1] + tx)
 
     def project(p):
         """view pos -> (u, v, depth) with u,v in [0,1] (y down)."""
@@ -115,7 +114,7 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     u, v, z_ray = project(p)
     ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    refl = scene_color[ty, tx]
+    refl = scene_color.reshape(-1, 3)[ty * w + tx]
 
     # confidence: hit found, facing the camera plane, fade at screen edges
     edge = (jnp.minimum(u, 1 - u).clip(0, 0.1) * 10.0
@@ -160,7 +159,7 @@ def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
             py = ys + motion[..., 1] * (h * 0.5)
             ty = jnp.clip(py.astype(jnp.int32), 0, h - 1)
             tx = jnp.clip(px.astype(jnp.int32), 0, w - 1)
-            hist = history[ty, tx]
+            hist = history.reshape(-1, 3)[ty * w + tx]
         else:
             hist = history
         out = temporal_alpha * hist + (1 - temporal_alpha) * out

@@ -82,7 +82,7 @@ def magnifier(img: jnp.ndarray, center_uv=(0.5, 0.5), radius: float = 0.15,
     sv = cy + dy / magnification
     tx = jnp.clip((su * w).astype(jnp.int32), 0, w - 1)
     ty = jnp.clip((sv * h).astype(jnp.int32), 0, h - 1)
-    magnified = img[ty, tx]
+    magnified = img.reshape(-1, img.shape[-1])[ty * w + tx]
     out = jnp.where(inside[..., None], magnified, img)
 
     ring = (dist >= radius) & (dist < radius + border_px / h)

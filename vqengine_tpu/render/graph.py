@@ -182,6 +182,18 @@ class FrameConstants:
     dir_vp: jnp.ndarray            # [4, 4]
 
 
+def pool2(x: jnp.ndarray, reduce: str = "mean") -> jnp.ndarray:
+    """2x2 downsample of [H, W, ...] via reshape + reduce. Strided slicing
+    (x[::2, ::2]) relayouts the lane dimension on TPU (~11 ms for a 1080p
+    depth+normal pair); reshape + a size-2 minor-axis reduce is free."""
+    h = x.shape[0] // 2 * 2
+    w = x.shape[1] // 2 * 2
+    x4 = x[:h, :w].reshape((h // 2, 2, w // 2, 2) + x.shape[2:])
+    if reduce == "min":
+        return x4.min(axis=(1, 3))
+    return x4.mean(axis=(1, 3))
+
+
 def world_pos_from_depth(depth: jnp.ndarray, consts: FrameConstants,
                          width: int, height: int,
                          full_height: int | None = None,
@@ -435,6 +447,21 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
         shadow_maps = render_shadow_maps(scene, consts, shadow_dims,
                                          filter_mode)
 
+    # ESM visibility evaluates at half resolution: the one-tap map gather
+    # dominates its cost (a 2048^2 f32 map is a large-table gather) and
+    # the prefiltered ESM response is smooth, so 2x upsampling is lossless
+    # to the eye. PCF keeps full resolution (hard-edged taps).
+    full_hw = wpos.shape[:2]
+    if filter_mode == "esm":
+        wpos = pool2(wpos)
+        normal = pool2(normal)
+
+    def up(v):
+        if filter_mode != "esm":
+            return v
+        v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
+        return v[..., : full_hw[0], : full_hw[1]]
+
     spot_vis = None
     if sc:
         vis = []
@@ -451,7 +478,7 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
                 vis.append(shadow.shadow_test_pcf(
                     wpos, ndotl, consts.spot_caster_vps[i], dmap,
                     lrow[11], slope_scaled=True))
-        spot_vis = jnp.stack(vis)
+        spot_vis = up(jnp.stack(vis))
 
     point_vis = None
     if pc:
@@ -461,7 +488,7 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
             lrow = consts.point_casters[i]
             vis.append(shadow.omni_shadow_test_pcf(
                 wpos, lrow[0:3], cube, lrow[9], lrow[8], consts.camera_pos))
-        point_vis = jnp.stack(vis)
+        point_vis = up(jnp.stack(vis))
 
     dir_vis = None
     if has_dir:
@@ -477,6 +504,7 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
             dir_vis = shadow.shadow_test_pcf(
                 wpos, ndotl, consts.dir_vp[0], dmap,
                 consts.directional[7], slope_scaled=False)
+        dir_vis = up(dir_vis)
     return spot_vis, point_vis, dir_vis
 
 
@@ -536,7 +564,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         # at ~1 element/cycle; half res quarters the cost) and upsampled
         info = {"near": consts.proj_params[0], "far": consts.proj_params[1],
                 "fov_y": consts.proj_params[2], "view": consts.view_matrix}
-        ao_half = ssao_ops.ssao(depth[::2, ::2], n[::2, ::2], info)
+        ao_half = ssao_ops.ssao(pool2(depth), pool2(n), info)
         ao_map = jnp.repeat(jnp.repeat(ao_half, 2, axis=0), 2, axis=1)
         ao_map = ao_map[:height, :width]
 
@@ -621,14 +649,14 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         # traced at half resolution (the reference SSSR's common config;
         # per-step depth fetches are per-pixel gathers)
         refl_h, conf_h = ssr_ops.trace_reflections(
-            hdr[::2, ::2], depth[::2, ::2], n[::2, ::2],
+            pool2(hdr), pool2(depth), pool2(n),
             consts.view_matrix, consts.proj_params)
         # denoise + temporal history at half resolution: the history
         # reprojection gather from a full-res [H,W,3] table runs on the
         # slow large-table gather path; half-res history stays small
         refl_dn_h, new_ssr_history = ssr_ops.denoise_reflections(
-            refl_h, conf_h, mat["roughness"][::2, ::2], history=ssr_history,
-            motion=None if motion is None else motion[::2, ::2])
+            refl_h, conf_h, pool2(mat["roughness"]), history=ssr_history,
+            motion=None if motion is None else pool2(motion))
         refl_dn = jnp.repeat(jnp.repeat(refl_dn_h, 2, 0), 2, 1)[:height, :width]
         conf = jnp.repeat(jnp.repeat(conf_h, 2, 0), 2, 1)[:height, :width]
         v = consts.camera_pos - attrs["wpos"]
