@@ -32,7 +32,7 @@ def _reconstruct_view_pos(depth_v: jnp.ndarray, fov_y, aspect) -> jnp.ndarray:
 def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
                       normals_world: jnp.ndarray, view: jnp.ndarray,
                       proj_params: jnp.ndarray,
-                      num_steps: int = 24, refine_steps: int = 4,
+                      num_steps: int = 16, refine_steps: int = 4,
                       max_distance: float = 60.0,
                       thickness: float = 0.6):
     """-> (reflection color [H,W,3], confidence [H,W]).
@@ -89,7 +89,7 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
         p = pos_v + r * t[..., None]
         u, v, z_ray = project(p)
         on_screen = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (p[..., 2] > near)
-        mip = min(i // 8, len(zmips) - 1)  # static per step
+        mip = min(i // 6, len(zmips) - 1)  # static per step
         z_scene = sample_depth(u, v, mip)
         hit = (z_ray > z_scene) & (z_ray - z_scene < thickness * (1.0 + 0.1 * i)) \
             & on_screen & (t_hit < 0)
