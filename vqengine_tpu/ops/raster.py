@@ -714,6 +714,7 @@ def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(starts, binned.gmeta, binned.pairs, binned.gpairs)
 
@@ -773,6 +774,10 @@ def rasterize(binned: BinnedTriangles, width: int, height: int,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # small framebuffers let XLA place whole outputs in VMEM; the
+            # 4x MSAA variant (8 outputs) then blows the default 16 MB
+            # scoped-vmem budget (seen at 640x360 with AA on)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(starts, binned.gmeta, binned.pairs, binned.gpairs)
 

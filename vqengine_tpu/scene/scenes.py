@@ -157,6 +157,18 @@ def augment_stress_test(rep: FSceneRepresentation, material_lib: dict,
                         (-50.0 + r * (2 * s + 2), 200.0 + mtl * (2 * s + 2), 0),
                         (s, s, s), mat.name, name=f"GradSphere[{r}][{mtl}]")
 
+    # a default camera outside the cloud looking back at it (the reference
+    # scene positions its camera in the XML; without one the default pose
+    # sits inside the instance cloud)
+    if not rep.cameras:
+        from .camera import FCameraParameters
+        cam = FCameraParameters()
+        cam.position = np.array([0.0, 60.0, -160.0], np.float32)
+        cam.pitch_deg = 5.0
+        cam.yaw_deg = 0.0
+        cam.far_z = 3000.0
+        rep.cameras.append(cam)
+
     return StressTestAnimation(names, rng)
 
 
