@@ -117,10 +117,23 @@ def shade_forward(
         return total + _spot_light_radiance(
             lrow, extra, world_pos, normal, v, albedo, roughness, metalness), None
 
+    # small light counts unroll (same accumulation order as the scan, so
+    # results are bit-identical) — scan bodies don't fuse across
+    # iterations and spill the carry to HBM each step; the reference's
+    # 100-light budget stays a scan
+    UNROLL = 16
     if point_lights.shape[0]:
-        total, _ = jax.lax.scan(scan_point, total, point_lights)
+        if point_lights.shape[0] <= UNROLL:
+            for i in range(point_lights.shape[0]):
+                total, _ = scan_point(total, point_lights[i])
+        else:
+            total, _ = jax.lax.scan(scan_point, total, point_lights)
     if spot_lights.shape[0]:
-        total, _ = jax.lax.scan(scan_spot, total, (spot_lights, spot_extra))
+        if spot_lights.shape[0] <= UNROLL:
+            for i in range(spot_lights.shape[0]):
+                total, _ = scan_spot(total, (spot_lights[i], spot_extra[i]))
+        else:
+            total, _ = jax.lax.scan(scan_spot, total, (spot_lights, spot_extra))
 
     # shadow casters: contribution * per-caster visibility map
     if point_casters is not None and point_casters.shape[0]:
