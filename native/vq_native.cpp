@@ -35,6 +35,7 @@ static int png_parse(const uint8_t* data, size_t n, PngInfo* info,
     size_t pos = 8;
     size_t cap = 1 << 20;
     uint8_t* buf = (uint8_t*)malloc(cap);
+    if (!buf) return -5;
     size_t len = 0;
     int have_hdr = 0;
     while (pos + 12 <= n) {
@@ -63,7 +64,9 @@ static int png_parse(const uint8_t* data, size_t n, PngInfo* info,
         } else if (!memcmp(tag, "IDAT", 4)) {
             if (len + clen > cap) {
                 while (len + clen > cap) cap *= 2;
-                buf = (uint8_t*)realloc(buf, cap);
+                uint8_t* grown = (uint8_t*)realloc(buf, cap);
+                if (!grown) { free(buf); return -5; }
+                buf = grown;
             }
             memcpy(buf + len, body, clen);
             len += clen;
@@ -101,6 +104,7 @@ int vq_png_decode(const uint8_t* data, size_t n, uint8_t* out) {
     const size_t stride = (size_t)info.w * ch;
     const size_t raw_len = (stride + 1) * info.h;
     uint8_t* raw = (uint8_t*)malloc(raw_len);
+    if (!raw) { free(idat); return -5; }
 
     uLongf dlen = raw_len;
     if (uncompress(raw, &dlen, idat, ilen) != Z_OK || dlen != raw_len) {
@@ -111,6 +115,7 @@ int vq_png_decode(const uint8_t* data, size_t n, uint8_t* out) {
     // unfilter
     uint8_t* prev = (uint8_t*)calloc(stride, 1);
     uint8_t* line = (uint8_t*)malloc(stride);
+    if (!prev || !line) { free(raw); free(prev); free(line); return -5; }
     const bool palette = info.color_type == 3;
     for (uint32_t y = 0; y < info.h; ++y) {
         const uint8_t* src = raw + y * (stride + 1);

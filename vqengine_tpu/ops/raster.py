@@ -242,6 +242,7 @@ class BinnedTriangles:
     starts: jnp.ndarray     # [NT + 1] int32 segment offsets (pair units)
     gpairs: jnp.ndarray     # [NGG, PAIR_ROWS, GROUP] big-triangle group blocks
     gmeta: jnp.ndarray      # [2] int32: (gcount, 0)
+    overflow: jnp.ndarray   # [2] int32: (pairs dropped, big tris dropped)
     tiles_x: int = field(metadata=dict(static=True), default=0)
     tiles_y: int = field(metadata=dict(static=True), default=0)
 
@@ -329,8 +330,17 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     gpairs = _group_blocks(grecords)
     gmeta = jnp.stack([gcount, jnp.asarray(tiles_x, jnp.int32)])
 
+    # overflow accounting: the compact scatter silently drops pairs beyond
+    # `cap` (mode="drop") and the big-triangle list truncates at GLOBAL_CAP —
+    # surface the dropped counts so callers/tests can assert zero loss.
+    total_pairs = n_eff.sum(dtype=jnp.int32)
+    nbig = big.sum(dtype=jnp.int32)
+    overflow = jnp.stack([jnp.maximum(total_pairs - cap, 0),
+                          jnp.maximum(nbig - GLOBAL_CAP, 0)])
+
     return BinnedTriangles(pairs=pairs, starts=starts, gpairs=gpairs,
-                           gmeta=gmeta, tiles_x=tiles_x, tiles_y=tiles_y)
+                           gmeta=gmeta, overflow=overflow,
+                           tiles_x=tiles_x, tiles_y=tiles_y)
 
 
 # ===========================================================================

@@ -11,6 +11,7 @@ visibility maps consumed by ops/shading.py.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import raster
@@ -162,12 +163,24 @@ def prefilter_esm(shadow_map: jnp.ndarray, c: float = 80.0,
     back (log of blurred exponential) for bounded storage."""
     e = jnp.exp(jnp.clip(shadow_map, 0.0, 1.0) * c - c)  # normalized exp
     def blur_axis(a, axis):
+        # clamped-edge box blur (jnp.roll would wrap border texels to the
+        # opposite shadow-map edge and leak light/shadow across the frustum
+        # border); concatenating edge replicas keeps it gather-free.
+        n = a.shape[axis]
         acc = jnp.zeros_like(a)
-        n = 0.0
         for o in range(-radius, radius + 1):
-            acc = acc + jnp.roll(a, o, axis=axis)
-            n += 1.0
-        return acc / n
+            if o < 0:       # shift down: replicate leading edge
+                first = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+                body = jax.lax.slice_in_dim(a, 0, n + o, axis=axis)
+                shifted = jnp.concatenate([first] * (-o) + [body], axis=axis)
+            elif o > 0:     # shift up: replicate trailing edge
+                last = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+                body = jax.lax.slice_in_dim(a, o, n, axis=axis)
+                shifted = jnp.concatenate([body] + [last] * o, axis=axis)
+            else:
+                shifted = a
+            acc = acc + shifted
+        return acc / (2 * radius + 1)
     e = blur_axis(blur_axis(e, 0), 1)
     return jnp.log(jnp.maximum(e, 1e-30)) / c + 1.0      # back to depth units
 

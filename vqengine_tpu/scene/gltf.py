@@ -146,10 +146,13 @@ def load_gltf_meshes(path: str | Path) -> list[tuple[Mesh, Material | None]]:
                    if "NORMAL" in attrs else np.tile([0, 1, 0], (count, 1)).astype(np.float32))
             tan4 = (_read_accessor(gltf, buffers, attrs["TANGENT"]).astype(np.float32)
                     if "TANGENT" in attrs else None)
-            uv = (_read_accessor(gltf, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
-                  if "TEXCOORD_0" in attrs else np.zeros((count, 2), np.float32))
-            if uv.dtype != np.float32:  # normalized int uvs
-                uv = uv.astype(np.float32) / np.iinfo(uv.dtype).max
+            if "TEXCOORD_0" in attrs:
+                uv_raw = _read_accessor(gltf, buffers, attrs["TEXCOORD_0"])
+                uv = uv_raw.astype(np.float32)
+                if uv_raw.dtype != np.float32:  # normalized int uvs
+                    uv = uv / np.iinfo(uv_raw.dtype).max
+            else:
+                uv = np.zeros((count, 2), np.float32)
 
             if "indices" in prim:
                 idx = _read_accessor(gltf, buffers, prim["indices"]).reshape(-1, 3)

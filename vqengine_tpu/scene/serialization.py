@@ -126,7 +126,12 @@ def parse_scene_file(path: str | Path) -> FSceneRepresentation:
     env = root.find("EnvironmentMap")
     if env is not None:
         rep.env_map_preset = _text(env.find("Preset"))
-        rep.env_map_path = _text(env.find("Path") or env.find("path"))
+        # NB: an ElementTree Element with text but no children is falsy,
+        # so `find("Path") or find("path")` would drop an uppercase <Path>.
+        path_el = env.find("Path")
+        if path_el is None:
+            path_el = env.find("path")
+        rep.env_map_path = _text(path_el)
         rep.env_map_max_cll = _scalar(env.find("MaxCLL"), 0.0)
 
     for cam_el in root.findall("Camera"):
