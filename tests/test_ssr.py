@@ -62,15 +62,53 @@ class TestTrace:
 
 class TestDenoise:
     def test_temporal_blend(self):
-        rng = np.random.default_rng(0)
-        refl = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+        """In-distribution history blends by alpha; new_history carries the
+        resolve depth in channel 3."""
+        refl = jnp.full((32, 32, 3), 0.5)
         conf = jnp.ones((32, 32))
         rough = jnp.zeros((32, 32))
-        hist = jnp.zeros((32, 32, 3))
+        hist = jnp.concatenate([jnp.full((32, 32, 3), 0.5),
+                                jnp.zeros((32, 32, 1))], axis=-1)
         out, new_hist = ssr.denoise_reflections(refl, conf, rough, hist,
                                                 temporal_alpha=0.75)
-        np.testing.assert_allclose(np.asarray(out),
-                                   0.25 * np.asarray(refl), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-5)
+        assert new_hist.shape == (32, 32, 4)
+
+    def test_ghost_history_clamped(self):
+        """Stale history far outside the local color bounds must be clamped
+        to the current neighborhood (DNSR variance clamping) — no ghosting."""
+        refl = jnp.full((32, 32, 3), 0.2)
+        hist = jnp.concatenate([jnp.full((32, 32, 3), 10.0),
+                                jnp.zeros((32, 32, 1))], axis=-1)
+        out, _ = ssr.denoise_reflections(refl, jnp.ones((32, 32)),
+                                         jnp.zeros((32, 32)), hist,
+                                         temporal_alpha=0.75)
+        np.testing.assert_allclose(np.asarray(out), 0.2, atol=1e-4)
+
+    def test_disocclusion_drops_history(self):
+        """A depth mismatch between history and current collapses the
+        temporal weight (disocclusion test)."""
+        # checkerboard current field so the local color bounds [0.1, 0.3]
+        # leave room for the 0.25 history (a constant field would clamp it)
+        yy, xx = np.mgrid[0:8, 0:8]
+        base = np.where(((xx + yy) % 2) == 0, 0.1, 0.3).astype(np.float32)
+        refl = jnp.asarray(np.repeat(base[..., None], 3, axis=-1))
+        hist_rgb = jnp.full((8, 8, 3), 0.25)
+        depth_now = jnp.full((8, 8), 0.9)
+        hist_same = jnp.concatenate([hist_rgb, depth_now[..., None]], -1)
+        hist_disocc = jnp.concatenate(
+            [hist_rgb, jnp.full((8, 8, 1), 0.2)], -1)
+        out_same, _ = ssr.denoise_reflections(
+            refl, jnp.ones((8, 8)), jnp.zeros((8, 8)), hist_same,
+            temporal_alpha=0.75, depth=depth_now)
+        out_disocc, _ = ssr.denoise_reflections(
+            refl, jnp.ones((8, 8)), jnp.zeros((8, 8)), hist_disocc,
+            temporal_alpha=0.75, depth=depth_now)
+        # with matching depth the blend pulls toward history
+        assert float(np.abs(np.asarray(out_same) - np.asarray(refl)).max()) > 0.05
+        # with mismatched depth, history is rejected
+        np.testing.assert_allclose(np.asarray(out_disocc), np.asarray(refl),
+                                   atol=1e-5)
 
     def test_rough_pixels_blurred(self):
         img = np.zeros((32, 32, 3), np.float32)

@@ -17,6 +17,13 @@ PI = float(np.pi)
 EPS = 1e-12
 
 
+def _pow5(x):
+    """x^5 by multiplication: jnp.power with a float exponent lowers to a
+    multi-pass exp/log on the TPU VPU; Fresnel runs per light per pixel."""
+    x2 = x * x
+    return x2 * x2 * x
+
+
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
@@ -75,14 +82,14 @@ def geometry_smith_ibl(n, v, l, roughness):
 
 def fresnel_schlick(n, v, f0):
     """BRDF.hlsl:132-136: F0 + (1-F0)*(1 - max(0, dot(N,V)))^5."""
-    p = jnp.power(1.0 - jnp.maximum(0.0, _dot(n, v)), 5.0)
+    p = _pow5(1.0 - jnp.maximum(0.0, _dot(n, v)))
     return f0 + (1.0 - f0) * p[..., None]
 
 
 def fresnel_with_roughness(cos_theta, f0, roughness):
     """BRDF.hlsl:152-156 (Lagarde) for IBL."""
     one_minus_r = (1.0 - roughness)[..., None]
-    return f0 + (jnp.maximum(one_minus_r, f0) - f0) * jnp.power(1.0 - cos_theta, 5.0)[..., None]
+    return f0 + (jnp.maximum(one_minus_r, f0) - f0) * _pow5(1.0 - cos_theta)[..., None]
 
 
 def lambert_diffuse(kd):
@@ -199,7 +206,7 @@ def integrate_brdf(ndotv: jnp.ndarray, roughness: jnp.ndarray,
         vdoth = jnp.maximum(_dot(v, h), 0.0)
         g = geometry_smith_ibl(n, v, l, roughness)
         g_vis = jnp.maximum(g * vdoth / jnp.maximum(ndoth * ndotv, 1e-6), 1e-4)
-        fc = jnp.power(1.0 - vdoth, 5.0)
+        fc = _pow5(1.0 - vdoth)
         scale = jnp.where(ndotl > 0, (1.0 - fc) * g_vis, 0.0)
         bias = jnp.where(ndotl > 0, fc * g_vis, 0.0)
         return (acc[0] + scale, acc[1] + bias), None

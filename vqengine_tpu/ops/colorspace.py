@@ -29,6 +29,20 @@ def linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
                      1.055 * jnp.power(jnp.abs(c), 1.0 / 2.4) - 0.055)
 
 
+def linear_to_srgb_fast(c: jnp.ndarray) -> jnp.ndarray:
+    """sRGB OETF with the x^(1/2.4) replaced by a 2-sqrt polynomial
+    (max |error| 7e-4 sRGB units on [0.0031308, 1] — 5.6x under one 8-bit
+    step). jnp.power is a multi-pass transcendental on the TPU VPU (~5 ms
+    for a 1080p RGB frame); sqrt is single-pass. Matches the curve of
+    HDR.hlsl:76-80, not its instruction sequence."""
+    c = jnp.asarray(c)
+    x = jnp.clip(c, 0.0, 1.0)
+    u2 = jnp.sqrt(x)      # c^0.5
+    u4 = jnp.sqrt(u2)     # c^0.25
+    p = 0.11983648 * u4 + 1.23117423 * u2 - 0.49498088 * u2 * u4 + 0.14414322 * x
+    return jnp.where(x < 0.0031308, 12.92 * x, 1.055 * p - 0.055)
+
+
 def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
     """HDR.hlsl:82-86 exact piecewise sRGB EOTF."""
     c = jnp.asarray(c)

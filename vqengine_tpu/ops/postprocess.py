@@ -35,7 +35,7 @@ def tonemap(color: jnp.ndarray,
     if output_display_curve == cs.DISPLAY_CURVE_SRGB:
         out = tonemap_reinhard(color)
         if apply_gamma:
-            out = cs.linear_to_srgb(out)
+            out = cs.linear_to_srgb_fast(out)
         return out
     if output_display_curve == cs.DISPLAY_CURVE_ST2084:
         out = color

@@ -558,11 +558,36 @@ def pack_gbuf_extra_corners(corner_normals: jnp.ndarray,
          tri_obj.astype(jnp.float32)[:, None]], axis=1)
 
 
-def _make_gbuf_kernel():
+def _make_gbuf_kernel(sample_offsets: tuple | None = None,
+                      bounded: bool = False):
+    """G-buffer raster kernel. sample_offsets=None tests coverage at the
+    pixel center (single sample). With offsets (MSAA), each triangle is
+    covered if ANY sample passes its edge tests; the depth/attribute winner
+    is the min-depth covered triangle (the reference's min-depth MSAA
+    resolve, DepthResolve.hlsl), attributes interpolate at the pixel center
+    with clamped barycentrics (centroid-style), and a per-sample coverage
+    carry yields the [0,1] coverage output for silhouette blending —
+    per-sample color buffers never exist, matching ResolveMSAA's
+    shade-once-blend-by-coverage economics without the bandwidth.
+
+    bounded adds a per-pixel depth window input [2, NPX] (zlo, zhi): only
+    fragments with zlo < z < zhi compete. This is the depth-peeling
+    primitive behind alpha-mask discard (ForwardLighting.hlsl:237-240 —
+    peel past a failed cutout fragment) and the 2-layer transparent pass
+    (zhi = opaque depth)."""
+    ns = 0 if sample_offsets is None else len(sample_offsets)
+
     def kernel(starts_ref, gmeta_ref,            # scalar prefetch (SMEM)
                pairs_ref, gpairs_ref,            # HBM residents
-               depth_ref, id_ref, gbuf_ref,      # outs
-               buf, sem):                        # scratch [2, GBUF_ROWS, GROUP]
+               *refs):                           # [zbound], outs..., buf, sem
+        if bounded:
+            zbound_ref, refs = refs[0], refs[1:]
+        if ns:
+            depth_ref, id_ref, gbuf_ref, cov_ref = refs[0:4]
+            buf, sem = refs[4], refs[5]
+        else:
+            depth_ref, id_ref, gbuf_ref = refs[0:3]
+            buf, sem = refs[3], refs[4]
         blk = pl.program_id(0)
         tiles_x = gmeta_ref[1]
         sublane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, NPX), 0)
@@ -576,6 +601,9 @@ def _make_gbuf_kernel():
             px = (lin % TILE_W).astype(jnp.float32) + (tx * TILE_W).astype(jnp.float32) + 0.5
             py = (lin // TILE_W).astype(jnp.float32) + (ty * TILE_H).astype(jnp.float32) + 0.5
             p3 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)
+            if bounded:
+                zb = zbound_ref[pl.ds(t, 1)][0]              # [2, NPX]
+                zlo, zhi = zb[0:1], zb[1:2]                  # [1, NPX] each
 
             def stream(src_ref, g0, g1, carry):
                 n_groups = g1 - g0
@@ -586,7 +614,10 @@ def _make_gbuf_kernel():
                                           sem.at[0]).start()
 
                 def group_body(i, carry):
-                    depth, idbuf, gbuf = carry
+                    if ns:
+                        depth, idbuf, gbuf, covc = carry
+                    else:
+                        depth, idbuf, gbuf = carry
                     g = g0 + i
                     slot = jax.lax.rem(i, 2)
                     nxt = jax.lax.rem(i + 1, 2)
@@ -603,8 +634,46 @@ def _make_gbuf_kernel():
                     b1 = jax.lax.dot_general(cur[3:6], p3, dn, preferred_element_type=jnp.float32)
                     b2 = jax.lax.dot_general(cur[6:9], p3, dn, preferred_element_type=jnp.float32)
                     z = jax.lax.dot_general(cur[9:12], p3, dn, preferred_element_type=jnp.float32)
-                    cover = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & (z >= 0.0)
-                    zm = jnp.where(cover, z, 2.0)
+                    if ns:
+                        # per-sample edge tests against per-triangle offset
+                        # thresholds (b_i(sample) = b_i(center) + e_ix*dx +
+                        # e_iy*dy, so covered iff b_i >= -offset — a [G,1]
+                        # broadcast compare, no per-sample [G,NPX] adds;
+                        # z varies sub-pixel so the center value keys the
+                        # depth test)
+                        zok = (z >= 0.0) & (z <= 1.0)
+                        if bounded:
+                            zok = zok & (z > zlo) & (z < zhi)
+                        covers = []
+                        for dx, dy in sample_offsets:
+                            t0 = -(cur[0:1] * dx + cur[1:2] * dy).T   # [G,1]
+                            t1 = -(cur[3:4] * dx + cur[4:5] * dy).T
+                            t2 = -(cur[6:7] * dx + cur[7:8] * dy).T
+                            covers.append((b0 >= t0) & (b1 >= t1)
+                                          & (b2 >= t2) & zok)
+                        cover_any = covers[0]
+                        for c in covers[1:]:
+                            cover_any = cover_any | c
+                        # per-sample "any triangle in this group covers the
+                        # sample" -> sticky coverage carry [ns, NPX]
+                        anyc = jnp.concatenate(
+                            [jnp.max(c.astype(jnp.float32), axis=0,
+                                     keepdims=True) for c in covers], axis=0)
+                        covc = jnp.maximum(covc, anyc)
+                        # depth key: center-covered triangles (key = z) beat
+                        # sample-only ones (key = z + 1) so interior edges
+                        # resolve like the center-sampled path — only true
+                        # silhouette pixels (center outside every triangle)
+                        # fall back to the nearest sample-covered winner.
+                        # Killed/uncovered = 4 (the msaa carry inits at 4).
+                        cover_c = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & zok
+                        zm = jnp.where(cover_c, z,
+                                       jnp.where(cover_any, z + 1.0, 4.0))
+                    else:
+                        cover = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & (z >= 0.0)
+                        if bounded:
+                            cover = cover & (z > zlo) & (z < zhi)
+                        zm = jnp.where(cover, z, 2.0)
                     zmin = jnp.min(zm, axis=0, keepdims=True)
                     amin = jnp.argmin(zm, axis=0).astype(jnp.int32)[None, :]
                     onehot = (sublane == amin).astype(jnp.float32)
@@ -652,26 +721,43 @@ def _make_gbuf_kernel():
                          jnp.zeros((GBUF_OUT - 11, NPX), jnp.float32)], axis=0)
 
                     upd = zmin < depth
-                    return (jnp.where(upd, zmin, depth),
-                            jnp.where(upd, idsel, idbuf),
-                            jnp.where(upd, new_gvals, gbuf))
+                    new_carry = (jnp.where(upd, zmin, depth),
+                                 jnp.where(upd, idsel, idbuf),
+                                 jnp.where(upd, new_gvals, gbuf))
+                    if ns:
+                        new_carry = new_carry + (covc,)
+                    return new_carry
 
                 return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
-            depth0 = jnp.full((1, NPX), 1.0, dtype=jnp.float32)
+            # msaa inits the depth-key carry at 4 (above both the [0,1]
+            # center-key band and the [1,2] sample-only band)
+            depth0 = jnp.full((1, NPX), 4.0 if ns else 1.0, dtype=jnp.float32)
             id0 = jnp.full((1, NPX), jnp.float32(BG_ID))
             g0buf = jnp.zeros((GBUF_OUT, NPX), jnp.float32)
+            init = (depth0, id0, g0buf)
+            if ns:
+                init = init + (jnp.zeros((ns, NPX), jnp.float32),)
 
             carry = stream(gpairs_ref, jnp.int32(0),
-                           pl.cdiv(gmeta_ref[0], GROUP), (depth0, id0, g0buf))
+                           pl.cdiv(gmeta_ref[0], GROUP), init)
             start = starts_ref[tile]
             end = starts_ref[tile + 1]
-            depth, idbuf, gvals = stream(pairs_ref, start // GROUP,
-                                         pl.cdiv(end, GROUP), carry)
+            carry = stream(pairs_ref, start // GROUP,
+                           pl.cdiv(end, GROUP), carry)
+            depth, idbuf, gvals = carry[0:3]
+            if ns:
+                # un-bias the depth key: [0,1) center-covered stays, [1,2)
+                # sample-only drops the +1, 4 (empty) -> background 1.0
+                depth = jnp.where(depth < 1.0, depth,
+                                  jnp.where(depth < 3.0, depth - 1.0, 1.0))
 
             depth_ref[pl.ds(t, 1), :] = depth
             id_ref[pl.ds(t, 1), :] = idbuf.astype(jnp.int32)
             gbuf_ref[t, :, :] = gvals
+            if ns:
+                cov_ref[pl.ds(t, 1), :] = jnp.mean(carry[3], axis=0,
+                                                   keepdims=True)
             return 0
 
         jax.lax.fori_loop(0, TILES_PER_BLOCK, tile_body, 0)
@@ -679,14 +765,35 @@ def _make_gbuf_kernel():
     return kernel
 
 
-_gbuf_kernel = _make_gbuf_kernel()
+@functools.lru_cache(maxsize=None)
+def _get_gbuf_kernel(msaa: bool, bounded: bool):
+    return _make_gbuf_kernel(MSAA4_OFFSETS if msaa else None, bounded=bounded)
 
 
-def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int):
+def tile_image(img: jnp.ndarray, tiles_x: int, tiles_y: int) -> jnp.ndarray:
+    """[H, W] image -> [NT, NPX] tile-major layout (inverse of the raster
+    untile), edge-padded to whole tiles."""
+    h, w = img.shape
+    ph, pw = tiles_y * TILE_H - h, tiles_x * TILE_W - w
+    if ph or pw:
+        img = jnp.pad(img, ((0, ph), (0, pw)), mode="edge")
+    img = img.reshape(tiles_y, TILE_H, tiles_x, TILE_W)
+    return img.transpose(0, 2, 1, 3).reshape(tiles_y * tiles_x, NPX)
+
+
+def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int,
+                   msaa: bool = False,
+                   zbound: tuple[jnp.ndarray, jnp.ndarray] | None = None):
     """G-buffer rasterization: -> (depth [H,W], tri_id [H,W],
     gbuf [GBUF_OUT, H, W]) with channels
     0-2 world normal | 3-5 world tangent | 6-7 uv | 8 material id |
     9 object id | 10 item id. Records must be packed with pack_gbuf_extra.
+    With msaa, a 4th return: coverage [H,W] in {0, .25, .., 1} (D3D 4x
+    pattern), and depth/id/attributes resolve to the min-depth covered
+    triangle across samples (DepthResolve.hlsl semantics).
+    zbound = (zlo [H,W], zhi [H,W]): only fragments in the open window
+    (zlo, zhi) compete — the depth-peeling primitive for alpha-mask
+    discard and the transparent pass.
     """
     tiles_x, tiles_y = binned.tiles_x, binned.tiles_y
     nt = tiles_x * tiles_y
@@ -703,30 +810,48 @@ def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int):
     out_spec3d = pl.BlockSpec((TILES_PER_BLOCK, GBUF_OUT, NPX),
                               lambda blk, *_: (blk, 0, 0),
                               memory_space=pltpu.VMEM)
+    out_specs = [out_spec2d, out_spec2d, out_spec3d]
+    out_shape = [
+        jax.ShapeDtypeStruct((nt_pad, NPX), jnp.float32),
+        jax.ShapeDtypeStruct((nt_pad, NPX), jnp.int32),
+        jax.ShapeDtypeStruct((nt_pad, GBUF_OUT, NPX), jnp.float32),
+    ]
+    if msaa:
+        out_specs.append(out_spec2d)
+        out_shape.append(jax.ShapeDtypeStruct((nt_pad, NPX), jnp.float32))
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    inputs = [starts, binned.gmeta, binned.pairs, binned.gpairs]
+    if zbound is not None:
+        zb = jnp.stack([tile_image(zbound[0], tiles_x, tiles_y),
+                        tile_image(zbound[1], tiles_x, tiles_y)], axis=1)
+        if nt_pad > nt:
+            zb = jnp.concatenate(
+                [zb, jnp.broadcast_to(zb[-1:], (nt_pad - nt, 2, NPX))])
+        in_specs.append(pl.BlockSpec((TILES_PER_BLOCK, 2, NPX),
+                                     lambda blk, *_: (blk, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(zb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nblk,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[out_spec2d, out_spec2d, out_spec3d],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, GBUF_ROWS, GROUP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    depth, tri_id, gbuf = pallas_call(
-        _gbuf_kernel,
+    outs = pallas_call(
+        _get_gbuf_kernel(msaa, zbound is not None),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nt_pad, NPX), jnp.float32),
-            jax.ShapeDtypeStruct((nt_pad, NPX), jnp.int32),
-            jax.ShapeDtypeStruct((nt_pad, GBUF_OUT, NPX), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(starts, binned.gmeta, binned.pairs, binned.gpairs)
+    )(*inputs)
+    depth, tri_id, gbuf = outs[0:3]
 
     def untile(a):
         img = a[:nt].reshape(tiles_y, tiles_x, TILE_H, TILE_W)
@@ -736,6 +861,9 @@ def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int):
     g = gbuf[:nt].reshape(tiles_y, tiles_x, GBUF_OUT, TILE_H, TILE_W)
     g = g.transpose(2, 0, 3, 1, 4).reshape(GBUF_OUT, tiles_y * TILE_H,
                                            tiles_x * TILE_W)
+    if msaa:
+        return (untile(depth), untile(tri_id), g[:, :height, :width],
+                untile(outs[3]))
     return untile(depth), untile(tri_id), g[:, :height, :width]
 
 

@@ -138,7 +138,10 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
         occlusion = occlusion + jnp.clip(cos_h - 0.1, 0.0, 1.0) * falloff
 
     ao = 1.0 - jnp.clip(occlusion / num_taps * 2.0 * intensity, 0.0, 1.0)
-    ao = jnp.power(jnp.clip(ao, 0.0, 1.0), power)
+    if power == 1.5:
+        ao = ao * jnp.sqrt(ao)  # ao^1.5 without the transcendental pow
+    else:
+        ao = jnp.power(jnp.clip(ao, 0.0, 1.0), power)
 
     if skip_blur:
         return ao

@@ -12,10 +12,12 @@ roughness-scaled blur + exponential history blend.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import ffx
+from .brdf import _pow5
 from .ssao import gather_scalar_rows4, view_depth_from_ndc
 
 
@@ -29,16 +31,30 @@ def _reconstruct_view_pos(depth_v: jnp.ndarray, fov_y, aspect) -> jnp.ndarray:
     return jnp.stack([vx, vy, depth_v], axis=-1)
 
 
+def _blue_noise(h: int, w: int) -> np.ndarray:
+    """Tileable low-discrepancy per-pixel jitter in [0,1) — the R2 sequence
+    over pixel coordinates (the counterpart of SSSR's blue-noise sampler
+    texture, ScreenSpaceReflections.h:118-122)."""
+    g = 1.32471795724474602596  # plastic constant
+    a1, a2 = 1.0 / g, 1.0 / (g * g)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    return ((a1 * xs + a2 * ys) % 1.0).astype(np.float32)
+
+
 def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
                       normals_world: jnp.ndarray, view: jnp.ndarray,
                       proj_params: jnp.ndarray,
                       num_steps: int = 16, refine_steps: int = 4,
                       max_distance: float = 60.0,
-                      thickness: float = 0.6):
+                      thickness: float = 0.6,
+                      jitter: bool = True):
     """-> (reflection color [H,W,3], confidence [H,W]).
 
     scene_color: lit HDR before reflections (the intersect source, like
     SSSR intersecting the scene color); depth: z_ndc; normals: world space.
+    jitter offsets each ray's march phase by per-pixel blue noise so the
+    fixed step count dithers instead of banding (SSSR's blue-noise jitter);
+    the bilateral/temporal denoise integrates the dither away.
     """
     h, w = depth.shape
     near, far = proj_params[0], proj_params[1]
@@ -82,8 +98,13 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     # fixed-step march with growing step size (hierarchical-ish)
     t_hit = jnp.full((h, w), -1.0)
     step0 = max_distance / (num_steps * 4.0)
-    t = jnp.full((h, w), step0)
     growth = (max_distance / step0) ** (1.0 / num_steps)
+    if jitter:
+        # phase-jitter the exponential ladder: t0 in [step0, step0*growth)
+        # (host-side numpy: the noise is static, no per-pixel pow on device)
+        t = jnp.asarray(step0 * growth ** _blue_noise(h, w))
+    else:
+        t = jnp.full((h, w), step0)
     prev_t = jnp.zeros((h, w))
     for i in range(num_steps):
         p = pos_v + r * t[..., None]
@@ -126,15 +147,44 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     return refl, conf
 
 
+def _local_minmax3(x: jnp.ndarray):
+    """3x3 neighborhood min/max of [H, W, C] via clamped-edge shifts."""
+    def shifts(a, axis):
+        n = a.shape[axis]
+        lead = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        tail = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+        down = jnp.concatenate(
+            [lead, jax.lax.slice_in_dim(a, 0, n - 1, axis=axis)], axis=axis)
+        up = jnp.concatenate(
+            [jax.lax.slice_in_dim(a, 1, n, axis=axis), tail], axis=axis)
+        return down, up
+    d0, u0 = shifts(x, 0)
+    lo = jnp.minimum(jnp.minimum(x, d0), u0)
+    hi = jnp.maximum(jnp.maximum(x, d0), u0)
+    d1, u1 = shifts(lo, 1)
+    lo = jnp.minimum(jnp.minimum(lo, d1), u1)
+    d1, u1 = shifts(hi, 1)
+    hi = jnp.maximum(jnp.maximum(hi, d1), u1)
+    return lo, hi
+
+
 def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
                         roughness: jnp.ndarray,
                         history: jnp.ndarray | None = None,
                         motion: jnp.ndarray | None = None,
-                        temporal_alpha: float = 0.7):
-    """DNSR-style prefilter + temporal resolve:
+                        temporal_alpha: float = 0.7,
+                        depth: jnp.ndarray | None = None):
+    """DNSR-style prefilter + temporal resolve
+    (the reference's ffx_denoiser_reflections_* pass chain,
+    ScreenSpaceReflections.h:104-171):
     - spatial: roughness-scaled blur chain (mip selection)
-    - temporal: reproject history by motion vectors, exponential blend.
-    Returns (denoised [H,W,3], new_history [H,W,3])."""
+    - temporal: reproject history by motion vectors, clamp it to the 3x3
+      neighborhood color bounds of the current frame (variance clamping —
+      stale history outside the local distribution is rejected, killing
+      ghosting), gate the blend by depth disocclusion when depth history
+      is available, and weight by hit confidence.
+    history carries [H,W,4]: rgb + the depth it was resolved at.
+    Returns (denoised [H,W,3], new_history [H,W,4])."""
     h, w = refl.shape[:2]
     mips = ffx.spd_mip_pyramid(refl, num_mips=4, reduce="mean")
     # pick blur level by roughness
@@ -149,7 +199,11 @@ def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
         up = up[:h, :w]
         out = jnp.where((lvl == m)[..., None], up, out)
 
+    cur_depth = depth if depth is not None else jnp.zeros((h, w), refl.dtype)
     if history is not None:
+        if history.shape[-1] == 3:   # legacy rgb-only history
+            history = jnp.concatenate(
+                [history, jnp.zeros_like(history[..., :1])], axis=-1)
         if motion is not None:
             # reproject: history sampled at prev-frame position
             ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
@@ -159,11 +213,23 @@ def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
             py = ys + motion[..., 1] * (h * 0.5)
             ty = jnp.clip(py.astype(jnp.int32), 0, h - 1)
             tx = jnp.clip(px.astype(jnp.int32), 0, w - 1)
-            hist = history.reshape(-1, 3)[ty * w + tx]
+            hist = history.reshape(-1, history.shape[-1])[ty * w + tx]
         else:
             hist = history
-        out = temporal_alpha * hist + (1 - temporal_alpha) * out
-    return out, out
+        hist_rgb, hist_depth = hist[..., :3], hist[..., 3]
+        # variance clamp: history constrained to the local color bounds
+        lo, hi = _local_minmax3(out)
+        hist_rgb = jnp.clip(hist_rgb, lo, hi)
+        # disocclusion: depth mismatch collapses the history weight
+        alpha = jnp.asarray(temporal_alpha, refl.dtype)
+        if depth is not None:
+            zdiff = jnp.abs(hist_depth - cur_depth) \
+                / jnp.maximum(jnp.abs(cur_depth), 1e-3)
+            alpha = alpha * jnp.clip(1.0 - zdiff * 8.0, 0.0, 1.0)
+        alpha = (alpha * jnp.clip(conf * 2.0, 0.25, 1.0))[..., None]
+        out = alpha * hist_rgb + (1.0 - alpha) * out
+    new_history = jnp.concatenate([out, cur_depth[..., None]], axis=-1)
+    return out, new_history
 
 
 def apply_reflections(scene_color: jnp.ndarray, refl: jnp.ndarray,
@@ -175,7 +241,7 @@ def apply_reflections(scene_color: jnp.ndarray, refl: jnp.ndarray,
     f0 = 0.04 + (albedo - 0.04) * metalness[..., None]
     ndotv = jnp.clip((normals * view_dir).sum(-1), 0.0, 1.0)
     fres = f0 + (jnp.maximum(1.0 - roughness[..., None], f0) - f0) \
-        * jnp.power(1.0 - ndotv, 5.0)[..., None]
+        * _pow5(1.0 - ndotv)[..., None]
     gloss = jnp.clip(1.0 - roughness * roughness * 2.0, 0.0, 1.0)
     wgt = fres * (conf * gloss)[..., None]
     return scene_color + refl * wgt

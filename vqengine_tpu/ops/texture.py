@@ -12,18 +12,42 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def uv_gradients(uv: jnp.ndarray):
+    """Screen-space uv derivative vectors (the hardware ddx/ddy):
+    uv [H, W, 2] -> (duv_dx [H, W, 2], duv_dy [H, W, 2])."""
+    duv_dx = uv - jnp.roll(uv, 1, axis=1)
+    duv_dy = uv - jnp.roll(uv, 1, axis=0)
+    return duv_dx, duv_dy
+
+
 def uv_mip_level(uv: jnp.ndarray, tex_size: int, max_mip: int,
                  bias: jnp.ndarray | float = 0.0) -> jnp.ndarray:
     """Per-pixel LOD from screen-space uv derivatives (the hardware
     ddx/ddy): uv [H, W, 2] -> lod [H, W]."""
-    du_dx = jnp.abs(uv[..., 0] - jnp.roll(uv[..., 0], 1, axis=1))
-    dv_dx = jnp.abs(uv[..., 1] - jnp.roll(uv[..., 1], 1, axis=1))
-    du_dy = jnp.abs(uv[..., 0] - jnp.roll(uv[..., 0], 1, axis=0))
-    dv_dy = jnp.abs(uv[..., 1] - jnp.roll(uv[..., 1], 1, axis=0))
-    rho = jnp.maximum(jnp.sqrt(du_dx ** 2 + dv_dx ** 2),
-                      jnp.sqrt(du_dy ** 2 + dv_dy ** 2))
+    duv_dx, duv_dy = uv_gradients(uv)
+    rho = jnp.sqrt(jnp.maximum((duv_dx ** 2).sum(-1), (duv_dy ** 2).sum(-1)))
     lod = jnp.log2(jnp.maximum(rho * tex_size, 1e-6)) + bias
     return jnp.clip(lod, 0.0, max_mip)
+
+
+def uv_mip_level_aniso(uv: jnp.ndarray, tex_size: int, max_mip: int,
+                       max_aniso: float = 4.0,
+                       bias: jnp.ndarray | float = 0.0):
+    """Anisotropic LOD (the AnisoSampler's footprint math): the sample
+    footprint is an ellipse with axes |duv_dx|, |duv_dy|; LOD follows the
+    MINOR axis (sharp) and N taps march along the major axis to cover the
+    rest. -> (lod [H,W], major_step [H,W,2] uv-space, ratio [H,W])."""
+    duv_dx, duv_dy = uv_gradients(uv)
+    lx = jnp.sqrt((duv_dx ** 2).sum(-1))
+    ly = jnp.sqrt((duv_dy ** 2).sum(-1))
+    major_is_x = lx >= ly
+    rho_maj = jnp.maximum(jnp.maximum(lx, ly), 1e-12)
+    rho_min = jnp.maximum(jnp.minimum(lx, ly), 1e-12)
+    ratio = jnp.minimum(rho_maj / rho_min, max_aniso)
+    # LOD so that (#taps = ratio) x (minor footprint) covers the ellipse
+    lod = jnp.log2(jnp.maximum(rho_maj / ratio * tex_size, 1e-6)) + bias
+    major = jnp.where(major_is_x[..., None], duv_dx, duv_dy)
+    return jnp.clip(lod, 0.0, max_mip), major, ratio
 
 
 def _bilinear_from_level(level: jnp.ndarray, tex_id: jnp.ndarray,
@@ -49,22 +73,11 @@ def _bilinear_from_level(level: jnp.ndarray, tex_id: jnp.ndarray,
             + c01 * (1 - fx) * fy + c11 * fx * fy)
 
 
-def sample_texture_array(mips: list[jnp.ndarray], tex_id: jnp.ndarray,
-                         uv: jnp.ndarray, lod: jnp.ndarray | None = None
-                         ) -> jnp.ndarray:
-    """Mip-mapped bilinear sample: mips list of [N, s_m, s_m, 4],
-    tex_id [H, W] (negative = slot unused; callers mask via Has*Map),
-    uv [H, W, 2] -> rgba [H, W, 4]. Nearest-mip selection (the reference
-    point-samples mips for most slots; trilinear can come later).
-
-    All (texture, mip) levels flatten into ONE table and the per-pixel
-    level pick happens in index arithmetic, so a full bilinear sample is
-    exactly 4 gathers total — not 4 per mip level (TPU gathers are the
-    cost; the level loop below is cheap VPU where-selects)."""
-    if lod is None:
-        lod = uv_mip_level(uv, mips[0].shape[1], len(mips) - 1)
-    lodi = jnp.clip(lod.astype(jnp.int32), 0, len(mips) - 1)
-
+def _flatten_mips(mips: list[jnp.ndarray]):
+    """Flatten all (texture, mip) levels into ONE [M, 4] row table so the
+    per-pixel level pick happens in index arithmetic — a full bilinear
+    sample is exactly 4 row gathers total, not 4 per level (TPU gathers
+    are the cost; the level where-selects are cheap VPU ops)."""
     flat_parts, offs = [], []
     off = 0
     for level in mips:
@@ -72,9 +85,12 @@ def sample_texture_array(mips: list[jnp.ndarray], tex_id: jnp.ndarray,
         flat_parts.append(level.reshape(-1, 4))
         offs.append(off)
         off += n * s * s
-    flat = jnp.concatenate(flat_parts, axis=0)
+    return jnp.concatenate(flat_parts, axis=0), offs
 
-    t = jnp.maximum(tex_id, 0)
+
+def _bilinear_indices(mips, offs, t, uv, lodi):
+    """Per-pixel flat-table corner indices + filter fractions for an int
+    mip map lodi [H,W] -> (i00, i10, i01, i11, fx, fy)."""
     shape = uv.shape[:-1]
     i00 = jnp.zeros(shape, jnp.int32)
     i10 = jnp.zeros(shape, jnp.int32)
@@ -102,14 +118,66 @@ def sample_texture_array(mips: list[jnp.ndarray], tex_id: jnp.ndarray,
         i11 = jnp.where(hit, base + y1i * s + x1i, i11)
         fx = jnp.where(hit, x - x0, fx)
         fy = jnp.where(hit, y - y0, fy)
-    fx = fx[..., None]
-    fy = fy[..., None]
+    return i00, i10, i01, i11, fx[..., None], fy[..., None]
+
+
+def _bilinear_fetch(flat, idx):
+    i00, i10, i01, i11, fx, fy = idx
     c00 = flat[i00].astype(jnp.float32)
     c10 = flat[i10].astype(jnp.float32)
     c01 = flat[i01].astype(jnp.float32)
     c11 = flat[i11].astype(jnp.float32)
     return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
             + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def sample_texture_array(mips: list[jnp.ndarray], tex_id: jnp.ndarray,
+                         uv: jnp.ndarray, lod: jnp.ndarray | None = None,
+                         trilinear: bool = True) -> jnp.ndarray:
+    """Mip-mapped sample: mips list of [N, s_m, s_m, 4], tex_id [H, W]
+    (negative = slot unused; callers mask via Has*Map), uv [H, W, 2]
+    -> rgba [H, W, 4]. Trilinear (8 row gathers) by default — the
+    reference samples material maps with linear-mip samplers
+    (ForwardLighting.hlsl:81-102); trilinear=False falls back to
+    nearest-mip bilinear (4 gathers)."""
+    if lod is None:
+        lod = uv_mip_level(uv, mips[0].shape[1], len(mips) - 1)
+    flat, offs = _flatten_mips(mips)
+    t = jnp.maximum(tex_id, 0)
+    max_m = len(mips) - 1
+    if not trilinear:
+        lodi = jnp.clip(lod.astype(jnp.int32), 0, max_m)
+        return _bilinear_fetch(flat, _bilinear_indices(mips, offs, t, uv, lodi))
+    l0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, max_m)
+    l1 = jnp.minimum(l0 + 1, max_m)
+    w = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    c0 = _bilinear_fetch(flat, _bilinear_indices(mips, offs, t, uv, l0))
+    c1 = _bilinear_fetch(flat, _bilinear_indices(mips, offs, t, uv, l1))
+    return c0 * (1.0 - w) + c1 * w
+
+
+def sample_texture_array_aniso(mips: list[jnp.ndarray], tex_id: jnp.ndarray,
+                               uv: jnp.ndarray, num_taps: int = 2,
+                               max_aniso: float = 4.0) -> jnp.ndarray:
+    """Anisotropic sample (the AnisoSampler, ForwardLighting.hlsl:81):
+    num_taps trilinear taps along the major-footprint axis, weighted
+    uniformly, with LOD chosen from the minor axis so grazing-angle
+    surfaces keep detail instead of over-blurring. Cost = num_taps x
+    trilinear (8 row gathers each)."""
+    lod, major, ratio = uv_mip_level_aniso(
+        uv, mips[0].shape[1], len(mips) - 1, max_aniso=max_aniso)
+    # taps at fractions (-1/2 .. 1/2) * min(ratio, taps)/ratio of the major
+    # axis; clamp LOD up when taps can't cover the full ellipse
+    span = jnp.minimum(ratio, float(num_taps))
+    lod = lod + jnp.log2(jnp.maximum(ratio / span, 1.0))
+    lod = jnp.clip(lod, 0.0, len(mips) - 1)
+    acc = None
+    for i in range(num_taps):
+        f = (i + 0.5) / num_taps - 0.5
+        uv_i = uv + major * (f * span / jnp.maximum(ratio, 1e-6))[..., None]
+        c = sample_texture_array(mips, tex_id, uv_i, lod=lod)
+        acc = c if acc is None else acc + c
+    return acc / num_taps
 
 
 def unpack_normal_map(sampled: jnp.ndarray, world_normal: jnp.ndarray,

@@ -215,9 +215,28 @@ def world_pos_from_depth(depth: jnp.ndarray, consts: FrameConstants,
     return wp[..., :3] / w
 
 
+def _attrs_from_gbuf(scene: DeviceScene, consts: FrameConstants,
+                     depth: jnp.ndarray, tri_id: jnp.ndarray,
+                     gbuf: jnp.ndarray, width: int, height: int):
+    """Unpack the raster kernel's G-buffer channels into the attribute dict
+    shading consumes (shared by the main pass, the alpha-mask peel, and the
+    transparent layers)."""
+    mask = tri_id != raster.BG_ID
+    wpos = world_pos_from_depth(depth, consts, width, height)
+    return {
+        "wpos": jnp.where(mask[..., None], wpos, 0.0),
+        "wnrm": jnp.moveaxis(gbuf[0:3], 0, -1),
+        "wtan": jnp.moveaxis(gbuf[3:6], 0, -1),
+        "uv": jnp.moveaxis(gbuf[6:8], 0, -1),
+        "mrow": palette.palette_lookup(
+            gbuf[8].astype(jnp.int32), scene.materials),
+        "ids": jnp.moveaxis(gbuf[9:11], 0, -1),
+    }, mask
+
+
 def geometry_pass(scene: DeviceScene, consts: FrameConstants,
                   width: int, height: int, msaa: bool = False,
-                  use_gbuf: bool = True):
+                  use_gbuf: bool = True, return_binned: bool = False):
     """Vertex transform + cull/LOD + rasterize: produces the interpolated
     G-buffer (the depth-pre-pass + attribute interpolation stage; culling
     replaces Scene::CullFrustums, Scene.cpp:1272-1308).
@@ -225,9 +244,10 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
     use_gbuf: interpolate attributes inside the raster kernel (one MXU
     selection dot per group) instead of per-pixel resolve gathers, which
     cost ~2.9 ms per gathered float column at 1080p. World position comes
-    from depth reconstruction. MSAA currently uses the resolve path.
-    With msaa, rasterizes the D3D 4x pattern and resolves shading inputs
-    on the majority sample (coverage returned for edge blending)."""
+    from depth reconstruction. With msaa, the kernel tests coverage at the
+    D3D 4x sample positions, resolves depth/attributes on the min-depth
+    covered triangle (DepthResolve.hlsl), and returns coverage for the
+    silhouette blend."""
     visible, lod = culling.cull_and_select_lod(
         consts.world, scene.aabb_center, scene.aabb_extent,
         consts.frustum_planes, consts.view_proj, scene.item_num_lods)
@@ -236,7 +256,7 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
 
     wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
 
-    if use_gbuf and not msaa:
+    if use_gbuf:
         # gather-free geometry front end: static corner tables sized to
         # the live (unpadded) triangle count
         tl = scene.num_tris_live
@@ -250,19 +270,17 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
             tri_item, consts.normal_mats,
             scene.item_material[tri_item], scene.item_object[tri_item])
         binned = raster.bin_triangles(setup, width, height, extra=extra)
-        depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width, height)
-        mask = tri_id != raster.BG_ID
-        wpos = world_pos_from_depth(depth, consts, width, height)
-        attrs = {
-            "wpos": jnp.where(mask[..., None], wpos, 0.0),
-            "wnrm": jnp.moveaxis(gbuf[0:3], 0, -1),
-            "wtan": jnp.moveaxis(gbuf[3:6], 0, -1),
-            "uv": jnp.moveaxis(gbuf[6:8], 0, -1),
-            "mrow": palette.palette_lookup(
-                gbuf[8].astype(jnp.int32), scene.materials),
-            "ids": jnp.moveaxis(gbuf[9:11], 0, -1),
-        }
-        return depth, tri_id, attrs, mask, None
+        coverage = None
+        if msaa:
+            depth, tri_id, gbuf, coverage = raster.rasterize_gbuf(
+                binned, width, height, msaa=True)
+        else:
+            depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width, height)
+        attrs, mask = _attrs_from_gbuf(scene, consts, depth, tri_id, gbuf,
+                                       width, height)
+        if return_binned:
+            return depth, tri_id, attrs, mask, coverage, binned
+        return depth, tri_id, attrs, mask, coverage
 
     # resolve-gather path (MSAA / use_gbuf=False): per-vertex tables
     n_items = consts.normal_mats.shape[0]
@@ -297,6 +315,8 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
         tri_id, setup, scene.indices,
         {"wpos": wpos, "wnrm": wnrm, "wtan": wtan, "uv": scene.uvs},
         tri_features={"mrow": mrow_t, "ids": ids_t})
+    if return_binned:
+        return depth, tri_id, attrs, mask, coverage, binned
     return depth, tri_id, attrs, mask, coverage
 
 
@@ -306,7 +326,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
                   wtan: jnp.ndarray | None = None,
                   textures: tuple | None = None,
                   mrow: jnp.ndarray | None = None,
-                  ids: jnp.ndarray | None = None):
+                  ids: jnp.ndarray | None = None,
+                  aniso_taps: int = 0):
     """Per-pixel material fetch + texture sampling — the PSMain material
     block (ForwardLighting.hlsl:226-277): per-slot Has*Map tests gate
     sampled values; albedo/emissive decode sRGB; ORM packs
@@ -352,12 +373,21 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
         l = lod if lod_bias is None else jnp.clip(lod + lod_bias, 0, len(textures) - 1)
         return tex_ops.sample_texture_array(textures, slot_id(bit), uv_t, l)
 
-    diffuse_s = sample(0)
+    if aniso_taps > 1:
+        # diffuse samples anisotropically like the reference's AnisoSampler
+        # on the albedo slot (grazing-angle floors); other slots stay
+        # trilinear — each aniso tap costs 8 row gathers per pixel
+        diffuse_s = tex_ops.sample_texture_array_aniso(
+            textures, slot_id(0), uv_t, num_taps=aniso_taps)
+    else:
+        diffuse_s = sample(0)
     out["albedo"] = jnp.where(
         has(0)[..., None],
         cs_ops.srgb_to_linear_fast(diffuse_s[..., :3]) * mrow[..., 0:3],
         mrow[..., 0:3])
     out["alpha"] = jnp.where(has(0), diffuse_s[..., 3], mrow[..., 3])
+    # dedicated alpha-mask map (slot 3) overrides the diffuse alpha
+    out["alpha"] = jnp.where(has(3), sample(3)[..., 0], out["alpha"])
 
     if wnrm is not None and wtan is not None:
         nrm_s = sample(1, lod_bias=mrow[..., 16])
@@ -522,6 +552,83 @@ def sky_directions(consts: FrameConstants, width: int, height: int) -> jnp.ndarr
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
 
 
+def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
+                     hdr: jnp.ndarray, opaque_depth: jnp.ndarray,
+                     width: int, height: int,
+                     env: EnvironmentMaps | None = None,
+                     textures: tuple | None = None,
+                     num_layers: int = 2) -> jnp.ndarray:
+    """Blended transparents (the reference's Model.h:45-65 transparent mesh
+    split, rendered after opaques with alpha blending): depth-peel
+    `num_layers` transparent layers in front of the opaque depth, shade
+    each (lights + IBL, no screen-space effects), and composite
+    back-to-front with per-pixel alpha. Order-independent up to
+    num_layers-deep overlap — the TPU-native answer to per-mesh
+    back-to-front sorting."""
+    visible, lod = culling.cull_and_select_lod(
+        consts.world, scene_t.aabb_center, scene_t.aabb_extent,
+        consts.frustum_planes, consts.view_proj, scene_t.item_num_lods)
+    tri_mask = culling.triangle_mask_from_items(
+        scene_t.tri_item, scene_t.tri_lod, visible, lod)
+    wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+    tl = scene_t.num_tris_live
+    tri_item = scene_t.tri_item[:tl]
+    clip_c = raster.transform_clip_corners(
+        scene_t.corner_positions, tri_item, wvp)
+    setup = raster.setup_triangles(clip_c, None, width, height,
+                                   tri_mask=tri_mask[:tl])
+    extra = raster.pack_gbuf_extra_corners(
+        scene_t.corner_normals, scene_t.corner_tangents, scene_t.corner_uvs,
+        tri_item, consts.normal_mats,
+        scene_t.item_material[tri_item], scene_t.item_object[tri_item])
+    binned = raster.bin_triangles(setup, width, height, extra=extra)
+
+    zlo = jnp.full_like(opaque_depth, -1.0)
+    layers = []
+    for _ in range(num_layers):
+        d, idb, g = raster.rasterize_gbuf(binned, width, height,
+                                          zbound=(zlo, opaque_depth))
+        attrs, lmask = _attrs_from_gbuf(scene_t, consts, d, idb, g,
+                                        width, height)
+        wn = attrs["wnrm"]
+        wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True),
+                              1e-9)
+        mat = material_pass(scene_t, idb, uv=attrs["uv"], wnrm=wn,
+                            wtan=attrs["wtan"], textures=textures,
+                            mrow=attrs["mrow"], ids=attrs["ids"])
+        n = mat["normal"] if mat.get("normal") is not None else wn
+        env_illum = None
+        if env is not None:
+            v = consts.camera_pos - attrs["wpos"]
+            v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                                1e-9)
+            env_illum = ibl.environment_illumination(
+                n, v, mat["roughness"], mat["metalness"], mat["albedo"],
+                env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
+                hdri_yaw=consts.hdri_yaw)
+        color = shading.shade_forward(
+            world_pos=attrs["wpos"], normal=n,
+            albedo=mat["albedo"], roughness=mat["roughness"],
+            metalness=mat["metalness"], emissive=mat["emissive"],
+            ao=jnp.broadcast_to(consts.ambient_factor, lmask.shape)
+            * mat["local_ao"],
+            camera_pos=consts.camera_pos,
+            point_lights=consts.point_lights,
+            spot_lights=consts.spot_lights,
+            spot_extra=consts.spot_extra,
+            directional=consts.directional,
+            env_illumination=env_illum)
+        alpha = mat.get("alpha", attrs["mrow"][..., 3])
+        layers.append((color, jnp.clip(alpha, 0.0, 1.0), lmask))
+        zlo = d   # the next layer starts behind this one
+
+    # back-to-front: the deepest layer blends onto the opaque result first
+    for color, alpha, lmask in reversed(layers):
+        a = jnp.where(lmask, alpha, 0.0)[..., None]
+        hdr = hdr * (1.0 - a) + color * a
+    return hdr
+
+
 def render_forward(scene: DeviceScene, consts: FrameConstants,
                    width: int, height: int,
                    output_display_curve: int = cs.DISPLAY_CURVE_SRGB,
@@ -541,21 +648,72 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    out_height: int | None = None,
                    cas_sharpness: float | None = None,
                    shadow_filter: str = "esm",
-                   shadow_maps: dict | None = None):
+                   shadow_maps: dict | None = None,
+                   enable_alpha_mask: bool = False,
+                   scene_transparent: DeviceScene | None = None,
+                   aniso_taps: int = 0):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
-    shade -> skydome -> tonemap. Returns a dict with ldr [H,W,3],
-    depth [H,W], tri_id [H,W], object_id [H,W], and optionally ao /
-    motion [H,W,2]."""
-    depth, tri_id, attrs, mask, coverage = geometry_pass(
-        scene, consts, width, height, msaa=msaa)
+    shade -> skydome -> transparents -> tonemap. Returns a dict with
+    ldr [H,W,3], depth [H,W], tri_id [H,W], object_id [H,W], and
+    optionally ao / motion [H,W,2].
+
+    enable_alpha_mask: cutout materials discard fragments with sampled
+    alpha < 0.01 (ForwardLighting.hlsl:237-240) via one depth-peel pass.
+    scene_transparent: blended geometry (Model.h:45-65 transparent split)
+    rendered as 2 depth-peeled layers composited back-to-front."""
+    alpha_test = enable_alpha_mask and textures is not None
+    geo = geometry_pass(scene, consts, width, height, msaa=msaa,
+                        return_binned=alpha_test)
+    if alpha_test:
+        depth, tri_id, attrs, mask, coverage, binned = geo
+    else:
+        depth, tri_id, attrs, mask, coverage = geo
 
     wn = attrs["wnrm"]
     wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-9)
     wt = attrs["wtan"]
     mat = material_pass(scene, tri_id, uv=attrs["uv"], wnrm=wn, wtan=wt,
                         textures=textures,
-                        mrow=attrs.get("mrow"), ids=attrs.get("ids"))
+                        mrow=attrs.get("mrow"), ids=attrs.get("ids"),
+                        aniso_taps=aniso_taps)
     n = mat["normal"] if mat.get("normal") is not None else wn
+
+    if alpha_test and "alpha" in mat:
+        # alpha-mask discard: peel past fragments whose sampled alpha fails
+        # the cutout test and re-resolve those pixels on the next surface
+        # (one peel layer; the reference discards per-fragment)
+        fail = mask & (mat["alpha"] < 0.01)
+        zlo = jnp.where(fail, depth, 2.0)   # empty window where passing
+        d2, id2, g2 = raster.rasterize_gbuf(
+            binned, width, height,
+            zbound=(zlo, jnp.full_like(depth, 2.0)))
+        attrs2, mask2 = _attrs_from_gbuf(scene, consts, d2, id2, g2,
+                                         width, height)
+        wn2 = attrs2["wnrm"]
+        wn2 = wn2 / jnp.maximum(
+            jnp.linalg.norm(wn2, axis=-1, keepdims=True), 1e-9)
+        mat2 = material_pass(scene, id2, uv=attrs2["uv"], wnrm=wn2,
+                             wtan=attrs2["wtan"], textures=textures,
+                             mrow=attrs2["mrow"], ids=attrs2["ids"],
+                             aniso_taps=aniso_taps)
+        ok2 = mask2 & (mat2.get("alpha", jnp.ones_like(d2)) >= 0.01)
+
+        def mrg(x1, x2):
+            f = fail if x1.ndim == fail.ndim else fail[..., None]
+            return jnp.where(f, x2, x1)
+
+        depth = mrg(depth, jnp.where(ok2, d2, 1.0))
+        tri_id = mrg(tri_id, jnp.where(ok2, id2, raster.BG_ID))
+        mask = jnp.where(fail, ok2, mask)
+        attrs["wpos"] = mrg(attrs["wpos"], attrs2["wpos"])
+        n2 = mat2["normal"] if mat2.get("normal") is not None else wn2
+        n = mrg(n, n2)
+        for k in ("albedo", "emissive", "roughness", "metalness",
+                  "local_ao", "object_id", "item_id", "alpha"):
+            if k in mat and k in mat2:
+                mat[k] = mrg(mat[k], mat2[k])
+        if coverage is not None:
+            coverage = jnp.where(fail, ok2.astype(coverage.dtype), coverage)
 
     ao_map = None
     if enable_ssao:
@@ -656,7 +814,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         # slow large-table gather path; half-res history stays small
         refl_dn_h, new_ssr_history = ssr_ops.denoise_reflections(
             refl_h, conf_h, pool2(mat["roughness"]), history=ssr_history,
-            motion=None if motion is None else pool2(motion))
+            motion=None if motion is None else pool2(motion),
+            depth=pool2(depth))
         refl_dn = jnp.repeat(jnp.repeat(refl_dn_h, 2, 0), 2, 1)[:height, :width]
         conf = jnp.repeat(jnp.repeat(conf_h, 2, 0), 2, 1)[:height, :width]
         v = consts.camera_pos - attrs["wpos"]
@@ -665,6 +824,10 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             hdr, refl_dn, conf, mat["roughness"], mat["metalness"],
             mat["albedo"], n, v)
         hdr = jnp.where(mask[..., None], hdr_refl, hdr)
+
+    if scene_transparent is not None and scene_transparent.num_tris_live > 0:
+        hdr = transparent_pass(scene_transparent, consts, hdr, depth,
+                               width, height, env=env, textures=textures)
     ldr = pp.tonemap(hdr, output_display_curve, apply_gamma=apply_gamma)
 
     # post chain tail (SceneRendering.cpp:2507-2788): CAS, then FSR1

@@ -58,10 +58,20 @@ class VQRendererTPU:
 
     # ------------------------------------------------------------------
     def load_scene(self, buffers: SceneBuffers) -> None:
-        self._scene = graph.upload_scene(buffers)
+        from .scene_buffers import split_transparent
+        opaque, transparent = split_transparent(buffers)
+        self._scene = graph.upload_scene(opaque)
+        self._scene_t = (graph.upload_scene(transparent)
+                         if transparent is not None else None)
         self._buffers = buffers
+        # alpha-mask PSO permutation analog (ENABLE_ALPHA_MASK): on when
+        # any material carries a dedicated alpha-mask map (slot 3 id,
+        # material row 23)
+        self._any_alpha_mask = bool((buffers.materials[:, 23] >= 0).any())
         info(f"renderer: scene uploaded — {buffers.positions.shape[0]} verts, "
-             f"{buffers.indices.shape[0]} tris, {buffers.num_items} items, "
+             f"{buffers.indices.shape[0]} tris "
+             f"({0 if transparent is None else transparent.indices.shape[0]}"
+             f" transparent), {buffers.num_items} items, "
              f"{buffers.materials.shape[0]} materials")
 
     def _get_render_fn(self, width: int, height: int, curve: int, gamma: bool,
@@ -74,7 +84,10 @@ class VQRendererTPU:
                        render_scale: float = 1.0,
                        cas_sharpness: float | None = None,
                        shadow_filter: str = "esm",
-                       has_shadow_maps: bool = False):
+                       has_shadow_maps: bool = False,
+                       enable_alpha_mask: bool = False,
+                       has_transparent: bool = False,
+                       aniso_taps: int = 0):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
@@ -83,7 +96,8 @@ class VQRendererTPU:
         key = (width, height, curve, gamma, enable_shadows, shadow_dims,
                has_env, enable_ssao, enable_motion, has_textures, msaa,
                enable_ssr, has_ssr_history, render_scale, cas_sharpness,
-               shadow_filter, has_shadow_maps)
+               shadow_filter, has_shadow_maps, enable_alpha_mask,
+               has_transparent, aniso_taps)
         fn = self._render_fns.get(key)
         if fn is None:
             rw = max(64, int(width * render_scale)) if render_scale != 1.0 else width
@@ -96,14 +110,18 @@ class VQRendererTPU:
                           enable_shadows=enable_shadows,
                           shadow_dims=shadow_dims, enable_ssao=enable_ssao,
                           enable_motion_vectors=enable_motion, msaa=msaa,
-                          enable_ssr=enable_ssr)
+                          enable_ssr=enable_ssr,
+                          enable_alpha_mask=enable_alpha_mask,
+                          aniso_taps=aniso_taps)
 
-            def wrapped(scene, consts, env, textures, ssr_history,
+            def wrapped(scene, scene_t, consts, env, textures, ssr_history,
                         shadow_maps):
                 return graph.render_forward(scene, consts, env=env,
                                             textures=textures,
                                             ssr_history=ssr_history,
-                                            shadow_maps=shadow_maps, **kwargs)
+                                            shadow_maps=shadow_maps,
+                                            scene_transparent=scene_t,
+                                            **kwargs)
             fn = jax.jit(wrapped, static_argnames=())
             self._render_fns[key] = fn
         return fn
@@ -220,9 +238,11 @@ class VQRendererTPU:
                ssr_history=None,
                render_scale: float = 1.0,
                cas_sharpness: float | None = None,
-               shadow_maps: dict | None = None) -> FrameOutput:
+               shadow_maps: dict | None = None,
+               aniso_taps: int = 0) -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
+        scene_t = getattr(self, "_scene_t", None)
         fn = self._get_render_fn(width, height, curve, True,
                                  enable_shadows, shadow_dims,
                                  has_env=env is not None,
@@ -233,9 +253,13 @@ class VQRendererTPU:
                                  has_ssr_history=ssr_history is not None,
                                  render_scale=render_scale,
                                  cas_sharpness=cas_sharpness,
-                                 has_shadow_maps=shadow_maps is not None)
+                                 has_shadow_maps=shadow_maps is not None,
+                                 enable_alpha_mask=getattr(
+                                     self, "_any_alpha_mask", False),
+                                 has_transparent=scene_t is not None,
+                                 aniso_taps=aniso_taps)
         t0 = time.perf_counter()
-        out = fn(self._scene, consts, env, textures, ssr_history,
+        out = fn(self._scene, scene_t, consts, env, textures, ssr_history,
                  shadow_maps)
         ldr = out["ldr"]
         if readback:

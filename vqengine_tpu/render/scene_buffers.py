@@ -128,6 +128,38 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
     )
 
 
+def split_transparent(buffers: SceneBuffers
+                      ) -> tuple[SceneBuffers, SceneBuffers | None]:
+    """Split merged buffers into (opaque, transparent-or-None) by material
+    alpha — the reference's Model opaque/transparent mesh-ID split
+    (Model.h:45-65). Vertex arrays are shared (triangles index into them);
+    only the triangle-indexed arrays partition."""
+    alpha = buffers.materials[buffers.item_material, 3]      # [N]
+    item_transparent = alpha < 1.0
+    if not item_transparent.any():
+        return buffers, None
+    tri_t = item_transparent[buffers.tri_item]               # [T]
+
+    def subset(sel: np.ndarray) -> SceneBuffers:
+        return SceneBuffers(
+            positions=buffers.positions, normals=buffers.normals,
+            tangents=buffers.tangents, uvs=buffers.uvs,
+            item_of_vertex=buffers.item_of_vertex,
+            indices=buffers.indices[sel],
+            tri_item=buffers.tri_item[sel],
+            tri_lod=buffers.tri_lod[sel],
+            materials=buffers.materials,
+            item_material=buffers.item_material,
+            item_object=buffers.item_object,
+            item_num_lods=buffers.item_num_lods,
+            items=buffers.items,
+            aabb_center=buffers.aabb_center,
+            aabb_extent=buffers.aabb_extent,
+        )
+
+    return subset(~tri_t), subset(tri_t)
+
+
 # ---------------------------------------------------------------------------
 # scene representation -> draw items (the Scene::StartLoading analog,
 # SceneLoading.cpp:100-420, with glTF fallback for missing model files)

@@ -227,16 +227,109 @@ def build_terrain_mesh(size: float = 1000.0, height: float = 60.0,
     return base
 
 
+def _add_skirt(lod, drop: float):
+    """Append a dropped-border 'skirt' ring to a row-major grid patch —
+    the standard crack-hider between adjacent terrain patches at different
+    tessellation levels (the reference avoids cracks with matching HS edge
+    factors; quantized per-patch levels need the skirt instead)."""
+    nv = lod.positions.shape[0]
+    n = int(round(np.sqrt(nv)))
+    assert n * n == nv, "skirt expects a square grid patch"
+    idx = np.arange(nv).reshape(n, n)
+    # border ring walked in order (top row, right col, bottom row reversed,
+    # left col reversed) -> consecutive pairs are border edges
+    ring = np.concatenate([idx[0, :-1], idx[:-1, -1],
+                           idx[-1, :0:-1], idx[:0:-1, 0]])
+    rn = ring.shape[0]
+    dup = lod.positions[ring].copy()
+    dup[:, 1] -= drop
+    a = ring
+    b = np.roll(ring, -1)
+    a2 = nv + np.arange(rn)
+    b2 = nv + (np.arange(rn) + 1) % rn
+    quads = np.stack([a, b, b2, a, b2, a2], axis=1).reshape(-1, 3)
+    quads_back = quads[:, ::-1]               # double-sided: winding-proof
+    from .mesh import GeometryLOD
+    return GeometryLOD(
+        positions=np.concatenate([lod.positions, dup]).astype(np.float32),
+        normals=np.concatenate([lod.normals, lod.normals[ring]]).astype(np.float32),
+        tangents=np.concatenate([lod.tangents, lod.tangents[ring]]).astype(np.float32),
+        uvs=np.concatenate([lod.uvs, lod.uvs[ring]]).astype(np.float32),
+        indices=np.concatenate([lod.indices, quads, quads_back]).astype(np.int32))
+
+
+_HEIGHTMAP_CACHE: dict = {}
+
+
+def _cached_heightmap(n: int, seed: int = 3) -> np.ndarray:
+    key = (n, seed)
+    if key not in _HEIGHTMAP_CACHE:
+        _HEIGHTMAP_CACHE[key] = _terrain_heightmap(n, seed)
+    return _HEIGHTMAP_CACHE[key]
+
+
+def _displace_by_heightmap(lod, hm: np.ndarray, size: float, height: float):
+    res = hm.shape[0]
+    u = np.clip((((lod.positions[:, 0] / size) + 0.5) * (res - 1)), 0, res - 1)
+    v = np.clip((((lod.positions[:, 2] / size) + 0.5) * (res - 1)), 0, res - 1)
+    ui, vi = u.astype(int), v.astype(int)
+    lod.positions[:, 1] = hm[vi, ui] * height
+    uc = np.clip(ui, 1, res - 2)
+    vc = np.clip(vi, 1, res - 2)
+    dhdx = (hm[vc, uc + 1] - hm[vc, uc - 1]) * height / (2 * size / res)
+    dhdz = (hm[vc + 1, uc] - hm[vc - 1, uc]) * height / (2 * size / res)
+    nrm = np.stack([-dhdx, np.ones_like(dhdx), -dhdz], -1)
+    lod.normals[:] = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
+
+
+def build_terrain_patch(px: int, pz: int, patches: int = 6,
+                        size: float = 1000.0, height: float = 60.0,
+                        res: int = 400, num_lods: int = 3):
+    """One terrain patch as a multi-LOD mesh — the adaptive-tessellation
+    unit. Each patch carries `num_lods` subdivision levels; the per-item
+    projected-AABB LOD select (ops/culling.py) picks the level per frame,
+    which is Tessellation.hlsl's distance-based tess factors quantized to
+    discrete levels and chosen device-side. Patch borders carry skirts so
+    neighboring patches at different levels don't show cracks."""
+    from . import mesh as meshmod
+    hm = _cached_heightmap(res)
+    psize = size / patches
+    pres = max(res // patches + 1, 8)
+    base = meshmod.grid(psize, psize, pres, pres, num_lods=num_lods)
+    x_off = (px + 0.5) / patches * size - size / 2
+    z_off = (pz + 0.5) / patches * size - size / 2
+    cell = psize / (pres - 1)
+    new_lods = []
+    for lod in base.lods:
+        lod.positions[:, 0] += x_off
+        lod.positions[:, 2] += z_off
+        _displace_by_heightmap(lod, hm, size, height)
+        new_lods.append(_add_skirt(lod, drop=max(3.0 * cell, 0.04 * height)))
+    base.lods = new_lods
+    base.name = f"TerrainPatch[{px}][{pz}]"
+    return base
+
+
 def augment_terrain(rep: FSceneRepresentation, material_lib: dict,
-                    builtin_meshes) -> None:
+                    builtin_meshes, patches: int = 6) -> None:
+    """Adaptive-tessellation terrain: a grid of patch items, each with a
+    multi-level subdivision chain selected per frame by projected size —
+    the TPU-native counterpart of the reference's HS/DS heightmap
+    tessellation (Tessellation.hlsl, TerrainScene)."""
     mat = Material(name="TerrainMat")
     mat.diffuse = np.asarray([0.35, 0.3, 0.22], np.float32)
     mat.roughness = 0.9
+    mat.tessellation_enabled = True
     material_lib[mat.name] = mat
-    if "Terrain" not in builtin_meshes._builders:
-        builtin_meshes._builders["Terrain"] = build_terrain_mesh
-    _add_object(rep, "Terrain", (0, -20, 0), (1, 1, 1), "TerrainMat",
-                name="Terrain")
+    for pz in range(patches):
+        for px in range(patches):
+            mesh_name = f"TerrainPatch[{px}][{pz}]"
+            if mesh_name not in builtin_meshes._builders:
+                builtin_meshes._builders[mesh_name] = (
+                    lambda px=px, pz=pz: build_terrain_patch(
+                        px, pz, patches=patches))
+            _add_object(rep, mesh_name, (0, -20, 0), (1, 1, 1), "TerrainMat",
+                        name=mesh_name)
 
 
 def augment_sponza_substitute(rep: FSceneRepresentation, material_lib: dict,
