@@ -1,6 +1,10 @@
 """Benchmark: the Sponza stress frame at 1080p on one TPU chip with the
-full pipeline: directional shadow map (2048^2, ESM), half-res SSAO, IBL
-(procedural-sky environment), SSR + denoise, forward PBR, tonemap.
+full north-star config-5 (BASELINE.md): MSAA 4x through the G-buffer
+kernel, textured materials (quad-packed RGBA8: aniso diffuse + normal +
+roughness maps), the full 5 spot + 5 point + 1 directional shadow budget
+(ESM, static-light cached maps, per-frame visibility tests), half-res
+SSAO, IBL (SH9 diffuse + prefiltered specular), SSR hi-Z march + DNSR
+temporal, forward PBR, tonemap.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star (BASELINE.md): 16.6 ms/frame @1080p on one v5e chip.
@@ -19,9 +23,33 @@ import time
 import numpy as np
 
 
+def build_textures():
+    """Procedural material maps (the reference's Sponza textures aren't
+    shipped): brick + stone diffuse, bump normal, noise roughness —
+    quad-packed RGBA8 so a bilinear tap is ONE row gather."""
+    from vqengine_tpu.scene.texture_manager import (
+        TextureManager, brick, checkerboard, noise_texture,
+        normal_from_height)
+
+    tm = TextureManager(size=128)
+    tm.create_from_array("brick", brick(128))
+    tm.create_from_array("stone", checkerboard(
+        128, 8, (0.62, 0.58, 0.52), (0.48, 0.45, 0.42)))
+    tm.create_from_array("marble", checkerboard(
+        128, 4, (0.8, 0.78, 0.72), (0.7, 0.68, 0.65)))
+    h = noise_texture(128, seed=21)
+    tm.create_from_array("bump_n", normal_from_height(h, 1.6))
+    tm.create_from_array("rough", noise_texture(128, base=0.6, amp=0.3))
+    ids = {k: tm._by_key[k] for k in
+           ("brick", "stone", "marble", "bump_n", "rough")}
+    return tm.build_device_arrays_packed(), ids
+
+
 def build_sponza_stress():
     """The Sponza-substitute colonnade + an instanced clutter cloud
-    (~300k triangles) + the reference light budget exercise."""
+    (~300k triangles), textured materials, and the reference shadow/light
+    budget exercise (5 spot + 5 point + 1 dir casters,
+    LightingConstantBufferData.h:42-44)."""
     from vqengine_tpu.render.scene_buffers import assemble_scene
     from vqengine_tpu.scene.light import ELightType, Light
     from vqengine_tpu.scene.mesh import build_builtin_meshes
@@ -35,14 +63,23 @@ def build_sponza_stress():
     material_lib = {}
     augment_sponza_substitute(rep, material_lib)
 
-    # clutter cloud inside the atrium (instanced spheres/cubes, like the
-    # reference stress test populating Sponza)
+    textures, tex_ids = build_textures()
+    # texture the colonnade: brick walls, stone floors, bump + roughness
+    for name, m in material_lib.items():
+        diffuse = tex_ids["brick"] if "wall" in name.lower() \
+            else tex_ids["stone"]
+        m.textures = {"diffuse": diffuse, "normal": tex_ids["bump_n"],
+                      "roughness": tex_ids["rough"]}
+
     from vqengine_tpu.scene.material import Material
     for i in range(10):
         m = Material(name=f"clutter{i}")
         m.diffuse = rng.uniform(0.2, 0.9, 3).astype(np.float32)
         m.roughness = float(rng.uniform(0.05, 0.95))
         m.metalness = float(i % 3 == 0)
+        m.textures = {"diffuse": tex_ids["marble"],
+                      "normal": tex_ids["bump_n"],
+                      "roughness": tex_ids["rough"]}
         material_lib[m.name] = m
     for i in range(220):
         mesh = "Sphere" if i % 2 == 0 else "Cube"
@@ -59,6 +96,26 @@ def build_sponza_stress():
                     casts_shadows=True, viewport_x=2200, viewport_y=2200,
                     distance_from_origin=1500, shadow_near=1.0,
                     shadow_far=4000.0, depth_bias=0.002)]
+    # 5 shadowing spot lights along the atrium ceiling, aimed down
+    for i in range(5):
+        lights.append(Light(
+            type=ELightType.SPOT, brightness=26000.0, range=900.0,
+            position=np.array([-700 + 350 * i, 420, 0], np.float32),
+            rotation=m3.quat_from_euler_xyz_degrees(90, 0, 0),
+            color=np.array([1.0, 0.95, 0.85], np.float32),
+            inner_cone_deg=25.0, outer_cone_deg=38.0,
+            casts_shadows=True, shadow_near=5.0, shadow_far=1200.0,
+            depth_bias=0.004))
+    # 5 shadowing point lights between the columns
+    for i in range(5):
+        lights.append(Light(
+            type=ELightType.POINT, brightness=12000.0, range=500.0,
+            position=np.array([-600 + 300 * i, 120,
+                               -140 if i % 2 else 140], np.float32),
+            color=rng.uniform(0.5, 1.0, 3).astype(np.float32),
+            casts_shadows=True, shadow_near=2.0, shadow_far=600.0,
+            depth_bias=0.15))
+    # unshadowed point budget exercise
     for i in range(6):
         lights.append(Light(
             type=ELightType.POINT, brightness=8000.0, range=400.0,
@@ -70,14 +127,12 @@ def build_sponza_stress():
     builtin = build_builtin_meshes()
     buffers, cameras, lights = assemble_scene(rep, builtin, material_lib,
                                               draw_light_gizmos=True)
-    return buffers, lights
+    return buffers, lights, textures
 
 
 def main() -> None:
     from vqengine_tpu.engine.engine import _enable_compilation_cache
     _enable_compilation_cache()
-
-    import functools
 
     import jax
     import jax.numpy as jnp
@@ -88,9 +143,11 @@ def main() -> None:
     from vqengine_tpu.scene.camera import Camera, FCameraParameters
 
     width, height = 1920, 1080
-    buffers, lights = build_sponza_stress()
+    buffers, lights, textures = build_sponza_stress()
     scene = graph.upload_scene(buffers)
     env = graph.build_environment(procedural_sky_equirect(512, 256))
+    slots_used = tuple(
+        bool((buffers.materials[:, 20 + k] >= 0).any()) for k in range(9))
 
     p = FCameraParameters()
     p.position = np.array([700, 170, -50], np.float32)  # the Sponza.xml camera
@@ -110,16 +167,18 @@ def main() -> None:
     consts_batch = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *cam_list)
 
-    # static caster + static geometry: the shadow map renders once
+    # static casters + static geometry: the 5+5+1 maps render once
     # (STATIC light mobility) and the per-frame cost is the visibility test
     shadow_maps = jax.jit(graph.render_shadow_maps)(scene, cam_list[0])
 
     @jax.jit
-    def run_n(scene, consts_batch, env, shadow_maps):
+    def run_n(scene, consts_batch, env, shadow_maps, textures):
         def frame(carry, consts_i):
             out = graph.render_forward(
                 scene, consts_i, width=width, height=height,
                 enable_shadows=True, enable_ssao=True, enable_ssr=True,
+                msaa=True, textures=textures, aniso_taps=2,
+                slots_used=slots_used,
                 env=env, shadow_maps=shadow_maps)
             return (carry + out["ldr"].sum() + out["depth"].sum(),
                     (out["tri_id"] >= 0).mean())
@@ -130,7 +189,7 @@ def main() -> None:
     def nop(t):
         return t + 1
 
-    tot, cover = run_n(scene, consts_batch, env, shadow_maps)
+    tot, cover = run_n(scene, consts_batch, env, shadow_maps, textures)
     coverage = float(np.asarray(cover).mean())
     assert coverage > 0.5, f"stress frame mostly empty (coverage={coverage})"
     _ = np.asarray(nop(jnp.zeros(4)))
@@ -142,15 +201,16 @@ def main() -> None:
     floor = (time.perf_counter() - t0) / reps
 
     t0 = time.perf_counter()
-    tot, cover = run_n(scene, consts_batch, env, shadow_maps)
+    tot, cover = run_n(scene, consts_batch, env, shadow_maps, textures)
     _ = np.asarray(tot)
     total = time.perf_counter() - t0 - floor
 
     ms = float(max(total, 1e-6) / n * 1e3)
     n_tris = int(buffers.indices.shape[0])
     print(json.dumps({
-        "metric": f"sponza_stress_1080p_ms ({n_tris} tris, fwd PBR + dir "
-                  f"shadow ESM 2048 + SSAO + IBL + SSR, {len(lights)} lights)",
+        "metric": f"sponza_stress_1080p_ms ({n_tris} tris, fwd PBR + MSAA4x "
+                  f"+ textured aniso + 5+5+1 shadows ESM + SSAO + IBL + SSR, "
+                  f"{len(lights)} lights)",
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(16.6 / ms, 3),

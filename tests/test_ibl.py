@@ -120,3 +120,29 @@ class TestProceduralSky:
         top = sky[:16].mean()
         bottom = sky[-16:].mean()
         assert top > bottom
+
+
+class TestSH9Irradiance:
+    def test_matches_cosine_convolution(self):
+        """SH9 irradiance is the l<=2 band-limit of the dense cosine
+        matmul — for a smooth sky they agree within a few percent."""
+        rng = np.random.default_rng(3)
+        env = jnp.asarray(
+            ibl.procedural_sky_equirect(64, 32, sun_intensity=5.0))
+        cube = ibl.diffuse_irradiance_cube(env, size=8, source_width=64)
+        coeffs = ibl.sh9_irradiance_coeffs(env, source_width=64)
+        dirs = rng.normal(size=(64, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        sh = np.asarray(ibl.sh9_eval(jnp.asarray(dirs), coeffs))
+        ref = np.asarray(ibl.sample_cube(cube, jnp.asarray(dirs)))
+        scale = ref.mean()
+        assert scale > 0
+        np.testing.assert_allclose(sh, ref, atol=0.12 * scale, rtol=0.25)
+
+    def test_constant_env_exact(self):
+        """A constant environment has only the l=0 band: SH9 is exact."""
+        env = jnp.full((16, 32, 3), 2.0)
+        coeffs = ibl.sh9_irradiance_coeffs(env, source_width=32)
+        d = jnp.asarray([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+        out = np.asarray(ibl.sh9_eval(d, coeffs))
+        np.testing.assert_allclose(out, 2.0, rtol=0.02)

@@ -112,3 +112,42 @@ class TestHud:
         out = stamp_text(img, "FPS 60.0", 2, 2)
         assert out.sum() > 0
         assert (img == 0).all()  # original untouched
+
+
+class TestPackedTextures:
+    def _mips(self, rng, n=3, size=16):
+        from vqengine_tpu.scene.texture_manager import generate_mips
+        imgs = [rng.random((size, size, 4)).astype(np.float32)
+                for _ in range(n)]
+        per_tex = [generate_mips(img) for img in imgs]
+        return [jnp.asarray(np.stack([m[l] for m in per_tex]))
+                for l in range(len(per_tex[0]))]
+
+    def test_matches_f32_bilinear(self):
+        """Quad-packed RGBA8 sampling matches the f32 array-of-textures
+        path within 8-bit quantization, including uv wrap and mip select."""
+        from vqengine_tpu.ops import texture as tex
+        rng = np.random.default_rng(11)
+        mips = self._mips(rng)
+        packed = tex.pack_texture_quads([np.asarray(m) for m in mips])
+        h = w = 24
+        uv = jnp.asarray(rng.uniform(-1.5, 2.5, (h, w, 2)).astype(np.float32))
+        tid = jnp.asarray(rng.integers(0, 3, (h, w)).astype(np.int32))
+        for lod in (jnp.zeros((h, w)), jnp.full((h, w), 1.3),
+                    jnp.full((h, w), 3.0)):
+            ref = np.asarray(tex.sample_texture_array(mips, tid, uv, lod))
+            got = np.asarray(tex.sample_texture_array(packed, tid, uv, lod))
+            np.testing.assert_allclose(got, ref, atol=2.5 / 255.0)
+
+    def test_aniso_dispatch(self):
+        from vqengine_tpu.ops import texture as tex
+        rng = np.random.default_rng(12)
+        mips = self._mips(rng)
+        packed = tex.pack_texture_quads([np.asarray(m) for m in mips])
+        h = w = 16
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        uv = jnp.asarray(np.stack([xx / w, yy / h * 4.0], -1))  # stretched v
+        tid = jnp.zeros((h, w), jnp.int32)
+        ref = np.asarray(tex.sample_texture_array_aniso(mips, tid, uv))
+        got = np.asarray(tex.sample_texture_array_aniso(packed, tid, uv))
+        np.testing.assert_allclose(got, ref, atol=3.0 / 255.0)

@@ -30,7 +30,7 @@ def main() -> None:
     from vqengine_tpu.scene.camera import Camera, FCameraParameters
 
     width, height = 1920, 1080
-    buffers, lights = build_sponza_stress()
+    buffers, lights = build_sponza_stress()[:2]
     scene = graph.upload_scene(buffers)
     env = graph.build_environment(procedural_sky_equirect(512, 256))
 

@@ -244,6 +244,47 @@ def specular_prefilter_mips(equirect: jnp.ndarray, base_size: int = 128,
     return mips
 
 
+def sh9_basis(d):
+    """Real spherical-harmonics basis l<=2 at unit directions [..., 3] ->
+    [..., 9] (ordering: 00, 1-1, 10, 11, 2-2, 2-1, 20, 21, 22)."""
+    xp = jnp if isinstance(d, jnp.ndarray) else np
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return xp.stack([
+        0.282095 * xp.ones_like(x),
+        0.488603 * y, 0.488603 * z, 0.488603 * x,
+        1.092548 * x * y, 1.092548 * y * z,
+        0.315392 * (3.0 * z * z - 1.0),
+        1.092548 * x * z, 0.546274 * (x * x - y * y),
+    ], axis=-1)
+
+
+def sh9_irradiance_coeffs(equirect: jnp.ndarray,
+                          source_width: int = 64) -> jnp.ndarray:
+    """Project the environment onto l<=2 SH and fold in the cosine-lobe
+    convolution (Ramamoorthi-Hanrahan): returns [9, 3] coefficients C with
+        E(N)/pi = sh9_basis(N) @ C
+    — the exact l<=2 band-limit of diffuse_irradiance_cube's dense cosine
+    matmul (which is itself the converged limit of the reference's
+    per-texel hemisphere walk, CubemapConvolution.hlsl:112-163). Diffuse
+    irradiance is smooth enough that the l<=2 truncation is visually
+    exact, and evaluation is pure arithmetic — zero per-pixel gathers."""
+    src = downsample_equirect(equirect, source_width)
+    sh, sw = src.shape[0], src.shape[1]
+    dirs_p, omega_p = equirect_texel_directions(sw, sh)
+    basis = sh9_basis(dirs_p)                                    # [P, 9]
+    L = (basis * omega_p[:, None]).T @ np.asarray(
+        src.reshape(-1, 3), np.float32)                          # [9, 3]
+    a = np.array([np.pi, 2 * np.pi / 3, 2 * np.pi / 3, 2 * np.pi / 3,
+                  np.pi / 4, np.pi / 4, np.pi / 4, np.pi / 4, np.pi / 4],
+                 np.float32)
+    return jnp.asarray(L * a[:, None] / np.pi)
+
+
+def sh9_eval(normal: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """normal [..., 3], coeffs [9, C] -> [..., C] (one small MXU matmul)."""
+    return jnp.maximum(sh9_basis(normal) @ coeffs, 0.0)
+
+
 _BRDF_LUT_CACHE: dict[int, np.ndarray] = {}
 
 
@@ -277,9 +318,17 @@ def environment_illumination(normal: jnp.ndarray, view: jnp.ndarray,
                              diffuse_cube: jnp.ndarray,
                              specular_mips: list[jnp.ndarray],
                              brdf_lut: jnp.ndarray,
-                             hdri_yaw=0.0) -> jnp.ndarray:
+                             hdri_yaw=0.0,
+                             sh_irradiance: jnp.ndarray | None = None) -> jnp.ndarray:
     """CalculateEnvironmentMapIllumination (Lighting.hlsl:360-380):
-    IBL diffuse + prefiltered specular with the split-sum BRDF LUT."""
+    IBL diffuse + prefiltered specular with the split-sum BRDF LUT.
+
+    Gather budget (the TPU cost): with sh_irradiance (SH9 coefficients)
+    the pass costs TWO per-pixel gathers (specular pyramid + the 512 KB
+    fast-path BRDF LUT); diffuse becomes MXU/VPU arithmetic. An analytic
+    LUT polynomial was tried and rejected: our integration uses the exact
+    BRDF.hlsl geometry term and no published fit stays within SSIM-safe
+    error of it."""
     ndotv = jnp.clip((normal * view).sum(-1), 0.0, 1.0)
     r = B.reflect(-view, normal)
     r = hdri_rotation(r, hdri_yaw)
@@ -299,7 +348,10 @@ def environment_illumination(normal: jnp.ndarray, view: jnp.ndarray,
     f0_scale_bias = brdf_lut.reshape(-1, 2)[iy * lut_n + ix].astype(
         jnp.float32)                                 # [..., 2]
 
-    diffuse_irr = sample_cube(diffuse_cube, n_rot, bilinear=False)
+    if sh_irradiance is not None:
+        diffuse_irr = sh9_eval(n_rot, sh_irradiance)
+    else:
+        diffuse_irr = sample_cube(diffuse_cube, n_rot, bilinear=False)
     return B.environment_brdf(ndotv, roughness, metalness, albedo,
                               diffuse_irr, spec, f0_scale_bias)
 

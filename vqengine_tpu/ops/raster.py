@@ -43,12 +43,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ._backend import pallas_call
 
-# tile size: one VREG of lanes wide, 32 sublane rows tall
-TILE_H = 32
+# tile size: one VREG of lanes wide, 16 sublane rows tall. Kernel VPU work
+# scales with (pairs x NPX); the mean triangle covers ~7 px at stress-scene
+# density, so smaller tiles cut wasted coverage tests ~2x while pair counts
+# barely grow (a 7 px triangle still covers 1-2 tiles either way).
+TILE_H = 16
 TILE_W = 128
 GROUP = 128           # triangles per DMA'd group block (one lane vector)
 PAIR_ROWS = 16        # rows per group block: e0(3) e1(3) e2(3) dp(3) id(1) pad(3)
-K_MAX_DEFAULT = 12    # max tiles a binned triangle may cover (4x3 of 32x128px)
+K_MAX_DEFAULT = 16    # max tiles a binned triangle may cover (16px-tall
+#                       tiles double the vertical span of mid-size tris)
 GLOBAL_CAP = 512      # capacity of the per-frame big-triangle list
 BG_ID = -1            # background triangle id
 
@@ -184,25 +188,31 @@ def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray | None,
 
 def _pack_records(setup: TriangleSetup,
                   extra: jnp.ndarray | None = None) -> jnp.ndarray:
-    """[T, R] f32 records: e0(3) | e1(3) | e2(3) | dp(3) | tri_id(1, exact
-    float up to 2^24) | s(3 vertex conditioning scales) | extra columns
-    (G-buffer mode: per-vertex attributes + material row), padded to a
-    multiple of 8 rows.
+    """[T, R] f32 records: e'0(3) | e'1(3) | e'2(3) | dp(3) | tri_id(1,
+    exact float up to 2^24) | extra columns (G-buffer mode: per-vertex
+    attributes + ids), padded to a multiple of 8 rows.
 
-    dp is the pre-combined depth plane (sum_i zc_i * e_i) so the kernel
-    evaluates z_ndc with a single plane equation.
+    The per-vertex 1/|w| conditioning scales are FOLDED into the edge rows
+    (e'_i = s_i * e_i): coverage signs are invariant under a positive
+    per-row scale, and b'_i = s_i * b_i is directly the unnormalized
+    perspective barycentric weight — so records carry 3 fewer rows and the
+    kernel skips the per-group scale broadcasts (binning gather cost and
+    kernel VPU work both scale with record rows).
+
+    dp is the pre-combined depth plane (sum_i zc_i * e_i, UNscaled edges)
+    so the kernel evaluates z_ndc with a single plane equation.
 
     Records are *self-validating*: invalid triangles (back-facing,
     off-screen) are replaced by a killed record whose coverage test can
-    never pass (e0 = (0,0,-1)). The raster kernel therefore needs no
+    never pass (e'0 = (0,0,-1)). The raster kernel therefore needs no
     per-lane validity masking and group-aligned overreads are safe.
     """
     t = setup.edges.shape[0]
     tid = jnp.arange(t, dtype=jnp.float32)
     dp = jnp.einsum("tk,tkj->tj", setup.zc, setup.edges)
-    parts = [setup.edges.reshape(t, 9).astype(jnp.float32),
-             dp.astype(jnp.float32), tid[:, None],
-             setup.vert_scale.astype(jnp.float32)]
+    e_scaled = setup.edges * setup.vert_scale[:, :, None]
+    parts = [e_scaled.reshape(t, 9).astype(jnp.float32),
+             dp.astype(jnp.float32), tid[:, None]]
     if extra is not None:
         parts.append(extra.astype(jnp.float32))
     rec = jnp.concatenate(parts, axis=1)
@@ -247,32 +257,60 @@ class BinnedTriangles:
     tiles_y: int = field(metadata=dict(static=True), default=0)
 
 
+def _radix_rank_pass(bucket: jnp.ndarray, payload: jnp.ndarray,
+                     n_buckets: int) -> jnp.ndarray:
+    """One stable counting-sort pass: reorder `payload` by `bucket`
+    (values in [0, n_buckets)). Rank-by-cumsum over a [P, B] one-hot —
+    the only scatter is a P-element iota scatter for the inverse
+    permutation. A bitonic lax.sort costs O(P log^2 P) full-array passes;
+    this is ~3 linear passes."""
+    p = bucket.shape[0]
+    onehot = (bucket[:, None]
+              == jnp.arange(n_buckets, dtype=jnp.int32)[None, :])
+    cum = jnp.cumsum(onehot.astype(jnp.int32), axis=0)      # inclusive
+    total = cum[-1]
+    base = jnp.cumsum(total) - total                        # exclusive
+    dest = ((cum - 1 + base[None, :]) * onehot).sum(axis=1)
+    inv = jnp.zeros((p,), jnp.int32).at[dest].set(
+        jnp.arange(p, dtype=jnp.int32))
+    return payload[inv]
+
+
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
                   k_max: int = K_MAX_DEFAULT,
                   pair_capacity: int | None = None,
                   extra: jnp.ndarray | None = None) -> BinnedTriangles:
-    """Tile binning via compact-scatter + one fused-key sort.
+    """Tile binning, scatter-light and sort-free.
 
-    Pair keys fuse (tile << 22) | tri into one uint32 so a single payload-
-    free lax.sort orders them; before sorting, the sparse [T, K_MAX] slot
-    matrix compacts into a fixed `pair_capacity` buffer with cumsum-derived
-    scatter positions — the sort then runs on ~sum(ncover) real pairs
-    instead of T*K_MAX mostly-sentinel slots (4-8x less sort work).
+    The round-1 design (compact-scatter of T*K_MAX key slots + one fused
+    u32 lax.sort) spent ~25 ms/frame at 283k triangles in the scatter +
+    bitonic sort. This formulation replaces both:
+
+    1. **Gather-based compaction.** Pair p's triangle is determined by the
+       exclusive cumsum `offs` of per-triangle cover counts: scatter each
+       live triangle id to A[offs[t]] (a T-element scatter to unique
+       positions) and forward-fill with cummax — t_of_p = fill[p], and the
+       slot index k = p - offs[t] enumerates the triangle's covered tiles
+       in row-major order. No [T, K] expansion tensors exist at all.
+    2. **Two stable radix-rank passes** on the tile id (6 bits each, 4096
+       tile bins — covers 2048^2 shadow maps at 16px tiles) group pairs
+       into per-tile segments: ranks come from cumsums over [cap, 64]
+       one-hots; the only scatters are cap-element iota scatters for the
+       inverse permutations (_radix_rank_pass). Pair order within a tile
+       ends up (t, k)-sorted — identical to the old fused-key sort, so
+       kernel tie-breaking is unchanged.
     """
     tiles_x = cdiv(width, TILE_W)
     tiles_y = cdiv(height, TILE_H)
     nt = tiles_x * tiles_y
     t = setup.edges.shape[0]
-    # fused key: tile in bits 22..31 (<= 1024 tiles, enough for 2048^2
-    # shadow maps), tri in bits 0..21; t < 2^22-1 keeps the all-ones
-    # sentinel unambiguous
-    assert nt <= 1024, f"too many tiles ({nt}) for the 10-bit fused key"
-    assert t < (1 << 22) - 1, f"too many triangles ({t}) for the fused key"
+    # dead pairs ride in pass-2 bucket 63 (sentinel >> 26); real tiles must
+    # stay below that bucket: nt <= 63 << 6
+    assert nt <= 4031, f"{nt} tiles exceed the 2x6-bit radix range"
     if pair_capacity is None:
-        # sort + record-gather cost scales with CAPACITY (sentinel rows
-        # included), so keep it tight: T is already bucket-padded ~1.3-2x
-        # above the live triangle count, and live triangles average ~1.3
-        # covered tiles, so cap = T gives ~2.5x headroom per real triangle.
+        # pair work scales with CAPACITY, so keep it tight: T is already
+        # bucket-padded above the live triangle count, and live triangles
+        # average ~1.3 covered tiles, so cap = T gives ~2.5x headroom.
         pair_capacity = max(GROUP, min(t, 4 * 1024 * 1024))
     cap = cdiv(pair_capacity, GROUP) * GROUP
 
@@ -286,30 +324,39 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
 
     small = setup.valid & ~setup.big & (ncover <= k_max)
     big = setup.valid & (setup.big | (ncover > k_max))
+    nc = jnp.where(small, ncover, 0).astype(jnp.int32)
 
-    # pair expansion [T, K]
-    k = jnp.arange(k_max, dtype=jnp.int32)[None, :]
-    sw = jnp.maximum(span_w, 1)[:, None]
-    dx = k % sw
-    dy = k // sw
-    tile = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
-    pair_ok = small[:, None] & (k < ncover[:, None])
+    # --- compaction (gather formulation) ---
+    offs = jnp.cumsum(nc) - nc                             # [T] exclusive
+    live = nc > 0
+    fill = jnp.full((cap,), jnp.int32(-1))
+    fill = fill.at[jnp.where(live, offs, cap)].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")
+    t_of_p = jax.lax.cummax(fill, axis=0)                  # [cap]
+    t_safe = jnp.maximum(t_of_p, 0)
+    # per-pair triangle row: (tx0, ty0, span_w, nc) in one 4-wide gather
+    tri_rows = jnp.stack([tx0, ty0, span_w, nc], axis=1)   # [T, 4]
+    rowp = tri_rows[t_safe]                                # [cap, 4]
+    k_of_p = jnp.arange(cap, dtype=jnp.int32) - offs[t_safe]
+    pair_live = (t_of_p >= 0) & (k_of_p < rowp[:, 3])
+    swp = jnp.maximum(rowp[:, 2], 1)
+    tile_p = ((rowp[:, 1] + k_of_p // swp) * tiles_x
+              + rowp[:, 0] + k_of_p % swp)
+    tile_p = jnp.where(pair_live, tile_p, nt)              # dead -> bin NT..
 
-    tri_ids = jax.lax.broadcasted_iota(jnp.uint32, (t, k_max), 0)
-    keys = (tile.astype(jnp.uint32) << 22) | tri_ids                # [T, K]
-    sentinel = jnp.uint32(0xFFFFFFFF)
+    # --- two stable 6-bit radix-rank passes on the tile id ---
+    # payload = (tile, tri) packed; dead pairs are the all-ones sentinel
+    # whose pass-2 bucket (63) sits above every real tile's (nt/64 <= 62)
+    packed = (tile_p.astype(jnp.uint32) << 20) | t_safe.astype(jnp.uint32)
+    packed = jnp.where(pair_live, packed, jnp.uint32(0xFFFFFFFF))
+    assert t < (1 << 20), f"too many triangles ({t}) for the packed payload"
+    packed = _radix_rank_pass((tile_p & 63).astype(jnp.int32), packed, 64)
+    packed = _radix_rank_pass(
+        jnp.minimum(packed >> 26, jnp.uint32(63)).astype(jnp.int32),
+        packed, 64)
 
-    # compact: exclusive cumsum of per-triangle cover counts -> positions
-    n_eff = pair_ok.sum(axis=1).astype(jnp.int32)
-    offs = jnp.cumsum(n_eff) - n_eff
-    k_rank = jnp.cumsum(pair_ok.astype(jnp.int32), axis=1) - 1
-    pos = jnp.where(pair_ok, offs[:, None] + k_rank, cap)
-    compact = jnp.full((cap,), sentinel)
-    compact = compact.at[pos.reshape(-1)].set(keys.reshape(-1), mode="drop")
-
-    sorted_keys = jax.lax.sort(compact, is_stable=False)
-    sorted_tids = (sorted_keys >> 22).astype(jnp.int32)             # NT for sentinel
-    tri_of_pair = (sorted_keys & jnp.uint32((1 << 22) - 1)).astype(jnp.int32)
+    sorted_tids = (packed >> 20).astype(jnp.int32)         # 4095 for dead
+    tri_of_pair = (packed & jnp.uint32((1 << 20) - 1)).astype(jnp.int32)
     # pairs beyond a tile's segment are duplicates of other tiles' (or
     # killed) records; evaluating them is coverage-safe, so the kernel can
     # round segment bounds out to whole groups.
@@ -321,19 +368,22 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     starts = jnp.searchsorted(sorted_tids, jnp.arange(nt + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
 
-    # global (big) list: stable-partition big ids to the front
-    gorder = jnp.argsort(jnp.where(big, 0, 1).astype(jnp.int32))
-    gids = gorder[:GLOBAL_CAP]
+    # global (big) list: counting-compact big ids to the front (no argsort)
+    nbig_cum = jnp.cumsum(big.astype(jnp.int32))
+    gpos = jnp.where(big, nbig_cum - 1, GLOBAL_CAP)
+    glist = jnp.zeros((GLOBAL_CAP,), jnp.int32).at[gpos].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")
     gcount = jnp.minimum(big.sum(dtype=jnp.int32), GLOBAL_CAP)
-    grecords = jnp.where(big[gids][:, None], records[gids],
+    gvalid = jnp.arange(GLOBAL_CAP, dtype=jnp.int32) < gcount
+    grecords = jnp.where(gvalid[:, None], records[glist],
                          _killed_record(records.shape[1]))
     gpairs = _group_blocks(grecords)
     gmeta = jnp.stack([gcount, jnp.asarray(tiles_x, jnp.int32)])
 
-    # overflow accounting: the compact scatter silently drops pairs beyond
-    # `cap` (mode="drop") and the big-triangle list truncates at GLOBAL_CAP —
-    # surface the dropped counts so callers/tests can assert zero loss.
-    total_pairs = n_eff.sum(dtype=jnp.int32)
+    # overflow accounting: pairs beyond `cap` never materialize (offs past
+    # the end) and the big-triangle list truncates at GLOBAL_CAP — surface
+    # the dropped counts so callers/tests can assert zero loss.
+    total_pairs = nc.sum(dtype=jnp.int32)
     nbig = big.sum(dtype=jnp.int32)
     overflow = jnp.stack([jnp.maximum(total_pairs - cap, 0),
                           jnp.maximum(nbig - GLOBAL_CAP, 0)])
@@ -482,20 +532,28 @@ _raster_kernel_msaa4 = _make_raster_kernel(MSAA4_OFFSETS)
 # extra [R_sel, GROUP] x [GROUP, NPX] MXU dot per group — the only per-pixel
 # "gather" left is the systolic array doing one-hot selection.
 #
-# Record layout (GBUF_ROWS = 40). Binning cost scales with record width
+# Record layout (GBUF_ROWS = 32). Binning cost scales with record width
 # (the per-pair record gather moves width * capacity elements), so the
 # per-vertex normal+tangent pairs ride as bf16 packed into single f32
-# words and (material, item) ids fuse into one integer-exact f32:
-#   0-8   e rows        9-11  dp        12  tri id     13-15 vert scales
-#   16-20 v0 attrs: pack(nrm.x,tan.x) pack(nrm.y,tan.y) pack(nrm.z,tan.z) u v
-#   21-25 v1 attrs      26-30 v2 attrs
-#   31    mid*65536+item (exact < 2^24)  32  object id  33-39 pad
+# words, (material, item) ids fuse into one integer-exact f32, and the
+# vertex conditioning scales are folded into the edge rows (_pack_records):
+#   0-8   e' rows (scale-folded)   9-11  dp        12  tri id
+#   13-17 v0 attrs: pack(nrm.x,tan.x) pack(nrm.y,tan.y) pack(nrm.z,tan.z) u v
+#   18-22 v1 attrs      23-27 v2 attrs
+#   28    mid*65536+item (exact < 2^24)  29  object id  30-31 pad
 # The normal is biased +3.0 before bf16 rounding so the packed word's
 # exponent is always normal (a zero normal component would otherwise make
 # the f32 denormal and the MXU selection dot would flush the tangent bits).
+#
+# The per-group loop carries (depth, selected record rows [SEL_ROWS, NPX]);
+# barycentric weights + attribute interpolation happen ONCE per tile after
+# the loop (recomputing b'_i from the winner's e' rows), not per group —
+# that removes the 3 per-group [GROUP, NPX] weight reductions that used to
+# be ~half the kernel's VPU work.
 # ===========================================================================
 
-GBUF_ROWS = 40
+GBUF_ROWS = 32
+SEL_ROWS = 30        # rows 0..29 ride through the per-group selection dot
 GBUF_VATTR = 5       # per-vertex attr rows: packed nrm/tan(3) uv(2)
 NRM_PACK_BIAS = 3.0
 # kernel gbuf output channels: nrm(3) tan(3) uv(2) mid obj item = 11 -> pad 16
@@ -615,9 +673,9 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
 
                 def group_body(i, carry):
                     if ns:
-                        depth, idbuf, gbuf, covc = carry
+                        depth, idbuf, selbuf, covc = carry
                     else:
-                        depth, idbuf, gbuf = carry
+                        depth, idbuf, selbuf = carry
                     g = g0 + i
                     slot = jax.lax.rem(i, 2)
                     nxt = jax.lax.rem(i + 1, 2)
@@ -678,52 +736,16 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
                     amin = jnp.argmin(zm, axis=0).astype(jnp.int32)[None, :]
                     onehot = (sublane == amin).astype(jnp.float32)
 
-                    # winner's perspective barycentrics: w_i = b_i * s_i
-                    s0 = jnp.broadcast_to(cur[13:14].T, (GROUP, NPX))
-                    s1 = jnp.broadcast_to(cur[14:15].T, (GROUP, NPX))
-                    s2 = jnp.broadcast_to(cur[15:16].T, (GROUP, NPX))
-                    l0 = jnp.sum(jnp.maximum(b0, 0.0) * s0 * onehot, axis=0,
-                                 keepdims=True)
-                    l1 = jnp.sum(jnp.maximum(b1, 0.0) * s1 * onehot, axis=0,
-                                 keepdims=True)
-                    l2 = jnp.sum(jnp.maximum(b2, 0.0) * s2 * onehot, axis=0,
-                                 keepdims=True)
-                    lsum = jnp.maximum(l0 + l1 + l2, 1e-30)
-                    l0, l1, l2 = l0 / lsum, l1 / lsum, l2 / lsum
-
-                    # ONE MXU dot selects the winner's record columns:
-                    # rows = id(1) s(3) | v0(5) | v1(5) | v2(5) | mid_item obj
-                    sel = jnp.dot(cur[12:33], onehot,
-                                  preferred_element_type=jnp.float32)  # [21, NPX]
-                    idsel = sel[0:1]
-
-                    def unpack(rows):            # [5, NPX] -> [8, NPX]
-                        pw = jax.lax.bitcast_convert_type(rows[0:3],
-                                                          jnp.uint32)
-                        nrm = jax.lax.bitcast_convert_type(
-                            pw & jnp.uint32(0xFFFF0000),
-                            jnp.float32) - NRM_PACK_BIAS
-                        tan = jax.lax.bitcast_convert_type(pw << 16,
-                                                           jnp.float32)
-                        return jnp.concatenate([nrm, tan, rows[3:5]], axis=0)
-
-                    a0 = unpack(sel[4:9])
-                    a1 = unpack(sel[9:14])
-                    a2 = unpack(sel[14:19])
-                    mi = sel[19:20].astype(jnp.int32)
-                    misc = jnp.concatenate([
-                        (mi >> 16).astype(jnp.float32),
-                        sel[20:21],
-                        (mi & 0xFFFF).astype(jnp.float32)], axis=0)
-                    interp = a0 * l0 + a1 * l1 + a2 * l2         # [8, NPX]
-                    new_gvals = jnp.concatenate(
-                        [interp, misc,
-                         jnp.zeros((GBUF_OUT - 11, NPX), jnp.float32)], axis=0)
+                    # ONE MXU dot selects the winner's full record (edge
+                    # rows + attributes); barycentrics + interpolation
+                    # happen once per tile after the group loop.
+                    sel = jnp.dot(cur[0:SEL_ROWS], onehot,
+                                  preferred_element_type=jnp.float32)
 
                     upd = zmin < depth
                     new_carry = (jnp.where(upd, zmin, depth),
-                                 jnp.where(upd, idsel, idbuf),
-                                 jnp.where(upd, new_gvals, gbuf))
+                                 jnp.where(upd, sel[12:13], idbuf),
+                                 jnp.where(upd, sel, selbuf))
                     if ns:
                         new_carry = new_carry + (covc,)
                     return new_carry
@@ -734,8 +756,8 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
             # center-key band and the [1,2] sample-only band)
             depth0 = jnp.full((1, NPX), 4.0 if ns else 1.0, dtype=jnp.float32)
             id0 = jnp.full((1, NPX), jnp.float32(BG_ID))
-            g0buf = jnp.zeros((GBUF_OUT, NPX), jnp.float32)
-            init = (depth0, id0, g0buf)
+            sel0 = jnp.zeros((SEL_ROWS, NPX), jnp.float32)
+            init = (depth0, id0, sel0)
             if ns:
                 init = init + (jnp.zeros((ns, NPX), jnp.float32),)
 
@@ -745,16 +767,49 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
             end = starts_ref[tile + 1]
             carry = stream(pairs_ref, start // GROUP,
                            pl.cdiv(end, GROUP), carry)
-            depth, idbuf, gvals = carry[0:3]
+            depth, idbuf, sel = carry[0:3]
             if ns:
                 # un-bias the depth key: [0,1) center-covered stays, [1,2)
                 # sample-only drops the +1, 4 (empty) -> background 1.0
                 depth = jnp.where(depth < 1.0, depth,
                                   jnp.where(depth < 3.0, depth - 1.0, 1.0))
 
+            # per-tile resolve: winner's perspective barycentrics from the
+            # scale-folded edge rows (b'_i = e'_i . p is the unnormalized
+            # weight; background pixels have sel = 0 -> weights 0)
+            l0 = jnp.maximum(sel[0:1] * px + sel[1:2] * py + sel[2:3], 0.0)
+            l1 = jnp.maximum(sel[3:4] * px + sel[4:5] * py + sel[5:6], 0.0)
+            l2 = jnp.maximum(sel[6:7] * px + sel[7:8] * py + sel[8:9], 0.0)
+            lsum = jnp.maximum(l0 + l1 + l2, 1e-30)
+            l0, l1, l2 = l0 / lsum, l1 / lsum, l2 / lsum
+
+            def unpack(rows):            # [5, NPX] -> [8, NPX]
+                pw = jax.lax.bitcast_convert_type(rows[0:3], jnp.uint32)
+                nrm = jax.lax.bitcast_convert_type(
+                    pw & jnp.uint32(0xFFFF0000), jnp.float32) - NRM_PACK_BIAS
+                tan = jax.lax.bitcast_convert_type(pw << 16, jnp.float32)
+                return jnp.concatenate([nrm, tan, rows[3:5]], axis=0)
+
+            a0 = unpack(sel[13:18])
+            a1 = unpack(sel[18:23])
+            a2 = unpack(sel[23:28])
+            mi = sel[28:29].astype(jnp.int32)
+            misc = jnp.concatenate([
+                (mi >> 16).astype(jnp.float32),
+                sel[29:30],
+                (mi & 0xFFFF).astype(jnp.float32)], axis=0)
+            interp = a0 * l0 + a1 * l1 + a2 * l2         # [8, NPX]
+            gvals = jnp.concatenate(
+                [interp, misc,
+                 jnp.zeros((GBUF_OUT - 11, NPX), jnp.float32)], axis=0)
+
             depth_ref[pl.ds(t, 1), :] = depth
+            # background pixels: sel stayed 0 (unpack would yield the -3
+            # normal bias) — zero the G-buffer wherever the id carry still
+            # holds BG.
+            is_bg = idbuf < 0.0
             id_ref[pl.ds(t, 1), :] = idbuf.astype(jnp.int32)
-            gbuf_ref[t, :, :] = gvals
+            gbuf_ref[t, :, :] = jnp.where(is_bg, 0.0, gvals)
             if ns:
                 cov_ref[pl.ds(t, 1), :] = jnp.mean(carry[3], axis=0,
                                                    keepdims=True)

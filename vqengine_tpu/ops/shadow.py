@@ -155,17 +155,12 @@ def _cube_face_uv(d: jnp.ndarray):
     return face, uv
 
 
-def prefilter_esm(shadow_map: jnp.ndarray, c: float = 80.0,
-                  radius: int = 2) -> jnp.ndarray:
-    """Exponential shadow map prefilter: blur exp(c*d_occluder) so the
-    shading-time test needs ONE tap instead of 25 PCF taps (per-pixel
-    gathers cost ~3 ms per tap at 1080p on TPU). Returns log-space map
-    back (log of blurred exponential) for bounded storage."""
-    e = jnp.exp(jnp.clip(shadow_map, 0.0, 1.0) * c - c)  # normalized exp
+def _box_blur_clamped(e: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable box blur with clamped edges over the LAST TWO axes
+    (leading axes broadcast — lets one call blur a whole stack of maps).
+    jnp.roll would wrap border texels to the opposite shadow-map edge and
+    leak light/shadow across the frustum border."""
     def blur_axis(a, axis):
-        # clamped-edge box blur (jnp.roll would wrap border texels to the
-        # opposite shadow-map edge and leak light/shadow across the frustum
-        # border); concatenating edge replicas keeps it gather-free.
         n = a.shape[axis]
         acc = jnp.zeros_like(a)
         for o in range(-radius, radius + 1):
@@ -181,7 +176,33 @@ def prefilter_esm(shadow_map: jnp.ndarray, c: float = 80.0,
                 shifted = a
             acc = acc + shifted
         return acc / (2 * radius + 1)
-    e = blur_axis(blur_axis(e, 0), 1)
+    return blur_axis(blur_axis(e, e.ndim - 2), e.ndim - 1)
+
+
+def pool2_map(m: jnp.ndarray, times: int = 1) -> jnp.ndarray:
+    """Mean-pool the last two axes 2x `times` times (reshape + reduce; no
+    lane-relayouting strided slices). Shrinks ESM sample tables under the
+    ~1-2 MB fast TPU gather threshold — a prefiltered ESM is smooth, so
+    sampling a pooled map is visually lossless."""
+    for _ in range(times):
+        h, w = m.shape[-2] // 2 * 2, m.shape[-1] // 2 * 2
+        m = m[..., :h, :w].reshape(*m.shape[:-2], h // 2, 2, w // 2, 2)
+        m = m.mean(axis=(-3, -1))
+    return m
+
+
+def prefilter_esm(shadow_map: jnp.ndarray, c: float = 80.0,
+                  radius: int = 2, pool: int = 0) -> jnp.ndarray:
+    """Exponential shadow map prefilter: blur exp(c*d_occluder) so the
+    shading-time test needs ONE tap instead of 25 PCF taps (per-pixel
+    gathers cost ~3 ms per tap at 1080p on TPU). Returns log-space map
+    back (log of blurred exponential) for bounded storage. Works on any
+    [..., S, S] stack; `pool` halves the stored resolution that many
+    times (blur first, then pool — the sampled signal is band-limited)."""
+    e = jnp.exp(jnp.clip(shadow_map, 0.0, 1.0) * c - c)  # normalized exp
+    e = _box_blur_clamped(e, radius)
+    if pool:
+        e = pool2_map(e, pool)
     return jnp.log(jnp.maximum(e, 1e-30)) / c + 1.0      # back to depth units
 
 
@@ -196,6 +217,26 @@ def shadow_test_esm(wpos: jnp.ndarray, light_vp: jnp.ndarray,
     closest = _fetch_nearest(esm_map, uv)
     vis = jnp.exp(jnp.clip((closest - z + depth_bias) * c, -60.0, 0.0))
     return jnp.where(inside, vis, 0.0)
+
+
+def omni_shadow_test_esm(wpos: jnp.ndarray, light_pos: jnp.ndarray,
+                         esm_cube: jnp.ndarray, far: float,
+                         depth_bias: float, c: float = 80.0) -> jnp.ndarray:
+    """Single-tap exponential omnidirectional shadow test against a
+    radial-distance ESM cube [6, S, S] (values = blurred radial/far in log
+    space from prefilter_esm). The one-gather counterpart of the 20-tap
+    OmnidirectionalShadowTestPCF (Lighting.hlsl:110-174) — softness comes
+    from the prefilter blur."""
+    lw = light_pos - wpos
+    dist = jnp.linalg.norm(lw, axis=-1) / jnp.maximum(far, 1e-6)
+    face, uv = _cube_face_uv(-lw)
+    s = esm_cube.shape[-1]
+    tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
+    ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
+    from .ssao import gather_scalar_rows4
+    closest = gather_scalar_rows4(esm_cube.reshape(-1), (face * s + ty) * s + tx)
+    bias_n = (depth_bias + 0.001) / jnp.maximum(far, 1e-6)
+    return jnp.exp(jnp.clip((closest - dist + bias_n) * c, -60.0, 0.0))
 
 
 def omni_shadow_test_pcf(wpos: jnp.ndarray, light_pos: jnp.ndarray,

@@ -5,10 +5,15 @@ prefilter, resolve temporal — ScreenSpaceReflections.h:104-171) and the
 ApplyReflections composite (ApplyReflections.hlsl).
 
 TPU-native restructuring: tile classification + indirect dispatch become
-dense masked compute (divergence-free); the hierarchical ray march becomes a
-fixed-step screen-space march against the SPD depth pyramid with a binary
-refinement; DNSR's reproject/prefilter/temporal become dense reprojection +
-roughness-scaled blur + exponential history blend.
+dense masked compute (divergence-free); the hierarchical ray march is a
+true hi-Z DDA (the SSSR intersect pass's traversal, ffx_sssr.h): the ray
+is a screen-space segment with affine 1/z, each iteration steps to the
+current mip cell's exit boundary, descends a level when the ray dips under
+the cell's min depth, ascends after safe cells, and solves the exact
+level-0 intersection — all pixels advance in lockstep with per-pixel
+dynamic levels (index arithmetic over the flattened pyramid). DNSR's
+reproject/prefilter/temporal become dense reprojection + roughness-scaled
+blur + variance-clamped, disocclusion-gated history blend.
 """
 from __future__ import annotations
 
@@ -44,18 +49,28 @@ def _blue_noise(h: int, w: int) -> np.ndarray:
 def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
                       normals_world: jnp.ndarray, view: jnp.ndarray,
                       proj_params: jnp.ndarray,
-                      num_steps: int = 16, refine_steps: int = 4,
+                      num_steps: int = 14, refine_steps: int = 0,
                       max_distance: float = 60.0,
                       thickness: float = 0.6,
                       jitter: bool = True):
     """-> (reflection color [H,W,3], confidence [H,W]).
 
-    scene_color: lit HDR before reflections (the intersect source, like
-    SSSR intersecting the scene color); depth: z_ndc; normals: world space.
-    jitter offsets each ray's march phase by per-pixel blue noise so the
-    fixed step count dithers instead of banding (SSSR's blue-noise jitter);
-    the bilateral/temporal denoise integrates the dither away.
+    Hi-Z DDA march (the FFX-SSSR intersect traversal, ffx_sssr.h
+    HierarchicalRaymarch): the reflected ray projects to a screen-space
+    segment along which 1/z_view is affine; each of `num_steps` lockstep
+    iterations steps the ray to its current mip cell's exit boundary,
+    descends a level when the ray passes under that cell's min depth,
+    ascends after a safe cell, and at level 0 solves the exact parameter
+    where ray depth meets the surface. Rays that would pass more than
+    `thickness` view-units behind a level-0 cell skip it (thin-occluder
+    rejection). `refine_steps` is accepted for API compatibility (the
+    exact level-0 solve replaces binary refinement). jitter offsets each
+    ray's start by per-pixel blue noise (SSSR's blue-noise phase).
+
+    scene_color: lit HDR before reflections (the intersect source);
+    depth: z_ndc; normals: world space.
     """
+    del refine_steps
     h, w = depth.shape
     near, far = proj_params[0], proj_params[1]
     fov_y, aspect = proj_params[2], proj_params[3]
@@ -69,70 +84,124 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
         jnp.linalg.norm(pos_v, axis=-1, keepdims=True), 1e-6)
     r = view_dir - 2.0 * (view_dir * n_v).sum(-1, keepdims=True) * n_v
 
-    # depth mips for acceleration (min depth = closest occluder), built
-    # from a 2x-downsampled base: per-step depth fetches gather from this
-    # table, and tables under ~1-2 MB hit the fast TPU gather path
-    # (measured ~5x faster than multi-MB tables)
+    # min-depth mip pyramid from a 2x-downsampled base (tables under
+    # ~1-2 MB hit the fast TPU gather path); flattened so the per-pixel
+    # DYNAMIC level fetch is one gather + index arithmetic
     z2 = zv[: (h // 2) * 2, : (w // 2) * 2]
     zbase = z2.reshape(z2.shape[0] // 2, 2, z2.shape[1] // 2, 2).min((1, 3))
-    zmips = ffx.spd_mip_pyramid(zbase, num_mips=3, reduce="min")
+    zmips = ffx.spd_mip_pyramid(zbase, num_mips=4, reduce="min")
+    nlev = len(zmips)
+    zflat_parts, zoffs = [], []
+    off = 0
+    for zm in zmips:
+        zflat_parts.append(zm.reshape(-1))
+        zoffs.append(off)
+        off += zflat_parts[-1].shape[0]
+    zflat = jnp.concatenate(zflat_parts)
+    dims = [(zm.shape[0], zm.shape[1]) for zm in zmips]
 
     valid_px = depth < 1.0
 
-    def sample_depth(uv_x, uv_y, mip: int):
-        """Fetch the min-depth mip at a STATIC level: one gather per call
-        (per-pixel mip selection would multiply gather cost by the level
-        count — TPU gathers run at ~1 element/cycle)."""
-        zm = zmips[mip]
-        ty = jnp.clip((uv_y * zm.shape[0]).astype(jnp.int32), 0, zm.shape[0] - 1)
-        tx = jnp.clip((uv_x * zm.shape[1]).astype(jnp.int32), 0, zm.shape[1] - 1)
-        return gather_scalar_rows4(zm.reshape(-1), ty * zm.shape[1] + tx)
-
     def project(p):
-        """view pos -> (u, v, depth) with u,v in [0,1] (y down)."""
+        """view pos -> (u, v in [0,1] y-down, 1/z)."""
         z = jnp.maximum(p[..., 2], 1e-4)
         u = (p[..., 0] / (z * tan_half * aspect)) * 0.5 + 0.5
         v = 0.5 - (p[..., 1] / (z * tan_half)) * 0.5
-        return u, v, z
+        return u, v, 1.0 / z
 
-    # fixed-step march with growing step size (hierarchical-ish)
-    t_hit = jnp.full((h, w), -1.0)
-    step0 = max_distance / (num_steps * 4.0)
-    growth = (max_distance / step0) ** (1.0 / num_steps)
-    if jitter:
-        # phase-jitter the exponential ladder: t0 in [step0, step0*growth)
-        # (host-side numpy: the noise is static, no per-pixel pow on device)
-        t = jnp.asarray(step0 * growth ** _blue_noise(h, w))
-    else:
-        t = jnp.full((h, w), step0)
-    prev_t = jnp.zeros((h, w))
-    for i in range(num_steps):
-        p = pos_v + r * t[..., None]
-        u, v, z_ray = project(p)
-        on_screen = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (p[..., 2] > near)
-        mip = min(i // 6, len(zmips) - 1)  # static per step
-        z_scene = sample_depth(u, v, mip)
-        hit = (z_ray > z_scene) & (z_ray - z_scene < thickness * (1.0 + 0.1 * i)) \
-            & on_screen & (t_hit < 0)
-        t_hit = jnp.where(hit, t, t_hit)
-        prev_t = jnp.where(t_hit < 0, t, prev_t)
-        t = t * growth
+    # screen-space segment: clip the view-space endpoint against z = near
+    # so the projection stays in front of the camera
+    z0 = pos_v[..., 2]
+    rz = r[..., 2]
+    t_clip = jnp.where(rz < -1e-6, (near - z0) / jnp.where(
+        rz < -1e-6, rz, -1.0), max_distance)
+    t1 = jnp.clip(t_clip, 1e-3, max_distance)
+    p1 = pos_v + r * t1[..., None]
+    u0, v0, w0 = project(pos_v)
+    u1, v1, w1 = project(p1)
+    du, dv, dw = u1 - u0, v1 - v0, w1 - w0
 
-    # binary refinement between prev step and hit
-    lo = jnp.maximum(t_hit / growth, step0)
-    hi = jnp.where(t_hit > 0, t_hit, max_distance)
-    for _ in range(refine_steps):
-        mid = 0.5 * (lo + hi)
-        p = pos_v + r * mid[..., None]
-        u, v, z_ray = project(p)
-        z_scene = sample_depth(u, v, 0)
-        crossed = z_ray > z_scene
-        hi = jnp.where(crossed, mid, hi)
-        lo = jnp.where(crossed, lo, mid)
+    # s_end: where the segment leaves the [0,1]^2 screen box (or s=1)
+    big = jnp.float32(4.0)
 
-    t_final = hi
-    p = pos_v + r * t_final[..., None]
-    u, v, z_ray = project(p)
+    def exit_s(o, d):
+        d_safe = jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
+        sa = (0.0 - o) / d_safe
+        sb = (1.0 - o) / d_safe
+        return jnp.where(jnp.abs(d) > 1e-9, jnp.maximum(sa, sb), big)
+
+    s_end = jnp.minimum(jnp.minimum(exit_s(u0, du), exit_s(v0, dv)),
+                        jnp.float32(1.0))
+
+    du_s = jnp.where(jnp.abs(du) > 1e-9, du, 1e-9)
+    dv_s = jnp.where(jnp.abs(dv) > 1e-9, dv, 1e-9)
+    stepx = (du >= 0).astype(jnp.float32)
+    stepy = (dv >= 0).astype(jnp.float32)
+
+    # start just past the ray's own pixel, phase-jittered by blue noise
+    base_h, base_w = dims[0]
+    s_pix = 1.0 / jnp.maximum(
+        jnp.maximum(jnp.abs(du) * base_w, jnp.abs(dv) * base_h), 1e-6)
+    jn = jnp.asarray(_blue_noise(h, w)) if jitter else 0.5
+    s = s_pix * (0.55 + 0.9 * jn)
+
+    lvl = jnp.zeros((h, w), jnp.int32)
+    s_hit = jnp.full((h, w), -1.0)
+    done = s >= s_end
+    eps = 1e-5
+
+    for _ in range(num_steps):
+        ux = u0 + s * du
+        uy = v0 + s * dv
+        # per-pixel dynamic level: cell index, exit boundary, and the
+        # flattened-pyramid fetch index via static-level where-chains
+        idx = jnp.zeros((h, w), jnp.int32)
+        bx = jnp.zeros((h, w), jnp.float32)
+        by = jnp.zeros((h, w), jnp.float32)
+        for m, (mh, mw) in enumerate(dims):
+            cx = jnp.clip(jnp.floor(ux * mw), 0.0, mw - 1.0)
+            cy = jnp.clip(jnp.floor(uy * mh), 0.0, mh - 1.0)
+            hitm = lvl == m
+            idx = jnp.where(hitm,
+                            zoffs[m] + (cy * mw + cx).astype(jnp.int32),
+                            idx)
+            bx = jnp.where(hitm, (cx + stepx) / mw, bx)
+            by = jnp.where(hitm, (cy + stepy) / mh, by)
+        z_cell = gather_scalar_rows4(zflat, idx)
+
+        s_exit = jnp.minimum((bx - u0) / du_s, (by - v0) / dv_s) + eps
+        s_exit = jnp.maximum(s_exit, s + eps)      # always progress
+        s_stop = jnp.minimum(s_exit, s_end)
+
+        w_cur = w0 + s * dw
+        w_stop = w0 + s_stop * dw
+        z_cur = 1.0 / jnp.maximum(w_cur, 1e-6)
+        z_stop = 1.0 / jnp.maximum(w_stop, 1e-6)
+        z_far = jnp.maximum(z_cur, z_stop)
+
+        crossing = z_far >= z_cell
+        at0 = lvl == 0
+        behind = z_cur > z_cell + thickness * (1.0 + 0.04 * z_cell)
+        hit_now = crossing & at0 & ~behind & ~done
+        # exact level-0 intersection parameter: w(s*) = 1/z_cell
+        s_star = (1.0 / jnp.maximum(z_cell, 1e-4) - w0) / jnp.where(
+            jnp.abs(dw) > 1e-9, dw, 1e-9)
+        s_star = jnp.clip(s_star, s, s_stop)
+        s_hit = jnp.where(hit_now, s_star, s_hit)
+        done = done | hit_now
+
+        descend = crossing & ~at0 & ~done
+        advance = (~crossing | (at0 & behind)) & ~done
+        lvl = jnp.where(descend, lvl - 1,
+                        jnp.where(advance, jnp.minimum(lvl + 1, nlev - 1),
+                                  lvl))
+        s = jnp.where(advance, s_stop, s)
+        done = done | (s >= s_end)
+
+    hit = s_hit > 0
+    s_f = jnp.where(hit, s_hit, s_end)
+    u = u0 + s_f * du
+    v = v0 + s_f * dv
     ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     refl = scene_color.reshape(-1, 3)[ty * w + tx]
@@ -140,7 +209,7 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     # confidence: hit found, facing the camera plane, fade at screen edges
     edge = (jnp.minimum(u, 1 - u).clip(0, 0.1) * 10.0
             * jnp.minimum(v, 1 - v).clip(0, 0.1) * 10.0)
-    conf = jnp.where((t_hit > 0) & valid_px, edge, 0.0)
+    conf = jnp.where(hit & valid_px, edge, 0.0)
     # reject rays reflecting toward the camera (negative z never intersects
     # reliably in screen space)
     conf = conf * jnp.clip(r[..., 2] * 4.0 + 0.5, 0.0, 1.0)

@@ -2,14 +2,111 @@
 sampler states + Texture2D.Sample calls (ForwardLighting.hlsl:81-102:
 linear/point/aniso samplers over 9 material texture slots).
 
-Textures live in array-of-textures mip tensors ([N, S, S, 4] per level,
-from scene/texture_manager.py); every pixel carries a per-slot texture id
-so one vectorized pass samples the whole screen.
+Two storage layouts:
+
+1. Array-of-textures mip tensors ([N, S, S, 4] f32 per level) — the exact
+   path (tests, HDR textures).
+2. **Quad-packed RGBA8** (`PackedTextures`): each gather row holds a full
+   2x2 bilinear footprint as four RGBA8 texels packed into int32 lanes,
+   stored in 4 phase-shifted copies (one per (y0&1, x0&1) parity) so ANY
+   footprint lands in exactly one row. A bilinear tap = ONE 4-element row
+   gather + VPU unpack, vs 8 gathers x 4 f32 elements for trilinear on
+   layout 1 — TPU gathers run at ~1 element/cycle, so this is the
+   difference between ~3 ms and ~25 ms per textured slot at 1080p.
+   Memory = 16 B/texel (4 copies x RGBA8), the same as one f32 RGBA copy.
+
+Every pixel carries a per-slot texture id so one vectorized pass samples
+the whole screen.
 """
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PackedTextures:
+    """Quad-packed RGBA8 texture array (layout 2 above).
+    flat[q] = [c(y0,x0), c(y0,x1), c(y1,x0), c(y1,x1)] as packed RGBA8
+    int32; per level the quads lay out as [N, py, px, Qy, Qx, 4] with
+    wrap-around baked into the edge quads at pack time."""
+    flat: jnp.ndarray                                        # [Q, 4] int32
+    offs: tuple = field(metadata=dict(static=True), default=())
+    sizes: tuple = field(metadata=dict(static=True), default=())
+
+
+def pack_texture_quads(levels: list[np.ndarray]) -> PackedTextures:
+    """levels: per mip [N, s, s, 4] f32 in [0,1] -> PackedTextures."""
+    parts, offs, sizes = [], [], []
+    off = 0
+    for lvl in levels:
+        n, s = lvl.shape[0], lvl.shape[1]
+        q = (s + 1) // 2
+        u8 = np.clip(np.rint(np.asarray(lvl, np.float32) * 255.0),
+                     0, 255).astype(np.uint32)
+        packed = (u8[..., 0] | (u8[..., 1] << 8)
+                  | (u8[..., 2] << 16) | (u8[..., 3] << 24))   # [N, s, s]
+        quad = np.zeros((n, 2, 2, q, q, 4), np.uint32)
+        base = np.arange(q) * 2
+        for py in range(2):
+            y0 = (base + py) % s
+            y1 = (base + py + 1) % s
+            for px in range(2):
+                x0 = (base + px) % s
+                x1 = (base + px + 1) % s
+                quad[:, py, px, :, :, 0] = packed[:, y0][:, :, x0]
+                quad[:, py, px, :, :, 1] = packed[:, y0][:, :, x1]
+                quad[:, py, px, :, :, 2] = packed[:, y1][:, :, x0]
+                quad[:, py, px, :, :, 3] = packed[:, y1][:, :, x1]
+        parts.append(quad.reshape(-1, 4).view(np.int32))
+        offs.append(off)
+        sizes.append(s)
+        off += parts[-1].shape[0]
+    return PackedTextures(flat=jnp.asarray(np.concatenate(parts)),
+                          offs=tuple(offs), sizes=tuple(sizes))
+
+
+def _packed_tap(pt: PackedTextures, tex_id: jnp.ndarray, uv: jnp.ndarray,
+                lodi: jnp.ndarray) -> jnp.ndarray:
+    """One bilinear tap from the quad-packed table: ONE row gather."""
+    shape = uv.shape[:-1]
+    idx = jnp.zeros(shape, jnp.int32)
+    fx = jnp.zeros(shape, jnp.float32)
+    fy = jnp.zeros(shape, jnp.float32)
+    t = jnp.maximum(tex_id, 0)
+    for m, s in enumerate(pt.sizes):
+        q = (s + 1) // 2
+        x = uv[..., 0] * s - 0.5
+        y = uv[..., 1] * s - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        x0i = jnp.mod(x0.astype(jnp.int32), s)
+        y0i = jnp.mod(y0.astype(jnp.int32), s)
+        px, qx = x0i & 1, x0i >> 1
+        py, qy = y0i & 1, y0i >> 1
+        cand = pt.offs[m] + (((t * 2 + py) * 2 + px) * q + qy) * q + qx
+        hit = lodi == m
+        idx = jnp.where(hit, cand, idx)
+        fx = jnp.where(hit, x - x0, fx)
+        fy = jnp.where(hit, y - y0, fy)
+    rows = pt.flat[idx]                          # [..., 4] ONE row gather
+    w = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+
+    def rgba(v):
+        return jnp.stack([(v & 0xFF).astype(jnp.float32),
+                          ((v >> 8) & 0xFF).astype(jnp.float32),
+                          ((v >> 16) & 0xFF).astype(jnp.float32),
+                          (v >> 24).astype(jnp.float32)], axis=-1) / 255.0
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = rgba(w[..., 0]) * (1 - fx) + rgba(w[..., 1]) * fx
+    bot = rgba(w[..., 2]) * (1 - fx) + rgba(w[..., 3]) * fx
+    return top * (1 - fy) + bot * fy
 
 
 def uv_gradients(uv: jnp.ndarray):
@@ -131,17 +228,42 @@ def _bilinear_fetch(flat, idx):
             + c01 * (1 - fx) * fy + c11 * fx * fy)
 
 
-def sample_texture_array(mips: list[jnp.ndarray], tex_id: jnp.ndarray,
+def tex_base_size(textures) -> int:
+    """Base (level 0) texel size for either storage layout."""
+    if isinstance(textures, PackedTextures):
+        return textures.sizes[0]
+    return textures[0].shape[1]
+
+
+def tex_num_levels(textures) -> int:
+    if isinstance(textures, PackedTextures):
+        return len(textures.sizes)
+    return len(textures)
+
+
+def sample_texture_array(mips, tex_id: jnp.ndarray,
                          uv: jnp.ndarray, lod: jnp.ndarray | None = None,
                          trilinear: bool = True) -> jnp.ndarray:
-    """Mip-mapped sample: mips list of [N, s_m, s_m, 4], tex_id [H, W]
-    (negative = slot unused; callers mask via Has*Map), uv [H, W, 2]
-    -> rgba [H, W, 4]. Trilinear (8 row gathers) by default — the
+    """Mip-mapped sample: mips is a list of [N, s_m, s_m, 4] levels or a
+    PackedTextures; tex_id [H, W] (negative = slot unused; callers mask via
+    Has*Map), uv [H, W, 2] -> rgba [H, W, 4]. Trilinear by default — the
     reference samples material maps with linear-mip samplers
     (ForwardLighting.hlsl:81-102); trilinear=False falls back to
-    nearest-mip bilinear (4 gathers)."""
+    nearest-mip bilinear. Gather cost: packed = 1 row gather per tap
+    (2 trilinear), f32 = 4 per tap (8 trilinear)."""
     if lod is None:
-        lod = uv_mip_level(uv, mips[0].shape[1], len(mips) - 1)
+        lod = uv_mip_level(uv, tex_base_size(mips), tex_num_levels(mips) - 1)
+    if isinstance(mips, PackedTextures):
+        max_m = len(mips.sizes) - 1
+        if not trilinear:
+            lodi = jnp.clip(lod.astype(jnp.int32), 0, max_m)
+            return _packed_tap(mips, tex_id, uv, lodi)
+        l0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, max_m)
+        l1 = jnp.minimum(l0 + 1, max_m)
+        w = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+        c0 = _packed_tap(mips, tex_id, uv, l0)
+        c1 = _packed_tap(mips, tex_id, uv, l1)
+        return c0 * (1.0 - w) + c1 * w
     flat, offs = _flatten_mips(mips)
     t = jnp.maximum(tex_id, 0)
     max_m = len(mips) - 1
@@ -156,21 +278,22 @@ def sample_texture_array(mips: list[jnp.ndarray], tex_id: jnp.ndarray,
     return c0 * (1.0 - w) + c1 * w
 
 
-def sample_texture_array_aniso(mips: list[jnp.ndarray], tex_id: jnp.ndarray,
+def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
                                uv: jnp.ndarray, num_taps: int = 2,
                                max_aniso: float = 4.0) -> jnp.ndarray:
     """Anisotropic sample (the AnisoSampler, ForwardLighting.hlsl:81):
     num_taps trilinear taps along the major-footprint axis, weighted
     uniformly, with LOD chosen from the minor axis so grazing-angle
     surfaces keep detail instead of over-blurring. Cost = num_taps x
-    trilinear (8 row gathers each)."""
+    trilinear."""
     lod, major, ratio = uv_mip_level_aniso(
-        uv, mips[0].shape[1], len(mips) - 1, max_aniso=max_aniso)
+        uv, tex_base_size(mips), tex_num_levels(mips) - 1,
+        max_aniso=max_aniso)
     # taps at fractions (-1/2 .. 1/2) * min(ratio, taps)/ratio of the major
     # axis; clamp LOD up when taps can't cover the full ellipse
     span = jnp.minimum(ratio, float(num_taps))
     lod = lod + jnp.log2(jnp.maximum(ratio / span, 1.0))
-    lod = jnp.clip(lod, 0.0, len(mips) - 1)
+    lod = jnp.clip(lod, 0.0, tex_num_levels(mips) - 1)
     acc = None
     for i in range(num_taps):
         f = (i + 0.5) / num_taps - 0.5

@@ -31,6 +31,7 @@ class EnvironmentMaps:
     diffuse_cube: jnp.ndarray              # [6, Sd, Sd, 3]
     specular_mips: tuple                   # tuple of [6, S_m, S_m, 3]
     brdf_lut: jnp.ndarray                  # [L, L, 2]
+    sh_irradiance: jnp.ndarray = None      # [9, 3] SH9 diffuse coefficients
 
 
 def build_environment(equirect_np, diffuse_size: int = 64,
@@ -40,7 +41,9 @@ def build_environment(equirect_np, diffuse_size: int = 64,
 
     The shading-time sample tables are stored bf16: per-pixel gathers hit
     the fast TPU path only for tables under ~1-2 MB, and prefiltered
-    radiance tolerates 8-bit mantissas (samplers upcast to f32)."""
+    radiance tolerates 8-bit mantissas (samplers upcast to f32).
+    sh_irradiance carries the l<=2 SH projection of the irradiance so
+    shading's diffuse term is gather-free (ibl.sh9_irradiance_coeffs)."""
     eq = jnp.asarray(equirect_np)
     return EnvironmentMaps(
         equirect=eq.astype(jnp.bfloat16),
@@ -50,6 +53,7 @@ def build_environment(equirect_np, diffuse_size: int = 64,
             m.astype(jnp.bfloat16) for m in ibl.specular_prefilter_mips(
                 eq, base_size=specular_base, num_mips=specular_mips)),
         brdf_lut=jnp.asarray(ibl.brdf_lut_cached(lut_size)),
+        sh_irradiance=ibl.sh9_irradiance_coeffs(eq),
     )
 
 
@@ -327,14 +331,20 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
                   textures: tuple | None = None,
                   mrow: jnp.ndarray | None = None,
                   ids: jnp.ndarray | None = None,
-                  aniso_taps: int = 0):
+                  aniso_taps: int = 0,
+                  slots_used: tuple | None = None):
     """Per-pixel material fetch + texture sampling — the PSMain material
     block (ForwardLighting.hlsl:226-277): per-slot Has*Map tests gate
     sampled values; albedo/emissive decode sRGB; ORM packs
     occlusion/roughness/metalness; normal maps perturb via TBN.
 
     mrow/ids come pre-gathered from the combined resolve table when
-    available (one gather per pixel); else fetched here."""
+    available (one gather per pixel); else fetched here.
+
+    slots_used: static per-scene tuple of 9 bools (no material references
+    slot k -> skip its sampling entirely at trace time). The reference
+    compiles a PSO permutation per texture config; here unused slots cost
+    zero instead of dense gathers that has() would discard."""
     from ..ops import colorspace as cs_ops
     from ..ops import texture as tex_ops
 
@@ -361,7 +371,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
         return out
 
     uv_t = uv * mrow[..., 8:10] + mrow[..., 10:12]          # uvScaleOffset
-    lod = tex_ops.uv_mip_level(uv_t, textures[0].shape[1], len(textures) - 1)
+    max_lod = tex_ops.tex_num_levels(textures) - 1
+    lod = tex_ops.uv_mip_level(uv_t, tex_ops.tex_base_size(textures), max_lod)
 
     def slot_id(bit):
         return mrow[..., 20 + bit].astype(jnp.int32)
@@ -369,46 +380,62 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
     def has(bit):
         return slot_id(bit) >= 0
 
+    def used(bit):
+        return slots_used is None or bool(slots_used[bit])
+
     def sample(bit, lod_bias=None):
-        l = lod if lod_bias is None else jnp.clip(lod + lod_bias, 0, len(textures) - 1)
+        l = lod if lod_bias is None else jnp.clip(lod + lod_bias, 0, max_lod)
         return tex_ops.sample_texture_array(textures, slot_id(bit), uv_t, l)
 
-    if aniso_taps > 1:
-        # diffuse samples anisotropically like the reference's AnisoSampler
-        # on the albedo slot (grazing-angle floors); other slots stay
-        # trilinear — each aniso tap costs 8 row gathers per pixel
-        diffuse_s = tex_ops.sample_texture_array_aniso(
-            textures, slot_id(0), uv_t, num_taps=aniso_taps)
+    if used(0):
+        if aniso_taps > 1:
+            # diffuse samples anisotropically like the reference's
+            # AnisoSampler on the albedo slot (grazing-angle floors); other
+            # slots stay trilinear
+            diffuse_s = tex_ops.sample_texture_array_aniso(
+                textures, slot_id(0), uv_t, num_taps=aniso_taps)
+        else:
+            diffuse_s = sample(0)
+        out["albedo"] = jnp.where(
+            has(0)[..., None],
+            cs_ops.srgb_to_linear_fast(diffuse_s[..., :3]) * mrow[..., 0:3],
+            mrow[..., 0:3])
+        out["alpha"] = jnp.where(has(0), diffuse_s[..., 3], mrow[..., 3])
     else:
-        diffuse_s = sample(0)
-    out["albedo"] = jnp.where(
-        has(0)[..., None],
-        cs_ops.srgb_to_linear_fast(diffuse_s[..., :3]) * mrow[..., 0:3],
-        mrow[..., 0:3])
-    out["alpha"] = jnp.where(has(0), diffuse_s[..., 3], mrow[..., 3])
+        out["alpha"] = mrow[..., 3]
     # dedicated alpha-mask map (slot 3) overrides the diffuse alpha
-    out["alpha"] = jnp.where(has(3), sample(3)[..., 0], out["alpha"])
+    if used(3):
+        out["alpha"] = jnp.where(has(3), sample(3)[..., 0], out["alpha"])
 
-    if wnrm is not None and wtan is not None:
+    if wnrm is not None and wtan is not None and used(1):
         nrm_s = sample(1, lod_bias=mrow[..., 16])
         n_mapped = tex_ops.unpack_normal_map(nrm_s[..., :3], wnrm, wtan)
         out["normal"] = jnp.where(has(1)[..., None], n_mapped, wnrm)
 
-    out["local_ao"] = jnp.where(has(2), sample(2)[..., 0], out["local_ao"])
-    out["roughness"] = jnp.where(has(4), out["roughness"] * sample(4)[..., 0],
-                                 out["roughness"])
-    out["metalness"] = jnp.where(has(5), out["metalness"] * sample(5)[..., 0],
-                                 out["metalness"])
-    emis_s = sample(7)
-    out["emissive"] = jnp.where(
-        has(7)[..., None],
-        cs_ops.srgb_to_linear_fast(emis_s[..., :3]) * mrow[..., 4:7] * mrow[..., 7:8],
-        out["emissive"])
-    orm = sample(8)
-    out["roughness"] = jnp.where(has(8), out["roughness"] * orm[..., 1],
-                                 out["roughness"])
-    out["metalness"] = jnp.where(has(8), out["metalness"] * orm[..., 2],
-                                 out["metalness"])
+    if used(2):
+        out["local_ao"] = jnp.where(has(2), sample(2)[..., 0],
+                                    out["local_ao"])
+    if used(4):
+        out["roughness"] = jnp.where(has(4),
+                                     out["roughness"] * sample(4)[..., 0],
+                                     out["roughness"])
+    if used(5):
+        out["metalness"] = jnp.where(has(5),
+                                     out["metalness"] * sample(5)[..., 0],
+                                     out["metalness"])
+    if used(7):
+        emis_s = sample(7)
+        out["emissive"] = jnp.where(
+            has(7)[..., None],
+            cs_ops.srgb_to_linear_fast(emis_s[..., :3])
+            * mrow[..., 4:7] * mrow[..., 7:8],
+            out["emissive"])
+    if used(8):
+        orm = sample(8)
+        out["roughness"] = jnp.where(has(8), out["roughness"] * orm[..., 1],
+                                     out["roughness"])
+        out["metalness"] = jnp.where(has(8), out["metalness"] * orm[..., 2],
+                                     out["metalness"])
     return out
 
 
@@ -426,34 +453,41 @@ def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
     sc = int(consts.spot_casters.shape[0])
     pc = int(consts.point_casters.shape[0])
     has_dir = int(consts.dir_vp.shape[0]) > 0
+    esm = filter_mode == "esm"
 
+    # Casters render through ONE lax.scan body per light type — the full
+    # 5+5+1 budget compiles a single binning+raster graph per type instead
+    # of 36 unrolled launches (the reference records each view on its own
+    # worker thread; here XLA reuses the compiled body). ESM maps blur,
+    # then pool so the per-frame sample tables sit on the fast (<~1-2 MB)
+    # TPU gather path: spot 1024->512, point faces 1024->256 (6-face cube
+    # stays ~1.5 MB), directional 2048->1024.
     if sc:
-        dm = []
-        for i in range(sc):
+        def spot_body(carry, vp):
             d = shadow.render_shadow_depth(
                 scene.positions, scene.item_of_vertex, consts.world,
-                consts.spot_caster_vps[i], scene.indices, shadow_dims[0])
-            dm.append(shadow.prefilter_esm(d) if filter_mode == "esm" else d)
-        maps["spot"] = jnp.stack(dm)
+                vp, scene.indices, shadow_dims[0])
+            return carry, d
+        _, dm = jax.lax.scan(spot_body, 0, consts.spot_caster_vps)
+        maps["spot"] = shadow.prefilter_esm(dm, pool=1) if esm else dm
     if pc:
-        cubes = []
-        for i in range(pc):
-            faces = []
-            near = consts.point_caster_range[i, 0]
-            far = consts.point_caster_range[i, 1]
-            for f in range(6):
-                d = shadow.render_shadow_depth(
-                    scene.positions, scene.item_of_vertex, consts.world,
-                    consts.point_caster_vps[i, f], scene.indices,
-                    shadow_dims[1])
-                faces.append(shadow.ndc_depth_to_radial(d, near, far))
-            cubes.append(jnp.stack(faces))
-        maps["point"] = jnp.stack(cubes)
+        vps6 = consts.point_caster_vps.reshape(pc * 6, 4, 4)
+        nf6 = jnp.repeat(consts.point_caster_range, 6, axis=0)
+
+        def point_body(carry, x):
+            vp, nfi = x
+            d = shadow.render_shadow_depth(
+                scene.positions, scene.item_of_vertex, consts.world,
+                vp, scene.indices, shadow_dims[1])
+            return carry, shadow.ndc_depth_to_radial(d, nfi[0], nfi[1])
+        _, faces = jax.lax.scan(point_body, 0, (vps6, nf6))
+        cubes = faces.reshape(pc, 6, shadow_dims[1], shadow_dims[1])
+        maps["point"] = shadow.prefilter_esm(cubes, pool=2) if esm else cubes
     if has_dir:
         d = shadow.render_shadow_depth(
             scene.positions, scene.item_of_vertex, consts.world,
             consts.dir_vp[0], scene.indices, shadow_dims[2])
-        maps["dir"] = shadow.prefilter_esm(d) if filter_mode == "esm" else d
+        maps["dir"] = shadow.prefilter_esm(d, pool=1) if esm else d
     return maps
 
 
@@ -516,8 +550,13 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
         for i in range(pc):
             cube = shadow_maps["point"][i]
             lrow = consts.point_casters[i]
-            vis.append(shadow.omni_shadow_test_pcf(
-                wpos, lrow[0:3], cube, lrow[9], lrow[8], consts.camera_pos))
+            if filter_mode == "esm":
+                vis.append(shadow.omni_shadow_test_esm(
+                    wpos, lrow[0:3], cube, lrow[9], lrow[8]))
+            else:
+                vis.append(shadow.omni_shadow_test_pcf(
+                    wpos, lrow[0:3], cube, lrow[9], lrow[8],
+                    consts.camera_pos))
         point_vis = up(jnp.stack(vis))
 
     dir_vis = None
@@ -557,7 +596,8 @@ def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
                      width: int, height: int,
                      env: EnvironmentMaps | None = None,
                      textures: tuple | None = None,
-                     num_layers: int = 2) -> jnp.ndarray:
+                     num_layers: int = 2,
+                     slots_used: tuple | None = None) -> jnp.ndarray:
     """Blended transparents (the reference's Model.h:45-65 transparent mesh
     split, rendered after opaques with alpha blending): depth-peel
     `num_layers` transparent layers in front of the opaque depth, shade
@@ -595,7 +635,8 @@ def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
                               1e-9)
         mat = material_pass(scene_t, idb, uv=attrs["uv"], wnrm=wn,
                             wtan=attrs["wtan"], textures=textures,
-                            mrow=attrs["mrow"], ids=attrs["ids"])
+                            mrow=attrs["mrow"], ids=attrs["ids"],
+                            slots_used=slots_used)
         n = mat["normal"] if mat.get("normal") is not None else wn
         env_illum = None
         if env is not None:
@@ -605,7 +646,7 @@ def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
             env_illum = ibl.environment_illumination(
                 n, v, mat["roughness"], mat["metalness"], mat["albedo"],
                 env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
-                hdri_yaw=consts.hdri_yaw)
+                hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance)
         color = shading.shade_forward(
             world_pos=attrs["wpos"], normal=n,
             albedo=mat["albedo"], roughness=mat["roughness"],
@@ -651,7 +692,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    shadow_maps: dict | None = None,
                    enable_alpha_mask: bool = False,
                    scene_transparent: DeviceScene | None = None,
-                   aniso_taps: int = 0):
+                   aniso_taps: int = 0,
+                   slots_used: tuple | None = None):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> transparents -> tonemap. Returns a dict with
     ldr [H,W,3], depth [H,W], tri_id [H,W], object_id [H,W], and
@@ -675,7 +717,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
     mat = material_pass(scene, tri_id, uv=attrs["uv"], wnrm=wn, wtan=wt,
                         textures=textures,
                         mrow=attrs.get("mrow"), ids=attrs.get("ids"),
-                        aniso_taps=aniso_taps)
+                        aniso_taps=aniso_taps, slots_used=slots_used)
     n = mat["normal"] if mat.get("normal") is not None else wn
 
     if alpha_test and "alpha" in mat:
@@ -695,7 +737,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         mat2 = material_pass(scene, id2, uv=attrs2["uv"], wnrm=wn2,
                              wtan=attrs2["wtan"], textures=textures,
                              mrow=attrs2["mrow"], ids=attrs2["ids"],
-                             aniso_taps=aniso_taps)
+                             aniso_taps=aniso_taps, slots_used=slots_used)
         ok2 = mask2 & (mat2.get("alpha", jnp.ones_like(d2)) >= 0.01)
 
         def mrg(x1, x2):
@@ -759,7 +801,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         env_illum = ibl.environment_illumination(
             n, v, mat["roughness"], mat["metalness"], mat["albedo"],
             env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
-            hdri_yaw=consts.hdri_yaw)
+            hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance)
 
     ao = jnp.broadcast_to(consts.ambient_factor, mask.shape)
     ao = ao * mat["local_ao"]  # material AO map (ForwardLighting.hlsl:269)
@@ -803,12 +845,18 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
 
     new_ssr_history = None
     if enable_ssr:
-        # SSSR + DNSR + ApplyReflections (SceneRendering.cpp:2196-2362);
-        # traced at half resolution (the reference SSSR's common config;
-        # per-step depth fetches are per-pixel gathers)
-        refl_h, conf_h = ssr_ops.trace_reflections(
-            pool2(hdr), pool2(depth), pool2(n),
+        # SSSR + DNSR + ApplyReflections (SceneRendering.cpp:2196-2362).
+        # The hi-Z march runs at QUARTER resolution (each DDA iteration
+        # costs ~1.3 ms at half-res on TPU — dominated by the per-ray
+        # pyramid gather); DNSR's prefilter + temporal resolve run at half
+        # resolution, recovering edge stability, and the composite happens
+        # at full resolution with the Fresnel weight.
+        refl_q, conf_q = ssr_ops.trace_reflections(
+            pool2(pool2(hdr)), pool2(pool2(depth)), pool2(pool2(n)),
             consts.view_matrix, consts.proj_params)
+        hh, hw = pool2(depth).shape[:2]
+        refl_h = jnp.repeat(jnp.repeat(refl_q, 2, 0), 2, 1)[:hh, :hw]
+        conf_h = jnp.repeat(jnp.repeat(conf_q, 2, 0), 2, 1)[:hh, :hw]
         # denoise + temporal history at half resolution: the history
         # reprojection gather from a full-res [H,W,3] table runs on the
         # slow large-table gather path; half-res history stays small
@@ -827,7 +875,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
 
     if scene_transparent is not None and scene_transparent.num_tris_live > 0:
         hdr = transparent_pass(scene_transparent, consts, hdr, depth,
-                               width, height, env=env, textures=textures)
+                               width, height, env=env, textures=textures,
+                               slots_used=slots_used)
     ldr = pp.tonemap(hdr, output_display_curve, apply_gamma=apply_gamma)
 
     # post chain tail (SceneRendering.cpp:2507-2788): CAS, then FSR1

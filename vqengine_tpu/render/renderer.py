@@ -68,6 +68,10 @@ class VQRendererTPU:
         # any material carries a dedicated alpha-mask map (slot 3 id,
         # material row 23)
         self._any_alpha_mask = bool((buffers.materials[:, 23] >= 0).any())
+        # static texture-slot usage (the texture-config PSO permutation):
+        # slots no material references never sample
+        self._slots_used = tuple(
+            bool((buffers.materials[:, 20 + k] >= 0).any()) for k in range(9))
         info(f"renderer: scene uploaded — {buffers.positions.shape[0]} verts, "
              f"{buffers.indices.shape[0]} tris "
              f"({0 if transparent is None else transparent.indices.shape[0]}"
@@ -87,7 +91,8 @@ class VQRendererTPU:
                        has_shadow_maps: bool = False,
                        enable_alpha_mask: bool = False,
                        has_transparent: bool = False,
-                       aniso_taps: int = 0):
+                       aniso_taps: int = 0,
+                       slots_used: tuple | None = None):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
@@ -97,7 +102,7 @@ class VQRendererTPU:
                has_env, enable_ssao, enable_motion, has_textures, msaa,
                enable_ssr, has_ssr_history, render_scale, cas_sharpness,
                shadow_filter, has_shadow_maps, enable_alpha_mask,
-               has_transparent, aniso_taps)
+               has_transparent, aniso_taps, slots_used)
         fn = self._render_fns.get(key)
         if fn is None:
             rw = max(64, int(width * render_scale)) if render_scale != 1.0 else width
@@ -112,7 +117,7 @@ class VQRendererTPU:
                           enable_motion_vectors=enable_motion, msaa=msaa,
                           enable_ssr=enable_ssr,
                           enable_alpha_mask=enable_alpha_mask,
-                          aniso_taps=aniso_taps)
+                          aniso_taps=aniso_taps, slots_used=slots_used)
 
             def wrapped(scene, scene_t, consts, env, textures, ssr_history,
                         shadow_maps):
@@ -257,7 +262,9 @@ class VQRendererTPU:
                                  enable_alpha_mask=getattr(
                                      self, "_any_alpha_mask", False),
                                  has_transparent=scene_t is not None,
-                                 aniso_taps=aniso_taps)
+                                 aniso_taps=aniso_taps,
+                                 slots_used=getattr(self, "_slots_used",
+                                                    None))
         t0 = time.perf_counter()
         out = fn(self._scene, scene_t, consts, env, textures, ssr_history,
                  shadow_maps)

@@ -103,6 +103,57 @@ def flat_normal(size: int = 4) -> np.ndarray:
     return _to_rgba_f32(img)
 
 
+def brick(size: int = 128, rows: int = 8, mortar: float = 0.06,
+          c_brick=(0.58, 0.31, 0.22), c_mortar=(0.72, 0.70, 0.66),
+          seed: int = 5) -> np.ndarray:
+    """Procedural brick diffuse (the Sponza-substitute wall look)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    ry = y * rows
+    row = np.floor(ry)
+    fx = (x * rows / 2.0 + (row % 2) * 0.5) % 1.0
+    fy = ry % 1.0
+    is_mortar = (fy < mortar) | (fy > 1 - mortar) \
+        | (fx < mortar / 2) | (fx > 1 - mortar / 2)
+    shade = 0.85 + 0.3 * rng.random((int(rows), int(rows // 2) + 2))
+    sh = shade[row.astype(int) % rows,
+               np.floor(x * rows / 2.0 + (row % 2) * 0.5).astype(int) % (rows // 2 + 2)]
+    img = np.where(is_mortar[..., None], np.asarray(c_mortar, np.float32),
+                   np.asarray(c_brick, np.float32) * sh[..., None])
+    return _to_rgba_f32(img.astype(np.float32))
+
+
+def noise_texture(size: int = 128, base: float = 0.5, amp: float = 0.35,
+                  octaves: int = 4, seed: int = 9) -> np.ndarray:
+    """Tileable value-noise grayscale (roughness/height maps)."""
+    rng = np.random.default_rng(seed)
+    acc = np.zeros((size, size), np.float32)
+    for o in range(octaves):
+        n = 4 << o
+        g = rng.random((n, n)).astype(np.float32)
+        g = np.concatenate([g, g[:, :1]], axis=1)
+        g = np.concatenate([g, g[:1, :]], axis=0)
+        t = np.linspace(0, n, size, endpoint=False)
+        i = np.floor(t).astype(int)
+        f = (t - i)[None, :]
+        fv = (t - i)[:, None]
+        a = g[np.ix_(i, i)] * (1 - f) + g[np.ix_(i, i + 1)] * f
+        b = g[np.ix_(i + 1, i)] * (1 - f) + g[np.ix_(i + 1, i + 1)] * f
+        acc += (a * (1 - fv) + b * fv) * (0.5 ** o)
+    acc /= sum(0.5 ** o for o in range(octaves))
+    return _to_rgba_f32(np.clip(base + amp * (acc * 2 - 1), 0, 1)[..., None])
+
+
+def normal_from_height(height_rgba: np.ndarray, strength: float = 2.0) -> np.ndarray:
+    """Tangent-space normal map from a height texture (wraps)."""
+    h = height_rgba[..., 0]
+    dx = (np.roll(h, -1, axis=1) - np.roll(h, 1, axis=1)) * strength
+    dy = (np.roll(h, -1, axis=0) - np.roll(h, 1, axis=0)) * strength
+    n = np.stack([-dx, -dy, np.ones_like(h)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    return _to_rgba_f32((n * 0.5 + 0.5).astype(np.float32))
+
+
 class TextureManager:
     def __init__(self, size: int = 256, num_workers: int = 4):
         self.size = size
@@ -179,3 +230,17 @@ class TextureManager:
         n_mips = len(per_tex_mips[0])
         return [jnp.asarray(np.stack([m[lvl] for m in per_tex_mips]))
                 for lvl in range(n_mips)]
+
+    def build_device_arrays_packed(self):
+        """-> ops.texture.PackedTextures (quad-packed RGBA8): one row
+        gather per bilinear tap at shading time — the production layout;
+        the f32 list from build_device_arrays is the exact/HDR path."""
+        self.wait_all()
+        from ..ops.texture import pack_texture_quads
+        if not self._images:
+            self._images.append(np.ones((self.size, self.size, 4), np.float32))
+        per_tex_mips = [generate_mips(img) for img in self._images]
+        n_mips = len(per_tex_mips[0])
+        levels = [np.stack([m[lvl] for m in per_tex_mips])
+                  for lvl in range(n_mips)]
+        return pack_texture_quads(levels)
