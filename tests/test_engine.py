@@ -125,3 +125,71 @@ class TestDebugViews:
         e.magnifier_on = True
         e.tick()
         assert abs(e._last_output.ldr - lit).mean() > 1e-5
+
+
+class TestAsyncLoading:
+    def test_async_scene_load_keeps_ticking(self):
+        """start_loading_scene_async returns immediately; ticks while the
+        host load runs are safe no-ops, and a later tick finalizes the
+        device upload (the reference's async load pipeline)."""
+        import time as _t
+        e = make_engine()
+        assert e.start_loading_scene_async("HelloCube")
+        assert e.state == EAppState.LOADING
+        # ticking during the load must not crash, whether or not the host
+        # work already finished
+        deadline = _t.time() + 60
+        out = None
+        while e.state != EAppState.SIMULATING and _t.time() < deadline:
+            out = e.tick()
+        assert e.state == EAppState.SIMULATING
+        out = e.tick()
+        assert out is not None and np.isfinite(np.asarray(out.ldr)).all()
+
+    def test_async_env_switch_nonblocking(self):
+        """A SetEnvironmentMapEvent decodes on the worker pool; the next
+        ticks keep rendering and eventually swap the environment."""
+        import time as _t
+        e = make_engine()
+        assert e.start_loading_scene("HelloCube")
+        e.events.push(ev.SetEnvironmentMapEvent("missing-preset"))
+        e.tick()   # consumes the event, dispatches the async decode
+        deadline = _t.time() + 60
+        while e._env_future is not None and _t.time() < deadline:
+            e.tick()
+        # fell back to the procedural sky -> environment present
+        assert e.environment is not None
+
+
+class TestEditor:
+    def test_material_live_edit(self):
+        """editor_set_material hot-swaps the device materials tensor: the
+        rendered color changes next frame (F4 material editor analog)."""
+        e = make_engine(scene="HelloCube")
+        assert e.start_loading_scene("HelloCube")
+        out0 = e.tick()
+        img0 = np.asarray(out0.ldr)
+        names = e.scene_buffers.material_names
+        changed = False
+        for n in names:
+            if e.editor_set_material(n, diffuse=(1.0, 0.0, 0.0),
+                                     roughness=0.9):
+                changed = True
+        assert changed
+        img1 = np.asarray(e.tick().ldr)
+        assert np.abs(img1 - img0).max() > 0.05
+        assert not e.editor_set_material("no-such-material", roughness=0.5)
+
+    def test_light_and_object_edit(self):
+        e = make_engine(scene="HelloCube")
+        assert e.start_loading_scene("HelloCube")
+        img0 = np.asarray(e.tick().ldr)
+        assert e.editor_set_light(0, brightness=0.05)
+        img1 = np.asarray(e.tick().ldr)
+        assert img1.mean() < img0.mean()  # dimmer
+        name = e.scene_buffers.items[0].name
+        assert e.editor_set_object_transform(
+            name, position=(50.0, 50.0, 50.0))
+        img2 = np.asarray(e.tick().ldr)
+        assert np.abs(img2 - img1).max() > 0.02  # object moved off-frame
+        assert not e.editor_set_object_transform("no-such-item")

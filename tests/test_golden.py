@@ -14,9 +14,71 @@ GOLDEN_DIR = Path(__file__).parent / "goldens"
 SSIM_THRESHOLD = 0.985
 
 
+def _render_textured_quad() -> np.ndarray:
+    """Graph-level textured golden: checkerboard diffuse + bump normal on
+    a floor quad and sphere, quad-packed RGBA8 sampling + aniso taps."""
+    import jax
+    from vqengine_tpu.ops.ibl import procedural_sky_equirect
+    from vqengine_tpu.ops.texture import pack_texture_quads
+    from vqengine_tpu.render import graph
+    from vqengine_tpu.render.renderer import VQRendererTPU
+    from vqengine_tpu.render.scene_buffers import (DrawItem,
+                                                   build_scene_buffers)
+    from vqengine_tpu.scene.camera import Camera, FCameraParameters
+    from vqengine_tpu.scene.light import ELightType, Light
+    from vqengine_tpu.scene.material import Material
+    from vqengine_tpu.scene.texture_manager import (brick, checkerboard,
+                                                    generate_mips,
+                                                    noise_texture,
+                                                    normal_from_height)
+    from vqengine_tpu.scene import mesh as meshmod
+    from vqengine_tpu.utils import math3d as m3
+
+    mats = [Material(name="floor"), Material(name="ball")]
+    mats[0].textures = {"diffuse": 0, "normal": 2, "roughness": 3}
+    mats[0].uv_scale = np.asarray([4.0, 4.0], np.float32)
+    mats[1].textures = {"diffuse": 1}
+    mats[1].roughness = 0.3
+    items = [
+        DrawItem("floor", meshmod.quad(8.0),
+                 m3.Transform(rotation=m3.quat_from_euler_xyz_degrees(90, 0, 0)),
+                 0, 0),
+        DrawItem("ball", meshmod.sphere(1.0, 24, 24),
+                 m3.Transform(position=np.array([0, 1.0, 0], np.float32)),
+                 0, 1),
+    ]
+    buffers = build_scene_buffers(items, mats)
+    scene = graph.upload_scene(buffers)
+    slots_used = tuple(
+        bool((buffers.materials[:, 20 + k] >= 0).any()) for k in range(9))
+    per_tex = [generate_mips(t) for t in
+               (checkerboard(64, 8), brick(64), normal_from_height(
+                   noise_texture(64, seed=3), 1.5),
+                noise_texture(64, base=0.55, amp=0.35))]
+    textures = pack_texture_quads(
+        [np.stack([m[l] for m in per_tex]) for l in range(len(per_tex[0]))])
+    env = graph.build_environment(procedural_sky_equirect(128, 64),
+                                  diffuse_size=16, specular_base=32,
+                                  specular_mips=4, lut_size=64)
+    p = FCameraParameters()
+    p.position = np.array([0, 2.0, -5.0], np.float32)
+    p.pitch_deg = 12.0
+    cam = Camera(p, aspect=192 / 108)
+    lights = [Light(type=ELightType.DIRECTIONAL, brightness=1.5,
+                    rotation=m3.quat_from_euler_xyz_degrees(50, 0, 20))]
+    consts = VQRendererTPU().build_frame_constants(buffers, cam, lights)
+    out = graph.render_forward(scene, consts, 192, 108, env=env,
+                               textures=textures, slots_used=slots_used,
+                               aniso_taps=2, enable_shadows=False)
+    return np.asarray(out["ldr"])
+
+
 def render_config(name: str) -> np.ndarray:
     from vqengine_tpu.engine.cli import parse_command_line
     from vqengine_tpu.engine.engine import VQEngineTPU
+
+    if name == "textured_quad":
+        return _render_textured_quad()
 
     cfgs = {
         "hello_triangle": ("HelloTriangle", dict(ssao=False, msaa=False, ssr=False)),
@@ -24,6 +86,19 @@ def render_config(name: str) -> np.ndarray:
         "hello_cube_msaa": ("HelloCube", dict(ssao=False, msaa=True, ssr=False)),
         "default_scene": ("Default", dict(ssao=False, msaa=False, ssr=False,
                                           shadow_dims=(64, 64, 64))),
+        "default_ssao": ("Default", dict(ssao=True, msaa=False, ssr=False,
+                                         shadow_dims=(64, 64, 64))),
+        "default_ssr": ("Default", dict(ssao=False, msaa=False, ssr=True,
+                                        shadow_dims=(64, 64, 64))),
+        "default_hdr10": ("Default", dict(ssao=False, msaa=False, ssr=False,
+                                          shadow_dims=(64, 64, 64),
+                                          hdr10=True)),
+        "sponza": ("Sponza", dict(ssao=False, msaa=False, ssr=False,
+                                  shadow_dims=(128, 64, 256))),
+        "terrain": ("Terrain", dict(ssao=False, msaa=False, ssr=False,
+                                    shadow_dims=(64, 64, 128))),
+        "envmap_unit_test": ("EnvironmentMapUnitTest",
+                             dict(ssao=False, msaa=False, ssr=False)),
     }
     scene, opts = cfgs[name]
     e = VQEngineTPU(startup=parse_command_line(
@@ -41,11 +116,14 @@ def render_config(name: str) -> np.ndarray:
                             msaa=e.gfx.bAntiAliasing,
                             enable_ssr=bool(e.gfx.Reflections),
                             textures=e.texture_arrays,
+                            hdr10=opts.get("hdr10", False),
                             shadow_dims=opts.get("shadow_dims"))
     return np.asarray(out.ldr)
 
 
-CONFIGS = ["hello_triangle", "hello_cube", "hello_cube_msaa", "default_scene"]
+CONFIGS = ["hello_triangle", "hello_cube", "hello_cube_msaa", "default_scene",
+           "default_ssao", "default_ssr", "default_hdr10", "sponza",
+           "terrain", "envmap_unit_test", "textured_quad"]
 
 
 @pytest.mark.parametrize("name", CONFIGS)

@@ -84,3 +84,98 @@ class TestShardedRender:
             if covered.any():
                 # object spans the seam somewhere: both rows see it
                 assert covered[0].any() and covered[1].any()
+
+
+class TestShardedFullPipeline:
+    """Feature parity of the sharded band renderer with render_forward:
+    shadows (cached ESM maps incl. point cube), IBL, textured materials,
+    MSAA 4x, SSAO (halo exchange), SSR (all_gather quarter-res trace)."""
+
+    def _full_setup(self):
+        import functools
+        from vqengine_tpu.ops.ibl import procedural_sky_equirect
+        from vqengine_tpu.ops.texture import pack_texture_quads
+        from vqengine_tpu.scene.texture_manager import (checkerboard,
+                                                        generate_mips)
+
+        items = [
+            DrawItem("cube", meshmod.cube(), m3.Transform(), 0, 0),
+            DrawItem("sphere", meshmod.sphere(0.8, 12, 12),
+                     m3.Transform(position=np.array([2.0, 0, 0], np.float32)),
+                     0, 1),
+            DrawItem("floor", meshmod.quad(6.0),
+                     m3.Transform(position=np.array([0, -1.0, 0], np.float32),
+                                  rotation=m3.quat_from_euler_xyz_degrees(
+                                      90, 0, 0)), 0, 0),
+        ]
+        mat = Material(name="m")
+        mat.textures = {"diffuse": 0}
+        buffers = build_scene_buffers(items, [mat])
+        scene = graph.upload_scene(buffers, bucketize=False)
+        slots_used = tuple(
+            bool((buffers.materials[:, 20 + k] >= 0).any())
+            for k in range(9))
+        mips = generate_mips(checkerboard(16, 4))
+        textures = pack_texture_quads([m[None] for m in mips])
+        env = graph.build_environment(procedural_sky_equirect(64, 32),
+                                      diffuse_size=8, specular_base=16,
+                                      specular_mips=3, lut_size=32)
+        lights = [
+            Light(type=ELightType.DIRECTIONAL, brightness=1.0,
+                  casts_shadows=True, viewport_x=16, viewport_y=16,
+                  shadow_far=50.0),
+            Light(type=ELightType.POINT, brightness=30.0, range=50.0,
+                  position=np.array([-3, 3, -2], np.float32),
+                  casts_shadows=True, shadow_near=0.2, shadow_far=60.0),
+        ]
+        r = VQRendererTPU()
+        consts = [r.build_frame_constants(buffers, c, lights)
+                  for c in (camera(), camera(eye=(1.0, 1.2, -4.5)))]
+        shadow_maps = jax.jit(functools.partial(
+            graph.render_shadow_maps, shadow_dims=(32, 32, 32)))(
+                scene, consts[0])
+        return scene, consts, env, shadow_maps, textures, slots_used
+
+    def test_parity_shadows_ibl_tex_msaa(self, mesh8):
+        scene, consts, env, shadow_maps, textures, slots_used = \
+            self._full_setup()
+        ref = [np.asarray(graph.render_forward(
+            scene, c, W, H, env=env, shadow_maps=shadow_maps,
+            textures=textures, slots_used=slots_used, msaa=True)["ldr"])
+            for c in consts]
+        batch = multichip.stack_frame_constants(consts)
+        ldr, _ = multichip.render_forward_sharded(
+            mesh8, scene, batch, W, H, env=env, shadow_maps=shadow_maps,
+            textures=textures, slots_used=slots_used, msaa=True)
+        ldr = np.asarray(ldr)
+        for i in range(2):
+            diff = np.abs(ldr[i] - ref[i]).max(-1)
+            # the band viewport shift (setup_triangles's `- y_offset*w`)
+            # rounds edge coefficients in the last ulp, so an MSAA sample
+            # sitting fp-epsilon from a triangle edge can flip coverage —
+            # one 0.25 coverage step (the same invariance caveat GPUs
+            # document across tilings). Exactness required away from such
+            # silhouette ties: <=0.1% of pixels, each within one step.
+            bad = diff > 1e-3
+            assert bad.mean() <= 1e-3, bad.mean()
+            assert diff.max() < 0.26, diff.max()
+
+    def test_parity_ssao_ssr(self, mesh8):
+        scene, consts, env, shadow_maps, textures, slots_used = \
+            self._full_setup()
+        ref = [np.asarray(graph.render_forward(
+            scene, c, W, H, env=env, shadow_maps=shadow_maps,
+            textures=textures, slots_used=slots_used,
+            enable_ssao=True, enable_ssr=True)["ldr"]) for c in consts]
+        batch = multichip.stack_frame_constants(consts)
+        ldr, _ = multichip.render_forward_sharded(
+            mesh8, scene, batch, W, H, env=env, shadow_maps=shadow_maps,
+            textures=textures, slots_used=slots_used,
+            enable_ssao=True, enable_ssr=True, ssao_halo=8)
+        ldr = np.asarray(ldr)
+        for i in range(2):
+            diff = np.abs(ldr[i] - ref[i])
+            # SSAO taps beyond the halo and DNSR's band-local 3x3 clamp
+            # differ only near band seams; interiors match tightly
+            assert diff.mean() < 3e-3, diff.mean()
+            assert np.quantile(diff, 0.99) < 0.05, np.quantile(diff, 0.99)

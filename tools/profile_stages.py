@@ -31,9 +31,11 @@ def main() -> None:
     from vqengine_tpu.scene.camera import Camera, FCameraParameters
 
     width, height = 1920, 1080
-    buffers, lights = build_sponza_stress()[:2]
+    buffers, lights, textures = build_sponza_stress()
     scene = graph.upload_scene(buffers)
     env = graph.build_environment(procedural_sky_equirect(512, 256))
+    slots_used = tuple(
+        bool((buffers.materials[:, 20 + k] >= 0).any()) for k in range(9))
 
     p = FCameraParameters()
     p.position = np.array([700, 170, -50], np.float32)
@@ -119,6 +121,13 @@ def main() -> None:
             scene, consts, width=width, height=height, env=env, **kw)
         return checksum((out["ldr"], out["depth"]))
 
+    def stage_clip(consts):
+        wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+        tl = scene.num_tris_live
+        return checksum(raster.transform_clip_corners(
+            scene.corner_positions, scene.tri_item[:tl], wvp))
+
+    timed("clip corners only", stage_clip)
     timed("setup(cull+clip+edges)", stage_setup)
     timed("+binning(sort+records)", stage_bin)
     timed("geometry(=bin+raster_gbuf)", stage_geom)
@@ -133,6 +142,13 @@ def main() -> None:
     timed("fwd full(+ssr)", lambda c: fwd(
         c, enable_shadows=True, shadow_maps=shadow_maps,
         enable_ssao=True, enable_ssr=True))
+    timed("fwd full+msaa", lambda c: fwd(
+        c, enable_shadows=True, shadow_maps=shadow_maps,
+        enable_ssao=True, enable_ssr=True, msaa=True))
+    timed("fwd full+msaa+tex", lambda c: fwd(
+        c, enable_shadows=True, shadow_maps=shadow_maps,
+        enable_ssao=True, enable_ssr=True, msaa=True,
+        textures=textures, aniso_taps=2, slots_used=slots_used))
 
 
 if __name__ == "__main__":

@@ -123,6 +123,14 @@ class VQEngineTPU:
         self.events = BufferedEventQueue()
         self._last_stats_log = time.perf_counter()
         self._frame_times: list[float] = []
+        # async loading pipeline (the reference's mWorkers_ModelLoading /
+        # background env-map queues): host-side parse/decode runs on this
+        # pool while frames keep flowing; device upload + IBL prefilter
+        # finalize on the main thread when the future completes
+        import concurrent.futures as _futures
+        self._async_pool = _futures.ThreadPoolExecutor(max_workers=2)
+        self._env_future = None
+        self._scene_future = None
 
     # ------------------------------------------------------------------
     def _load_material_lib(self) -> dict:
@@ -199,19 +207,51 @@ class VQEngineTPU:
 
     def start_loading_scene(self, name_or_index) -> bool:
         """Reference VQEngine::StartLoadingScene (VQEngine_Main.cpp:680) +
-        Load_SceneData_Dispatch (VQEngine_Update.cpp:483)."""
+        Load_SceneData_Dispatch (VQEngine_Update.cpp:483). Synchronous:
+        host parse/assemble + device upload in one call."""
         self.state = EAppState.LOADING
+        host = self._load_scene_host(name_or_index)
+        if host is None:
+            return False
+        self._finalize_scene_load(host)
+        return True
+
+    def start_loading_scene_async(self, name_or_index) -> bool:
+        """Dispatch the host-side load (XML parse, procedural generation,
+        glTF import, texture decode, HDRI read — all numpy/IO) to the
+        worker pool; frames keep flowing until poll_scene_loading()
+        finalizes the device upload (the reference's mWorkers_ModelLoading
+        pipeline + OnLoadComplete, SceneLoading.cpp:100/451)."""
+        self.state = EAppState.LOADING
+        self._scene_future = self._async_pool.submit(
+            self._load_scene_host, name_or_index)
+        return True
+
+    def poll_scene_loading(self) -> bool:
+        """Finalize a pending async scene load if its host work is done.
+        Returns True when a new scene just became active."""
+        if self._scene_future is None or not self._scene_future.done():
+            return False
+        host = self._scene_future.result()
+        self._scene_future = None
+        if host is None:
+            log.error("async scene load failed")
+            return False
+        self._finalize_scene_load(host)
+        return True
+
+    def _load_scene_host(self, name_or_index):
+        """Host-side (thread-safe, numpy/IO only) part of a scene load."""
         path = self.resolve_scene_file(name_or_index)
         if path is None:
             log.error(f"scene '{name_or_index}' not found")
-            return False
+            return None
         t0 = time.perf_counter()
         rep = parse_scene_file(path)
-        self.scene_name = rep.name
         # typed-scene augmentation (the Scene subclass behaviors,
         # Source/Scenes/*.cpp): procedural objects + update hooks
         from ..scene.scenes import augment_scene
-        self.scene_update_hook = augment_scene(
+        hook = augment_scene(
             rep.name, rep, self.material_lib, self.builtin_meshes,
             data_dirs=self.data_dirs)
         used_materials = {o.model.material_name for o in rep.objects
@@ -222,9 +262,25 @@ class VQEngineTPU:
             gltf_loader=self._gltf_loader,
             draw_light_gizmos=self.gfx.bDrawLightBounds,
             draw_bounding_boxes=self.gfx.bDrawBoundingBoxes)
+        any_textured = any((m.pack()[15] > 0) for m in
+                           [self.material_lib.get(n) for n in used_materials]
+                           if m is not None) or any(
+            it.material_id and buffers.materials[it.material_id][15] > 0
+            for it in buffers.items)
+        equirect = self._decode_environment(rep)
+        return dict(rep=rep, hook=hook, buffers=buffers, cameras=cameras,
+                    lights=lights, any_textured=any_textured,
+                    equirect=equirect, t0=t0)
+
+    def _finalize_scene_load(self, host) -> None:
+        """Device-side completion (main thread): uploads + IBL prefilter
+        (the reference's OnLoadComplete heap uploads)."""
+        rep, buffers = host["rep"], host["buffers"]
+        self.scene_name = rep.name
+        self.scene_update_hook = host["hook"]
         self.scene_buffers = buffers
-        self.cameras = cameras
-        self.lights = lights
+        self.cameras = host["cameras"]
+        self.lights = host["lights"]
         self.active_camera = 0
         aspect = self.settings.Width / max(1, self.settings.Height)
         for c in self.cameras:
@@ -235,28 +291,22 @@ class VQEngineTPU:
         self._last_output = None
         self._ssr_history = None
         self._static_shadow_maps = None
-        # upload textures only if any used material actually has one
-        any_textured = any((m.pack()[15] > 0) for m in
-                           [self.material_lib.get(n) for n in used_materials]
-                           if m is not None) or any(
-            it.material_id and buffers.materials[it.material_id][15] > 0
-            for it in buffers.items)
-        self.texture_arrays = (tuple(self.texture_manager.build_device_arrays())
-                               if any_textured else None)
-        self.environment = self._load_environment(rep)
-        log.info(f"scene '{rep.name}' loaded in {time.perf_counter()-t0:.2f}s "
-                 f"({len(buffers.items)} items, {len(lights)} lights, "
+        # quad-packed RGBA8 is the production sampling layout (one row
+        # gather per bilinear tap); see ops/texture.py PackedTextures
+        self.texture_arrays = (self.texture_manager.build_device_arrays_packed()
+                               if host["any_textured"] else None)
+        self.environment = self._build_environment_maps(host["equirect"])
+        log.info(f"scene '{rep.name}' loaded in "
+                 f"{time.perf_counter()-host['t0']:.2f}s "
+                 f"({len(buffers.items)} items, {len(self.lights)} lights, "
                  f"env={'yes' if self.environment is not None else 'no'})")
         self.state = EAppState.SIMULATING
-        return True
 
-    def _load_environment(self, rep, diffuse_size: int = 64,
-                          specular_base: int = 128):
-        """Load-time IBL prefiltering (the reference's background-queue
-        PreFilterEnvironmentMap). Preset -> HDRI file; missing files fall
-        back to a procedural sky so every scene still gets IBL."""
+    def _decode_environment(self, rep):
+        """Host-side env-map decode: preset -> HDRI file -> equirect array
+        (missing files fall back to a procedural sky). None = scene wants
+        no environment."""
         from ..ops.ibl import procedural_sky_equirect
-        from ..render.graph import build_environment
         from ..utils.image_io import read_hdr
 
         if not rep.env_map_preset and not rep.env_map_path:
@@ -284,11 +334,27 @@ class VQEngineTPU:
         if equirect.shape[1] > max_w:
             step = equirect.shape[1] // max_w
             equirect = equirect[::step, ::step]
+        return equirect
+
+    def _build_environment_maps(self, equirect, diffuse_size: int = 64,
+                                specular_base: int = 128):
+        """Device-side IBL prefiltering (the reference's background-queue
+        PreFilterEnvironmentMap, EnvironmentMapRendering.cpp:139-486)."""
+        if equirect is None:
+            return None
+        from ..render.graph import build_environment
         t0 = time.perf_counter()
         env = build_environment(equirect, diffuse_size=diffuse_size,
                                 specular_base=specular_base)
         log.info(f"IBL prefilter done in {time.perf_counter()-t0:.2f}s")
         return env
+
+    def _load_environment(self, rep, diffuse_size: int = 64,
+                          specular_base: int = 128):
+        """Synchronous decode + prefilter (kept for tests/direct use)."""
+        return self._build_environment_maps(
+            self._decode_environment(rep), diffuse_size=diffuse_size,
+            specular_base=specular_base)
 
     def _gltf_loader(self, path: str):
         from ..scene.gltf import load_gltf_meshes
@@ -400,9 +466,14 @@ class VQEngineTPU:
             elif isinstance(e, ev.SetHDREvent):
                 self.gfx.bHDR = e.enabled
             elif isinstance(e, ev.SetEnvironmentMapEvent):
+                # async: the HDRI decode runs on the worker pool and the
+                # prefilter finalizes in a later tick — frames keep
+                # flowing through an env switch (the reference's
+                # background env queues, Renderer.h:342-355)
                 from ..scene.serialization import FSceneRepresentation
                 rep = FSceneRepresentation(env_map_preset=e.preset)
-                self.environment = self._load_environment(rep)
+                self._env_future = self._async_pool.submit(
+                    self._decode_environment, rep)
             elif isinstance(e, ev.KeyDownEvent):
                 self.input.on_key_down(e.key)
             elif isinstance(e, ev.KeyUpEvent):
@@ -451,6 +522,81 @@ class VQEngineTPU:
         if inp.is_key_triggered("m"):
             self.magnifier_on = not self.magnifier_on
 
+    # ------------------------------------------------------------------
+    # editor mutation API (the VQUI F4 editor's material/light/object
+    # panels, VQUI.h:36-66 — headless surface: call these, next frame
+    # renders the change)
+    # ------------------------------------------------------------------
+
+    _MATERIAL_COLS = {
+        "diffuse": (0, 3), "alpha": (3, 1), "emissive_color": (4, 3),
+        "emissive_intensity": (7, 1), "uv_scale": (8, 2),
+        "uv_offset": (10, 2), "roughness": (12, 1), "metalness": (13, 1),
+        "displacement": (14, 1), "normal_map_mip_bias": (16, 1),
+    }
+
+    def editor_set_material(self, name: str, **params) -> bool:
+        """Mutate packed material parameters by name and hot-swap the
+        device materials tensor (a [M,32] upload — the editor's
+        live-tweak path). Returns False for unknown material/param."""
+        import dataclasses
+        import jax.numpy as jnp
+        bufs = self.scene_buffers
+        if bufs is None or name not in bufs.material_names:
+            return False
+        row = bufs.material_names.index(name)
+        for key, val in params.items():
+            span = self._MATERIAL_COLS.get(key)
+            if span is None:
+                return False
+            off, width = span
+            bufs.materials[row, off:off + width] = np.asarray(
+                val, np.float32).reshape(width)
+        mat = self.material_lib.get(name)
+        if mat is not None:
+            for key, val in params.items():
+                if hasattr(mat, key):
+                    setattr(mat, key, val)
+        new_m = jnp.asarray(bufs.materials)
+        r = self.renderer
+        r._scene = dataclasses.replace(r._scene, materials=new_m)
+        if getattr(r, "_scene_t", None) is not None:
+            r._scene_t = dataclasses.replace(r._scene_t, materials=new_m)
+        return True
+
+    def editor_set_light(self, index: int, **params) -> bool:
+        """Mutate a light (brightness, color, position, ...). Shadow-map
+        caches invalidate so caster edits re-render their maps."""
+        if not (0 <= index < len(self.lights)):
+            return False
+        light = self.lights[index]
+        for key, val in params.items():
+            if not hasattr(light, key):
+                return False
+            setattr(light, key, val)
+        self._static_shadow_maps = None
+        return True
+
+    def editor_set_object_transform(self, item_name: str, position=None,
+                                    rotation=None, scale=None) -> bool:
+        """Move/rotate/scale a scene object by DrawItem name; per-frame
+        world matrices rebuild from the transforms, so the edit is live."""
+        if self.scene_buffers is None:
+            return False
+        hit = False
+        for it in self.scene_buffers.items:
+            if it.name == item_name:
+                if position is not None:
+                    it.transform.position = np.asarray(position, np.float32)
+                if rotation is not None:
+                    it.transform.rotation = np.asarray(rotation, np.float32)
+                if scale is not None:
+                    it.transform.scale = np.asarray(scale, np.float32)
+                hit = True
+        if hit:
+            self._static_shadow_maps = None   # geometry moved
+        return hit
+
     def _log_periodic_stats(self) -> None:
         """Frame pacing log every 4 seconds (VQEngine_Simulation.cpp:47-55)
         + FRenderStats (the F2 profiler window's data)."""
@@ -470,7 +616,16 @@ class VQEngineTPU:
         """One simulation tick: events -> input -> update -> render
         (SimulationThread_Tick, VQEngine_Simulation.cpp:88-105)."""
         t0 = time.perf_counter()
+        # finalize async loads whose host work completed
+        if self._scene_future is not None:
+            self.poll_scene_loading()
+        if self._env_future is not None and self._env_future.done():
+            eq = self._env_future.result()
+            self._env_future = None
+            self.environment = self._build_environment_maps(eq)
         self.handle_events()
+        if self.scene_buffers is None:
+            return self._last_output     # still LOADING: nothing to render
         self.handle_engine_input(dt)
         if self.scene_update_hook is not None:
             self.scene_update_hook(self, dt)
@@ -511,6 +666,15 @@ class VQEngineTPU:
         try:
             for i in range(n_frames):
                 last = self.tick()
+                # failure detection (the debug-layer/device-removed analog,
+                # VQEngine_Render.cpp:386-416): a cheap device-side finite
+                # reduce every 16 frames catches a NaN frame within 16
+                # ticks instead of only at exit
+                if (i & 15) == 15 and last is not None:
+                    import jax.numpy as jnp
+                    if not bool(np.asarray(jnp.isfinite(last.ldr).all())):
+                        log.error(f"non-finite pixels at frame {self.num_ticks}")
+                        return 2
         except Exception as e:  # noqa: BLE001
             log.error(f"frame {self.num_ticks} failed: {e}")
             raise

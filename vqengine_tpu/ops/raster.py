@@ -248,11 +248,17 @@ def _group_blocks(records: jnp.ndarray) -> jnp.ndarray:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BinnedTriangles:
-    pairs: jnp.ndarray      # [NG, PAIR_ROWS, GROUP] sorted per-pair group blocks
+    pairs: jnp.ndarray      # [NG, R, GROUP] sorted per-pair group blocks
     starts: jnp.ndarray     # [NT + 1] int32 segment offsets (pair units)
-    gpairs: jnp.ndarray     # [NGG, PAIR_ROWS, GROUP] big-triangle group blocks
-    gmeta: jnp.ndarray      # [2] int32: (gcount, 0)
-    overflow: jnp.ndarray   # [2] int32: (pairs dropped, big tris dropped)
+    # medium tier: triangles spanning more than K_MAX tiles bin per tile
+    # ROW, so the kernel evaluates them only for the tiles_x tiles of each
+    # covered row instead of every tile (the big floor/wall triangles were
+    # costing gcount * NT group evaluations through the global list)
+    rpairs: jnp.ndarray     # [NRG, R, GROUP] row-binned group blocks
+    rstarts: jnp.ndarray    # [TILES_Y + 1] int32 row-segment offsets
+    gpairs: jnp.ndarray     # [NGG, R, GROUP] global (near-plane) blocks
+    gmeta: jnp.ndarray      # [2] int32: (gcount, tiles_x)
+    overflow: jnp.ndarray   # [3] int32: (pairs, row pairs, globals dropped)
     tiles_x: int = field(metadata=dict(static=True), default=0)
     tiles_y: int = field(metadata=dict(static=True), default=0)
 
@@ -274,6 +280,62 @@ def _radix_rank_pass(bucket: jnp.ndarray, payload: jnp.ndarray,
     inv = jnp.zeros((p,), jnp.int32).at[dest].set(
         jnp.arange(p, dtype=jnp.int32))
     return payload[inv]
+
+
+def _bin_one_axis(nc: jnp.ndarray, tri_cols: jnp.ndarray,
+                  records: jnp.ndarray, cap: int, nbins: int,
+                  compute_bin):
+    """Generic gather-compaction + radix grouping (see bin_triangles):
+    nc [T] = pairs this triangle emits (0 = none); tri_cols [T, C] =
+    per-triangle columns compute_bin needs; compute_bin(rowp, k) -> bin
+    index for the triangle's k-th pair. Returns (group blocks, starts
+    [nbins+1], dropped-pair count)."""
+    t = nc.shape[0]
+    assert nbins <= 4095, f"{nbins} bins exceed the 12-bit payload field"
+    offs = jnp.cumsum(nc) - nc                             # [T] exclusive
+    live = nc > 0
+    fill = jnp.full((cap,), jnp.int32(-1))
+    fill = fill.at[jnp.where(live, offs, cap)].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")
+    t_of_p = jax.lax.cummax(fill, axis=0)                  # [cap]
+    t_safe = jnp.maximum(t_of_p, 0)
+    rows = jnp.concatenate([tri_cols, nc[:, None]], axis=1)  # [T, C+1]
+    rowp = rows[t_safe]                                    # [cap, C+1]
+    k_of_p = jnp.arange(cap, dtype=jnp.int32) - offs[t_safe]
+    pair_live = (t_of_p >= 0) & (k_of_p < rowp[:, -1])
+    bin_p = jnp.where(pair_live, compute_bin(rowp, k_of_p), nbins)
+
+    # payload = (bin, tri) packed; the radix cumsum cost scales with the
+    # bucket count, so split ceil(log2(nbins+2)) bits adaptively across
+    # the two stable passes (1080p's 1021 bins -> 2x32 buckets, not 2x64);
+    # dead pairs carry bin = nbins and sort to the end.
+    bits = max(2, int(np.ceil(np.log2(nbins + 2))))
+    lo_bits = bits // 2
+    hi_bits = bits - lo_bits
+    packed = (bin_p.astype(jnp.uint32) << 20) | t_safe.astype(jnp.uint32)
+    assert t < (1 << 20), f"too many triangles ({t}) for the packed payload"
+    packed = _radix_rank_pass(
+        (bin_p & ((1 << lo_bits) - 1)).astype(jnp.int32), packed,
+        1 << lo_bits)
+    packed = _radix_rank_pass(
+        ((packed >> (20 + lo_bits))
+         & jnp.uint32((1 << hi_bits) - 1)).astype(jnp.int32),
+        packed, 1 << hi_bits)
+
+    sorted_bins = (packed >> 20).astype(jnp.int32)         # 4095 for dead
+    tri_of_pair = (packed & jnp.uint32((1 << 20) - 1)).astype(jnp.int32)
+    # pairs beyond a bin's segment are duplicates of other bins' (or
+    # killed) records; evaluating them is coverage-safe, so the kernel can
+    # round segment bounds out to whole groups.
+    pair_records = jnp.where((sorted_bins < nbins)[:, None],
+                             records[jnp.minimum(tri_of_pair, t - 1)],
+                             _killed_record(records.shape[1]))
+    blocks = _group_blocks(pair_records)
+    starts = jnp.searchsorted(
+        sorted_bins, jnp.arange(nbins + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    dropped = jnp.maximum(nc.sum(dtype=jnp.int32) - cap, 0)
+    return blocks, starts, dropped
 
 
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
@@ -313,6 +375,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
         # average ~1.3 covered tiles, so cap = T gives ~2.5x headroom.
         pair_capacity = max(GROUP, min(t, 4 * 1024 * 1024))
     cap = cdiv(pair_capacity, GROUP) * GROUP
+    cap_r = cdiv(max(4096, t // 8), GROUP) * GROUP
 
     records = _pack_records(setup, extra)
 
@@ -322,53 +385,31 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     span_h = ty1 - ty0 + 1
     ncover = span_w * span_h
 
+    # three tiers: per-tile pairs for small triangles, per-tile-ROW pairs
+    # for larger on-screen triangles (evaluated by the tiles_x tiles of
+    # each covered row), and the global list ONLY for near-plane crossers
+    # (no computable bbox).
     small = setup.valid & ~setup.big & (ncover <= k_max)
-    big = setup.valid & (setup.big | (ncover > k_max))
+    medium = setup.valid & ~setup.big & (ncover > k_max)
+    big = setup.valid & setup.big
     nc = jnp.where(small, ncover, 0).astype(jnp.int32)
+    nc_r = jnp.where(medium, span_h, 0).astype(jnp.int32)
 
-    # --- compaction (gather formulation) ---
-    offs = jnp.cumsum(nc) - nc                             # [T] exclusive
-    live = nc > 0
-    fill = jnp.full((cap,), jnp.int32(-1))
-    fill = fill.at[jnp.where(live, offs, cap)].set(
-        jnp.arange(t, dtype=jnp.int32), mode="drop")
-    t_of_p = jax.lax.cummax(fill, axis=0)                  # [cap]
-    t_safe = jnp.maximum(t_of_p, 0)
-    # per-pair triangle row: (tx0, ty0, span_w, nc) in one 4-wide gather
-    tri_rows = jnp.stack([tx0, ty0, span_w, nc], axis=1)   # [T, 4]
-    rowp = tri_rows[t_safe]                                # [cap, 4]
-    k_of_p = jnp.arange(cap, dtype=jnp.int32) - offs[t_safe]
-    pair_live = (t_of_p >= 0) & (k_of_p < rowp[:, 3])
-    swp = jnp.maximum(rowp[:, 2], 1)
-    tile_p = ((rowp[:, 1] + k_of_p // swp) * tiles_x
-              + rowp[:, 0] + k_of_p % swp)
-    tile_p = jnp.where(pair_live, tile_p, nt)              # dead -> bin NT..
+    tri_cols = jnp.stack([tx0, ty0, span_w], axis=1)       # [T, 3]
 
-    # --- two stable 6-bit radix-rank passes on the tile id ---
-    # payload = (tile, tri) packed; dead pairs are the all-ones sentinel
-    # whose pass-2 bucket (63) sits above every real tile's (nt/64 <= 62)
-    packed = (tile_p.astype(jnp.uint32) << 20) | t_safe.astype(jnp.uint32)
-    packed = jnp.where(pair_live, packed, jnp.uint32(0xFFFFFFFF))
-    assert t < (1 << 20), f"too many triangles ({t}) for the packed payload"
-    packed = _radix_rank_pass((tile_p & 63).astype(jnp.int32), packed, 64)
-    packed = _radix_rank_pass(
-        jnp.minimum(packed >> 26, jnp.uint32(63)).astype(jnp.int32),
-        packed, 64)
+    def fine_bin(rowp, k):
+        sw = jnp.maximum(rowp[:, 2], 1)
+        return (rowp[:, 1] + k // sw) * tiles_x + rowp[:, 0] + k % sw
 
-    sorted_tids = (packed >> 20).astype(jnp.int32)         # 4095 for dead
-    tri_of_pair = (packed & jnp.uint32((1 << 20) - 1)).astype(jnp.int32)
-    # pairs beyond a tile's segment are duplicates of other tiles' (or
-    # killed) records; evaluating them is coverage-safe, so the kernel can
-    # round segment bounds out to whole groups.
-    pair_records = jnp.where((sorted_tids < nt)[:, None],
-                             records[jnp.minimum(tri_of_pair, t - 1)],
-                             _killed_record(records.shape[1]))
-    pairs = _group_blocks(pair_records)
+    def row_bin(rowp, k):
+        return rowp[:, 1] + k
 
-    starts = jnp.searchsorted(sorted_tids, jnp.arange(nt + 1, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
+    pairs, starts, drop_f = _bin_one_axis(nc, tri_cols, records, cap, nt,
+                                          fine_bin)
+    rpairs, rstarts, drop_r = _bin_one_axis(nc_r, tri_cols, records, cap_r,
+                                            tiles_y, row_bin)
 
-    # global (big) list: counting-compact big ids to the front (no argsort)
+    # global (near-plane) list: counting-compact ids to the front
     nbig_cum = jnp.cumsum(big.astype(jnp.int32))
     gpos = jnp.where(big, nbig_cum - 1, GLOBAL_CAP)
     glist = jnp.zeros((GLOBAL_CAP,), jnp.int32).at[gpos].set(
@@ -380,16 +421,16 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     gpairs = _group_blocks(grecords)
     gmeta = jnp.stack([gcount, jnp.asarray(tiles_x, jnp.int32)])
 
-    # overflow accounting: pairs beyond `cap` never materialize (offs past
-    # the end) and the big-triangle list truncates at GLOBAL_CAP — surface
-    # the dropped counts so callers/tests can assert zero loss.
-    total_pairs = nc.sum(dtype=jnp.int32)
+    # overflow accounting: pairs beyond the caps never materialize (their
+    # offsets fall past the buffer end) and the global list truncates at
+    # GLOBAL_CAP — surface dropped counts so callers can assert zero loss.
     nbig = big.sum(dtype=jnp.int32)
-    overflow = jnp.stack([jnp.maximum(total_pairs - cap, 0),
+    overflow = jnp.stack([drop_f, drop_r,
                           jnp.maximum(nbig - GLOBAL_CAP, 0)])
 
-    return BinnedTriangles(pairs=pairs, starts=starts, gpairs=gpairs,
-                           gmeta=gmeta, overflow=overflow,
+    return BinnedTriangles(pairs=pairs, starts=starts,
+                           rpairs=rpairs, rstarts=rstarts,
+                           gpairs=gpairs, gmeta=gmeta, overflow=overflow,
                            tiles_x=tiles_x, tiles_y=tiles_y)
 
 
@@ -412,8 +453,8 @@ def _make_raster_kernel(sample_offsets: tuple):
     entry is the non-MSAA path. Outputs are per-sample depth/id buffers."""
     ns = len(sample_offsets)
 
-    def kernel(starts_ref, gmeta_ref,          # scalar prefetch (SMEM)
-               pairs_ref, gpairs_ref,          # HBM ("ANY") residents
+    def kernel(starts_ref, rstarts_ref, gmeta_ref,  # scalar prefetch (SMEM)
+               pairs_ref, rpairs_ref, gpairs_ref,   # HBM ("ANY") residents
                *refs):                         # ns depth outs, ns id outs, buf, sem
         depth_refs = refs[0:ns]
         id_refs = refs[ns:2 * ns]
@@ -503,6 +544,8 @@ def _make_raster_kernel(sample_offsets: tuple):
                          for _ in range(ns))
             carry = stream(gpairs_ref, jnp.int32(0),
                            pl.cdiv(gmeta_ref[0], GROUP), init)
+            carry = stream(rpairs_ref, rstarts_ref[ty] // GROUP,
+                           pl.cdiv(rstarts_ref[ty + 1], GROUP), carry)
             start = starts_ref[tile]
             end = starts_ref[tile + 1]
             carry = stream(pairs_ref, start // GROUP, pl.cdiv(end, GROUP), carry)
@@ -635,8 +678,8 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
     (zhi = opaque depth)."""
     ns = 0 if sample_offsets is None else len(sample_offsets)
 
-    def kernel(starts_ref, gmeta_ref,            # scalar prefetch (SMEM)
-               pairs_ref, gpairs_ref,            # HBM residents
+    def kernel(starts_ref, rstarts_ref, gmeta_ref,  # scalar prefetch (SMEM)
+               pairs_ref, rpairs_ref, gpairs_ref,   # HBM residents
                *refs):                           # [zbound], outs..., buf, sem
         if bounded:
             zbound_ref, refs = refs[0], refs[1:]
@@ -763,6 +806,8 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
 
             carry = stream(gpairs_ref, jnp.int32(0),
                            pl.cdiv(gmeta_ref[0], GROUP), init)
+            carry = stream(rpairs_ref, rstarts_ref[ty] // GROUP,
+                           pl.cdiv(rstarts_ref[ty + 1], GROUP), carry)
             start = starts_ref[tile]
             end = starts_ref[tile + 1]
             carry = stream(pairs_ref, start // GROUP,
@@ -859,6 +904,13 @@ def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int,
     if nt_pad > nt:
         starts = jnp.concatenate(
             [starts, jnp.broadcast_to(starts[-1], (nt_pad - nt,))])
+    # padded tiles can fall on a row index past tiles_y: extend rstarts
+    # with empty trailing segments
+    rstarts = binned.rstarts
+    ty_pad = (nt_pad - 1) // tiles_x + 2 - (tiles_y + 1)
+    if ty_pad > 0:
+        rstarts = jnp.concatenate(
+            [rstarts, jnp.broadcast_to(rstarts[-1], (ty_pad,))])
 
     out_spec2d = pl.BlockSpec((TILES_PER_BLOCK, NPX), lambda blk, *_: (blk, 0),
                               memory_space=pltpu.VMEM)
@@ -875,8 +927,10 @@ def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int,
         out_specs.append(out_spec2d)
         out_shape.append(jax.ShapeDtypeStruct((nt_pad, NPX), jnp.float32))
     in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY)]
-    inputs = [starts, binned.gmeta, binned.pairs, binned.gpairs]
+    inputs = [starts, rstarts, binned.gmeta,
+              binned.pairs, binned.rpairs, binned.gpairs]
     if zbound is not None:
         zb = jnp.stack([tile_image(zbound[0], tiles_x, tiles_y),
                         tile_image(zbound[1], tiles_x, tiles_y)], axis=1)
@@ -888,7 +942,7 @@ def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int,
                                      memory_space=pltpu.VMEM))
         inputs.append(zb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nblk,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -942,13 +996,19 @@ def rasterize(binned: BinnedTriangles, width: int, height: int,
     if nt_pad > nt:
         starts = jnp.concatenate(
             [starts, jnp.broadcast_to(starts[-1], (nt_pad - nt,))])
+    rstarts = binned.rstarts
+    ty_pad = (nt_pad - 1) // tiles_x + 2 - (tiles_y + 1)
+    if ty_pad > 0:
+        rstarts = jnp.concatenate(
+            [rstarts, jnp.broadcast_to(rstarts[-1], (ty_pad,))])
 
     out_spec = pl.BlockSpec((TILES_PER_BLOCK, NPX), lambda blk, *_: (blk, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nblk,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -972,7 +1032,8 @@ def rasterize(binned: BinnedTriangles, width: int, height: int,
             # scoped-vmem budget (seen at 640x360 with AA on)
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(starts, binned.gmeta, binned.pairs, binned.gpairs)
+    )(starts, rstarts, binned.gmeta, binned.pairs, binned.rpairs,
+      binned.gpairs)
 
     # untangle [NT, NPX] tile-major layout into the [H, W] image
     def untile(a):

@@ -96,7 +96,8 @@ def _fetch_nearest(shadow_map: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     # flat single-index row-of-4 gather (multi-index forms and scalar
     # gathers both lower slower on TPU)
     from .ssao import gather_scalar_rows4
-    return gather_scalar_rows4(shadow_map.reshape(-1), ty * s + tx)
+    return gather_scalar_rows4(shadow_map.reshape(-1),
+                               ty * s + tx).astype(jnp.float32)
 
 
 def shadow_test_pcf(wpos: jnp.ndarray, ndotl: jnp.ndarray,
@@ -199,11 +200,18 @@ def prefilter_esm(shadow_map: jnp.ndarray, c: float = 80.0,
     back (log of blurred exponential) for bounded storage. Works on any
     [..., S, S] stack; `pool` halves the stored resolution that many
     times (blur first, then pool — the sampled signal is band-limited)."""
-    e = jnp.exp(jnp.clip(shadow_map, 0.0, 1.0) * c - c)  # normalized exp
+    # flatten leading batch dims: blur/pool on a [B, S, S] view — a
+    # [5, 6, S, S] operand tempts XLA into laying the 6-face dim on the
+    # 128-lane axis (measured 21-34x padding = 19 GB of HBM temps)
+    lead = shadow_map.shape[:-2]
+    s2 = shadow_map.shape[-2:]
+    e = shadow_map.reshape((-1,) + s2) if lead else shadow_map
+    e = jnp.exp(jnp.clip(e, 0.0, 1.0) * c - c)           # normalized exp
     e = _box_blur_clamped(e, radius)
     if pool:
         e = pool2_map(e, pool)
-    return jnp.log(jnp.maximum(e, 1e-30)) / c + 1.0      # back to depth units
+    out = jnp.log(jnp.maximum(e, 1e-30)) / c + 1.0       # back to depth units
+    return out.reshape(lead + out.shape[-2:]) if lead else out
 
 
 def shadow_test_esm(wpos: jnp.ndarray, light_vp: jnp.ndarray,
@@ -234,7 +242,8 @@ def omni_shadow_test_esm(wpos: jnp.ndarray, light_pos: jnp.ndarray,
     tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
     ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
     from .ssao import gather_scalar_rows4
-    closest = gather_scalar_rows4(esm_cube.reshape(-1), (face * s + ty) * s + tx)
+    closest = gather_scalar_rows4(
+        esm_cube.reshape(-1), (face * s + ty) * s + tx).astype(jnp.float32)
     bias_n = (depth_bias + 0.001) / jnp.maximum(far, 1e-6)
     return jnp.exp(jnp.clip((closest - dist + bias_n) * c, -60.0, 0.0))
 

@@ -54,25 +54,34 @@ def gather_scalar_rows4(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
          radius_world: float = 1.2, num_taps: int = 12,
          intensity: float = 1.0, power: float = 1.5,
-         skip_blur: bool = False) -> jnp.ndarray:
+         skip_blur: bool = False,
+         y_offset: jnp.ndarray | int = 0,
+         full_height: int | None = None) -> jnp.ndarray:
     """-> AO [H, W] in [0, 1] (1 = unoccluded).
 
     depth: z_ndc [H,W]; normals: world normals [H,W,3];
     view_proj_info: dict(near, far, fov_y, view [4,4]) — the per-view data
     CACAO gets from its constants.
+
+    For screen-band sharding (multi-chip sp axis): `depth` is a band slab
+    whose first row is global row `y_offset` of a `full_height`-tall frame
+    — the view-space reconstruction and aspect use the global geometry.
     """
     h, w = depth.shape
+    if full_height is None:
+        full_height = h
     near, far = view_proj_info["near"], view_proj_info["far"]
     view = view_proj_info["view"]
     fov_y = view_proj_info["fov_y"]
 
     zv = view_depth_from_ndc(depth, near, far)            # [H,W]
 
-    # view-space position reconstruction
+    # view-space position reconstruction (global frame rows)
     tan_half = jnp.tan(fov_y * 0.5)
-    aspect = w / h
+    aspect = w / full_height
     ndc_x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
-    ndc_y = 1.0 - (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0
+    ndc_y = 1.0 - (y_offset + jnp.arange(h, dtype=jnp.float32) + 0.5) \
+        / full_height * 2.0
     vx = ndc_x[None, :] * tan_half * aspect * zv
     vy = ndc_y[:, None] * tan_half * zv
     pos_v = jnp.stack([vx, vy, zv], axis=-1)              # [H,W,3]
@@ -81,7 +90,7 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
     nrm_v = jnp.einsum("ij,hwj->hwi", view[:3, :3], normals)
 
     # screen-space tap radius: projected world radius, clamped
-    radius_px_y = radius_world / (zv * tan_half * 2.0) * h
+    radius_px_y = radius_world / (zv * tan_half * 2.0) * full_height
     radius_px_y = jnp.clip(radius_px_y, 2.0, 96.0)
 
     # depth mip pyramid for far taps (CACAO's depth prepare), flattened so
@@ -123,9 +132,9 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
             idx = jnp.where(mip == m, zoffs[m] + ty * mw + tx, idx)
         z_tap = gather_scalar_rows4(zflat, idx)
 
-        # view-space sample position
+        # view-space sample position (global frame rows)
         s_ndc_x = (sx / w) * 2.0 - 1.0
-        s_ndc_y = 1.0 - (sy / h) * 2.0
+        s_ndc_y = 1.0 - ((y_offset + sy) / full_height) * 2.0
         sv = jnp.stack([s_ndc_x * tan_half * aspect * z_tap,
                         s_ndc_y * tan_half * z_tap,
                         z_tap], axis=-1)

@@ -112,8 +112,12 @@ def _packed_tap(pt: PackedTextures, tex_id: jnp.ndarray, uv: jnp.ndarray,
 def uv_gradients(uv: jnp.ndarray):
     """Screen-space uv derivative vectors (the hardware ddx/ddy):
     uv [H, W, 2] -> (duv_dx [H, W, 2], duv_dy [H, W, 2])."""
-    duv_dx = uv - jnp.roll(uv, 1, axis=1)
-    duv_dy = uv - jnp.roll(uv, 1, axis=0)
+    # edge-clamped backward differences: the first row/column's neighbor
+    # is itself (gradient 0) rather than jnp.roll's wrap to the opposite
+    # frame edge — the wrap polluted border LODs with cross-frame uv jumps
+    # and broke parity with the band renderer's clamped halo exchange
+    duv_dx = uv - jnp.concatenate([uv[:, :1], uv[:, :-1]], axis=1)
+    duv_dy = uv - jnp.concatenate([uv[:1], uv[:-1]], axis=0)
     return duv_dx, duv_dy
 
 

@@ -6,15 +6,26 @@ Sharding model (SPMD via shard_map over a jax.sharding.Mesh):
 - axis "sp" (screen/space parallel): the framebuffer splits into horizontal
   bands, one per device; geometry is replicated, each device bins + rasters
   + shades only its band. This is the renderer analog of tensor/sequence
-  parallelism — the big spatial dimension is sharded, no collectives needed
-  until readback (an all_gather of bands which jnp handles at the output
-  boundary).
-- axis "dp" (data parallel): independent frames/views (e.g. cube-face
-  shadow renders, stereo eyes, animation batches) shard across the other
-  mesh dimension.
+  parallelism — the big spatial dimension is sharded.
+- axis "dp" (data parallel): independent frames/views (stereo eyes,
+  animation batches) shard across the other mesh dimension.
 
-Collectives ride ICI automatically from the output specs; there is no NCCL
-analog to port.
+Cross-band communication (all on ICI via XLA collectives):
+- SSAO taps can reach past a band edge: a ppermute halo exchange brings
+  `halo` neighbor rows of the half-res depth/normal slabs in before the
+  taps run (frame borders edge-clamp, matching the single-chip clamp).
+- SSR rays traverse the whole frame vertically: the quarter-res trace
+  inputs (color/depth/normals) all_gather to each device, the hi-Z march
+  runs for the full frame, and each device keeps its own band of the
+  result (quarter-res traffic is ~1.5 MB/frame at 1080p).
+- Shadow maps / IBL tables / textures are replicated inputs (their
+  per-pixel tests are pointwise given the band's world positions).
+
+Feature parity with graph.render_forward: shadows (ESM, cached maps),
+SSAO, SSR + DNSR spatial prefilter, IBL (SH9 diffuse + specular pyramid +
+BRDF LUT), textured materials, MSAA 4x coverage blend, skydome, tonemap.
+(Depth-peeled transparents/alpha-mask and the temporal SSR history are
+single-chip-only for now.)
 """
 from __future__ import annotations
 
@@ -27,9 +38,11 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import culling, raster, shading
+from ..ops import culling, ibl, raster, shading
 from ..ops import postprocess as pp
 from ..ops import colorspace as cs
+from ..ops import ssao as ssao_ops
+from ..ops import ssr as ssr_ops
 from ..render import graph
 
 
@@ -43,10 +56,42 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
     return Mesh(arr, axis_names=("dp", "sp"))
 
 
+def _halo_exchange(x: jnp.ndarray, pad: int, axis_name: str = "sp"):
+    """Pad a band slab [H, W, ...] with `pad` rows from the neighboring
+    bands via ppermute; frame borders replicate the edge row (the same
+    clamp the single-chip taps apply). Returns [H + 2*pad, W, ...]."""
+    n = jax.lax.axis_size(axis_name)
+    if pad <= 0 or n == 1:
+        return jnp.concatenate(
+            [jnp.broadcast_to(x[:1], (pad,) + x.shape[1:]), x,
+             jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0) \
+            if pad > 0 else x
+    idx = jax.lax.axis_index(axis_name)
+    from_prev = jax.lax.ppermute(x[-pad:], axis_name,
+                                 [(i, i + 1) for i in range(n - 1)])
+    from_next = jax.lax.ppermute(x[:pad], axis_name,
+                                 [(i + 1, i) for i in range(n - 1)])
+    edge_top = jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])
+    edge_bot = jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])
+    top = jnp.where((idx == 0), edge_top, from_prev)
+    bot = jnp.where((idx == n - 1), edge_bot, from_next)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
 def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
-                 width: int, height: int, band_height: int, n_bands: int):
+                 width: int, height: int, band_height: int, n_bands: int,
+                 env: graph.EnvironmentMaps | None = None,
+                 shadow_maps: dict | None = None,
+                 textures=None,
+                 slots_used: tuple | None = None,
+                 msaa: bool = False,
+                 enable_ssao: bool = False,
+                 enable_ssr: bool = False,
+                 ssao_halo: int = 16):
     """Render this device's horizontal band of one frame. Runs inside
-    shard_map; band index comes from the 'sp' mesh axis."""
+    shard_map; band index comes from the 'sp' mesh axis. Mirrors
+    graph.render_forward stage by stage (see module docstring for the
+    collectives that stitch band-crossing effects)."""
     band = jax.lax.axis_index("sp")
     y0 = band * band_height
 
@@ -71,39 +116,172 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
         tri_item, consts.normal_mats,
         scene.item_material[tri_item], scene.item_object[tri_item])
     binned = raster.bin_triangles(setup, width, band_height, extra=extra)
-    depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width, band_height)
+    coverage = None
+    if msaa:
+        depth, tri_id, gbuf, coverage = raster.rasterize_gbuf(
+            binned, width, band_height, msaa=True)
+    else:
+        depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width,
+                                                    band_height)
     mask = tri_id != raster.BG_ID
     wpos = graph.world_pos_from_depth(depth, consts, width, band_height,
                                       full_height=height, y_offset=y0)
-    attrs = {"wpos": jnp.where(mask[..., None], wpos, 0.0),
-             "wnrm": jnp.moveaxis(gbuf[0:3], 0, -1)}
 
     from ..ops import palette
     mrow = palette.palette_lookup(gbuf[8].astype(jnp.int32), scene.materials)
     ids = jnp.moveaxis(gbuf[9:11], 0, -1)
-    mat = graph.material_pass(scene, tri_id, mrow=mrow, ids=ids)
-    n = attrs["wnrm"]
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    wn = jnp.moveaxis(gbuf[0:3], 0, -1)
+    wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-9)
+    wt = jnp.moveaxis(gbuf[3:6], 0, -1)
+    uv = jnp.moveaxis(gbuf[6:8], 0, -1)
+    wpos = jnp.where(mask[..., None], wpos, 0.0)
+
+    lod = None
+    if textures is not None:
+        # screen-space uv gradients wrap at band edges (jnp.roll): compute
+        # the texture LOD on a 1-row halo-exchanged uv slab so seam rows
+        # see the neighbor band's uv like the single-chip gradients do
+        from ..ops import texture as tex_ops
+        uv_t_p = _halo_exchange(uv, 1) * 1.0
+        mrow_p = _halo_exchange(mrow[..., 8:12], 1)
+        uv_scaled = uv_t_p * mrow_p[..., 0:2] + mrow_p[..., 2:4]
+        lod = tex_ops.uv_mip_level(
+            uv_scaled, tex_ops.tex_base_size(textures),
+            tex_ops.tex_num_levels(textures) - 1)[1:-1]
+    mat = graph.material_pass(scene, tri_id, uv=uv, wnrm=wn, wtan=wt,
+                              textures=textures, mrow=mrow, ids=ids,
+                              slots_used=slots_used, lod=lod)
+    n = mat["normal"] if mat.get("normal") is not None else wn
+
+    ao = jnp.broadcast_to(consts.ambient_factor, mask.shape)
+    ao = ao * mat["local_ao"]
+    if enable_ssao:
+        # halo exchange on the half-res slabs so taps near band edges see
+        # the neighbor band's geometry (single-chip taps see the frame)
+        dh = graph.pool2(depth)
+        nh = graph.pool2(n)
+        pad = ssao_halo
+        dh_p = _halo_exchange(dh, pad)
+        nh_p = _halo_exchange(nh, pad)
+        info = {"near": consts.proj_params[0], "far": consts.proj_params[1],
+                "fov_y": consts.proj_params[2], "view": consts.view_matrix}
+        ao_half = ssao_ops.ssao(dh_p, nh_p, info,
+                                y_offset=y0 // 2 - pad,
+                                full_height=height // 2)
+        ao_half = ao_half[pad:pad + dh.shape[0]]
+        ao_map = jnp.repeat(jnp.repeat(ao_half, 2, 0), 2, 1)[
+            :band_height, :width]
+        ao = ao * ao_map
+
+    spot_vis = point_vis = dir_vis = None
+    if shadow_maps is not None:
+        spot_vis, point_vis, dir_vis = graph.shadow_pass(
+            scene, consts, wpos, n, shadow_maps=shadow_maps)
+
+    env_illum = None
+    if env is not None:
+        v = consts.camera_pos - wpos
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        env_illum = ibl.environment_illumination(
+            n, v, mat["roughness"], mat["metalness"], mat["albedo"],
+            env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
+            hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance)
+
+    enable_shadows = shadow_maps is not None
     hdr = shading.shade_forward(
-        world_pos=attrs["wpos"], normal=n,
+        world_pos=wpos, normal=n,
         albedo=mat["albedo"], roughness=mat["roughness"],
         metalness=mat["metalness"], emissive=mat["emissive"],
-        ao=jnp.broadcast_to(consts.ambient_factor, mask.shape),
+        ao=ao,
         camera_pos=consts.camera_pos,
         point_lights=consts.point_lights, spot_lights=consts.spot_lights,
-        spot_extra=consts.spot_extra, directional=consts.directional)
-    hdr = jnp.where(mask[..., None], hdr, consts.clear_color)
+        spot_extra=consts.spot_extra, directional=consts.directional,
+        point_casters=consts.point_casters if enable_shadows else None,
+        point_shadow=point_vis,
+        spot_casters=consts.spot_casters if enable_shadows else None,
+        spot_caster_extra=(consts.spot_caster_extra
+                           if enable_shadows else None),
+        spot_shadow=spot_vis,
+        dir_shadow=dir_vis,
+        env_illumination=env_illum)
+
+    if env is not None:
+        dirs = _band_sky_directions(consts, width, band_height, height, y0)
+        background = ibl.sky_radiance(dirs, env.equirect, consts.hdri_yaw)
+    else:
+        background = jnp.broadcast_to(consts.clear_color, hdr.shape)
+    if coverage is not None:
+        hdr = hdr * coverage[..., None] + background * (1 - coverage[..., None])
+        hdr = jnp.where((mask | (coverage > 0))[..., None], hdr, background)
+    else:
+        hdr = jnp.where(mask[..., None], hdr, background)
+
+    if enable_ssr:
+        # all_gather the quarter-res trace inputs; march the full frame's
+        # rays, keep this band's slice, spatially prefilter band-local
+        hdr_q = graph.pool2(graph.pool2(hdr))
+        d_q = graph.pool2(graph.pool2(depth))
+        n_q = graph.pool2(graph.pool2(n))
+        hdr_qf = jax.lax.all_gather(hdr_q, "sp", axis=0, tiled=True)
+        d_qf = jax.lax.all_gather(d_q, "sp", axis=0, tiled=True)
+        n_qf = jax.lax.all_gather(n_q, "sp", axis=0, tiled=True)
+        refl_f, conf_f = ssr_ops.trace_reflections(
+            hdr_qf, d_qf, n_qf, consts.view_matrix, consts.proj_params)
+        qbh = d_q.shape[0]
+        refl_q = jax.lax.dynamic_slice_in_dim(refl_f, band * qbh, qbh, 0)
+        conf_q = jax.lax.dynamic_slice_in_dim(conf_f, band * qbh, qbh, 0)
+        hh, hw = graph.pool2(depth).shape[:2]
+        refl_h = jnp.repeat(jnp.repeat(refl_q, 2, 0), 2, 1)[:hh, :hw]
+        conf_h = jnp.repeat(jnp.repeat(conf_q, 2, 0), 2, 1)[:hh, :hw]
+        refl_dn_h, _ = ssr_ops.denoise_reflections(
+            refl_h, conf_h, graph.pool2(mat["roughness"]))
+        refl_dn = jnp.repeat(jnp.repeat(refl_dn_h, 2, 0), 2, 1)[
+            :band_height, :width]
+        conf_u = jnp.repeat(jnp.repeat(conf_h, 2, 0), 2, 1)[
+            :band_height, :width]
+        v = consts.camera_pos - wpos
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        hdr_refl = ssr_ops.apply_reflections(
+            hdr, refl_dn, conf_u, mat["roughness"], mat["metalness"],
+            mat["albedo"], n, v)
+        hdr = jnp.where(mask[..., None], hdr_refl, hdr)
+
     ldr = pp.tonemap(hdr, cs.DISPLAY_CURVE_SRGB)
     return ldr, depth
 
 
+def _band_sky_directions(consts, width, band_height, full_height, y0):
+    """Per-pixel world view-ray directions for this band's rows."""
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    py = 1.0 - (y0 + jnp.arange(band_height, dtype=jnp.float32) + 0.5) \
+        / full_height * 2.0
+    ndc_x = jnp.broadcast_to(px[None, :], (band_height, width))
+    ndc_y = jnp.broadcast_to(py[:, None], (band_height, width))
+    clip = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5),
+                      jnp.ones_like(ndc_x)], axis=-1)
+    wp = jnp.einsum("ij,hwj->hwi", consts.inv_view_proj, clip)
+    wp = wp[..., :3] / jnp.where(jnp.abs(wp[..., 3:4]) > 1e-9,
+                                 wp[..., 3:4], 1e-9)
+    d = wp - consts.camera_pos
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+
+
 def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
                            consts_batch: graph.FrameConstants,
-                           width: int, height: int):
+                           width: int, height: int,
+                           env: graph.EnvironmentMaps | None = None,
+                           shadow_maps: dict | None = None,
+                           textures=None,
+                           slots_used: tuple | None = None,
+                           msaa: bool = False,
+                           enable_ssao: bool = False,
+                           enable_ssr: bool = False,
+                           ssao_halo: int = 16):
     """Render a dp-batch of frames, each sharded into sp screen bands.
 
     consts_batch: FrameConstants with a leading [dp] batch dim on every
-    field (independent views/frames). Returns ldr [dp, H, W, 3],
+    field (independent views/frames). env / shadow_maps / textures are
+    replicated device-resident resources. Returns ldr [dp, H, W, 3],
     depth [dp, H, W].
     """
     dp = mesh.shape["dp"]
@@ -111,26 +289,31 @@ def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
     assert height % sp == 0, f"height {height} not divisible by sp={sp}"
     band_height = height // sp
 
-    def per_frame(scene, consts):
-        ldr, depth = _render_band(scene, consts, width, height,
-                                  band_height, sp)
+    kwargs = dict(env=env, shadow_maps=shadow_maps, textures=textures,
+                  slots_used=slots_used, msaa=msaa,
+                  enable_ssao=enable_ssao, enable_ssr=enable_ssr,
+                  ssao_halo=ssao_halo)
+
+    def shard_fn(scene, consts, env, shadow_maps, textures):
+        kw = dict(kwargs)
+        kw.update(env=env, shadow_maps=shadow_maps, textures=textures)
+
+        def per_frame(consts):
+            return _render_band(scene, consts, width, height,
+                                band_height, sp, **kw)
+        ldr, depth = jax.vmap(per_frame)(consts)
         return ldr, depth
 
-    def shard_fn(scene, consts):
-        # in shard_map: consts has its dp dim stripped to this device's
-        # frame via P('dp'); vmap over the local singleton frame axis
-        ldr, depth = jax.vmap(per_frame, in_axes=(None, 0))(scene, consts)
-        return ldr, depth
-
-    specs_scene = jax.tree_util.tree_map(lambda _: P(), scene)
+    rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
     specs_consts = jax.tree_util.tree_map(lambda _: P("dp"), consts_batch)
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(specs_scene, specs_consts),
+        in_specs=(rep(scene), specs_consts, rep(env), rep(shadow_maps),
+                  rep(textures)),
         out_specs=(P("dp", "sp", None, None), P("dp", "sp", None)),
         check_vma=False,  # pallas_call outputs carry no vma info
     )
-    return fn(scene, consts_batch)
+    return fn(scene, consts_batch, env, shadow_maps, textures)
 
 
 def stack_frame_constants(consts_list):

@@ -332,7 +332,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
                   mrow: jnp.ndarray | None = None,
                   ids: jnp.ndarray | None = None,
                   aniso_taps: int = 0,
-                  slots_used: tuple | None = None):
+                  slots_used: tuple | None = None,
+                  lod: "jnp.ndarray | None" = None):
     """Per-pixel material fetch + texture sampling — the PSMain material
     block (ForwardLighting.hlsl:226-277): per-slot Has*Map tests gate
     sampled values; albedo/emissive decode sRGB; ORM packs
@@ -372,7 +373,9 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
 
     uv_t = uv * mrow[..., 8:10] + mrow[..., 10:12]          # uvScaleOffset
     max_lod = tex_ops.tex_num_levels(textures) - 1
-    lod = tex_ops.uv_mip_level(uv_t, tex_ops.tex_base_size(textures), max_lod)
+    if lod is None:
+        lod = tex_ops.uv_mip_level(uv_t, tex_ops.tex_base_size(textures),
+                                   max_lod)
 
     def slot_id(bit):
         return mrow[..., 20 + bit].astype(jnp.int32)
@@ -469,7 +472,8 @@ def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
                 vp, scene.indices, shadow_dims[0])
             return carry, d
         _, dm = jax.lax.scan(spot_body, 0, consts.spot_caster_vps)
-        maps["spot"] = shadow.prefilter_esm(dm, pool=1) if esm else dm
+        maps["spot"] = (shadow.prefilter_esm(dm, pool=1).astype(jnp.bfloat16)
+                        if esm else dm)
     if pc:
         vps6 = consts.point_caster_vps.reshape(pc * 6, 4, 4)
         nf6 = jnp.repeat(consts.point_caster_range, 6, axis=0)
@@ -482,12 +486,15 @@ def render_shadow_maps(scene: DeviceScene, consts: FrameConstants,
             return carry, shadow.ndc_depth_to_radial(d, nfi[0], nfi[1])
         _, faces = jax.lax.scan(point_body, 0, (vps6, nf6))
         cubes = faces.reshape(pc, 6, shadow_dims[1], shadow_dims[1])
-        maps["point"] = shadow.prefilter_esm(cubes, pool=2) if esm else cubes
+        maps["point"] = (shadow.prefilter_esm(cubes,
+                                              pool=2).astype(jnp.bfloat16)
+                         if esm else cubes)
     if has_dir:
         d = shadow.render_shadow_depth(
             scene.positions, scene.item_of_vertex, consts.world,
             consts.dir_vp[0], scene.indices, shadow_dims[2])
-        maps["dir"] = shadow.prefilter_esm(d, pool=1) if esm else d
+        maps["dir"] = (shadow.prefilter_esm(d, pool=1).astype(jnp.bfloat16)
+                       if esm else d)
     return maps
 
 
@@ -511,19 +518,24 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
         shadow_maps = render_shadow_maps(scene, consts, shadow_dims,
                                          filter_mode)
 
-    # ESM visibility evaluates at half resolution: the one-tap map gather
-    # dominates its cost (a 2048^2 f32 map is a large-table gather) and
-    # the prefiltered ESM response is smooth, so 2x upsampling is lossless
-    # to the eye. PCF keeps full resolution (hard-edged taps).
+    # ESM visibility evaluates below full resolution: the one-tap map
+    # gather dominates its cost (fetch-count-bound at ~1.4-3.5 ns each)
+    # and the prefiltered ESM response is smooth. The directional caster
+    # (the visually dominant shadow) tests at HALF res; spot/point casters
+    # (5+5 local lights) test at QUARTER res — 4x fewer fetches across the
+    # budget. PCF keeps full resolution (hard-edged taps).
     full_hw = wpos.shape[:2]
+    wpos_h = normal_h = wpos_q = None
     if filter_mode == "esm":
-        wpos = pool2(wpos)
-        normal = pool2(normal)
+        wpos_h = pool2(wpos)
+        normal_h = pool2(normal)
+        wpos_q = pool2(wpos_h)
 
-    def up(v):
+    def up(v, times=1):
         if filter_mode != "esm":
             return v
-        v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
+        for _ in range(times):
+            v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
         return v[..., : full_hw[0], : full_hw[1]]
 
     spot_vis = None
@@ -534,7 +546,7 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
             lrow = consts.spot_casters[i]
             if filter_mode == "esm":
                 vis.append(shadow.shadow_test_esm(
-                    wpos, consts.spot_caster_vps[i], dmap, lrow[11]))
+                    wpos_q, consts.spot_caster_vps[i], dmap, lrow[11]))
             else:
                 wi = lrow[0:3] - wpos
                 wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-9)
@@ -542,7 +554,7 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
                 vis.append(shadow.shadow_test_pcf(
                     wpos, ndotl, consts.spot_caster_vps[i], dmap,
                     lrow[11], slope_scaled=True))
-        spot_vis = up(jnp.stack(vis))
+        spot_vis = up(jnp.stack(vis), times=2)
 
     point_vis = None
     if pc:
@@ -552,12 +564,12 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
             lrow = consts.point_casters[i]
             if filter_mode == "esm":
                 vis.append(shadow.omni_shadow_test_esm(
-                    wpos, lrow[0:3], cube, lrow[9], lrow[8]))
+                    wpos_q, lrow[0:3], cube, lrow[9], lrow[8]))
             else:
                 vis.append(shadow.omni_shadow_test_pcf(
                     wpos, lrow[0:3], cube, lrow[9], lrow[8],
                     consts.camera_pos))
-        point_vis = up(jnp.stack(vis))
+        point_vis = up(jnp.stack(vis), times=2)
 
     dir_vis = None
     if has_dir:
@@ -565,7 +577,7 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
         dmap = shadow_maps["dir"]
         if filter_mode == "esm":
             dir_vis = shadow.shadow_test_esm(
-                wpos, consts.dir_vp[0], dmap, consts.directional[7])
+                wpos_h, consts.dir_vp[0], dmap, consts.directional[7])
         else:
             wi = -consts.directional[0:3]
             wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-9)
@@ -693,7 +705,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    enable_alpha_mask: bool = False,
                    scene_transparent: DeviceScene | None = None,
                    aniso_taps: int = 0,
-                   slots_used: tuple | None = None):
+                   slots_used: tuple | None = None,
+                   ssao_quality: str = "medium"):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> transparents -> tonemap. Returns a dict with
     ldr [H,W,3], depth [H,W], tri_id [H,W], object_id [H,W], and
@@ -759,13 +772,25 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
 
     ao_map = None
     if enable_ssao:
-        # FFX-CACAO-class AO from the depth pre-pass outputs, computed at
-        # half resolution like CACAO's default (per-pixel taps are gathers
-        # at ~1 element/cycle; half res quarters the cost) and upsampled
+        # FFX-CACAO-class AO from the depth pre-pass outputs with the
+        # CACAO-style quality presets (AmbientOcclusion.h:78-81):
+        # low = quarter res / 8 taps, medium (default) = half res / 12
+        # taps, high = half res / 16 taps. Taps are per-pixel gathers, so
+        # resolution and tap count set the cost.
         info = {"near": consts.proj_params[0], "far": consts.proj_params[1],
                 "fov_y": consts.proj_params[2], "view": consts.view_matrix}
-        ao_half = ssao_ops.ssao(pool2(depth), pool2(n), info)
-        ao_map = jnp.repeat(jnp.repeat(ao_half, 2, axis=0), 2, axis=1)
+        if ssao_quality == "low":
+            base_d, base_n = pool2(pool2(depth)), pool2(pool2(n))
+            taps, times = 8, 2
+        elif ssao_quality == "high":
+            base_d, base_n = pool2(depth), pool2(n)
+            taps, times = 16, 1
+        else:
+            base_d, base_n = pool2(depth), pool2(n)
+            taps, times = 12, 1
+        ao_map = ssao_ops.ssao(base_d, base_n, info, num_taps=taps)
+        for _ in range(times):
+            ao_map = jnp.repeat(jnp.repeat(ao_map, 2, axis=0), 2, axis=1)
         ao_map = ao_map[:height, :width]
 
     motion = None

@@ -52,6 +52,7 @@ class SceneBuffers:
     # per-item static AABBs (local)
     aabb_center: np.ndarray | None = None  # [N, 3]
     aabb_extent: np.ndarray | None = None  # [N, 3]
+    material_names: list[str] = field(default_factory=list)  # [M] (editor)
 
     @property
     def num_items(self) -> int:
@@ -107,7 +108,8 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
                             np.zeros((0, 3), np.int32), np.zeros(0, np.int32),
                             np.zeros(0, np.int32),
                             pack_materials(materials), item_mat, item_obj,
-                            item_nlod, [])
+                            item_nlod, [],
+                            material_names=[m.name for m in materials])
 
     return SceneBuffers(
         positions=np.concatenate(pos_l),
@@ -125,6 +127,7 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
         items=items,
         aabb_center=aabb_c,
         aabb_extent=aabb_e,
+        material_names=[m.name for m in materials],
     )
 
 
@@ -155,6 +158,7 @@ def split_transparent(buffers: SceneBuffers
             items=buffers.items,
             aabb_center=buffers.aabb_center,
             aabb_extent=buffers.aabb_extent,
+            material_names=buffers.material_names,
         )
 
     return subset(~tri_t), subset(tri_t)
