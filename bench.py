@@ -42,7 +42,7 @@ def build_textures():
     tm.create_from_array("rough", noise_texture(128, base=0.6, amp=0.3))
     ids = {k: tm._by_key[k] for k in
            ("brick", "stone", "marble", "bump_n", "rough")}
-    return tm.build_device_arrays_packed(), ids
+    return tm, ids
 
 
 def build_sponza_stress():
@@ -63,7 +63,7 @@ def build_sponza_stress():
     material_lib = {}
     augment_sponza_substitute(rep, material_lib)
 
-    textures, tex_ids = build_textures()
+    tm, tex_ids = build_textures()
     # texture the colonnade: brick walls, stone floors, bump + roughness
     for name, m in material_lib.items():
         diffuse = tex_ids["brick"] if "wall" in name.lower() \
@@ -81,6 +81,9 @@ def build_sponza_stress():
                       "normal": tex_ids["bump_n"],
                       "roughness": tex_ids["rough"]}
         material_lib[m.name] = m
+    # fuse normal+roughness into one sampled map (fetch-count economy)
+    tm.combine_aux_maps(material_lib.values())
+    textures = tm.build_device_arrays_packed()
     for i in range(220):
         mesh = "Sphere" if i % 2 == 0 else "Cube"
         pos = (rng.uniform(-900, 900), rng.uniform(20, 250),
@@ -146,8 +149,7 @@ def main() -> None:
     buffers, lights, textures = build_sponza_stress()
     scene = graph.upload_scene(buffers)
     env = graph.build_environment(procedural_sky_equirect(512, 256))
-    slots_used = tuple(
-        bool((buffers.materials[:, 20 + k] >= 0).any()) for k in range(9))
+    slots_used = graph.slots_used_of(buffers.materials)
 
     p = FCameraParameters()
     p.position = np.array([700, 170, -50], np.float32)  # the Sponza.xml camera

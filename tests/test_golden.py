@@ -49,8 +49,7 @@ def _render_textured_quad() -> np.ndarray:
     ]
     buffers = build_scene_buffers(items, mats)
     scene = graph.upload_scene(buffers)
-    slots_used = tuple(
-        bool((buffers.materials[:, 20 + k] >= 0).any()) for k in range(9))
+    slots_used = graph.slots_used_of(buffers.materials)
     per_tex = [generate_mips(t) for t in
                (checkerboard(64, 8), brick(64), normal_from_height(
                    noise_texture(64, seed=3), 1.5),

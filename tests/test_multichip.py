@@ -112,9 +112,7 @@ class TestShardedFullPipeline:
         mat.textures = {"diffuse": 0}
         buffers = build_scene_buffers(items, [mat])
         scene = graph.upload_scene(buffers, bucketize=False)
-        slots_used = tuple(
-            bool((buffers.materials[:, 20 + k] >= 0).any())
-            for k in range(9))
+        slots_used = graph.slots_used_of(buffers.materials)
         mips = generate_mips(checkerboard(16, 4))
         textures = pack_texture_quads([m[None] for m in mips])
         env = graph.build_environment(procedural_sky_equirect(64, 32),

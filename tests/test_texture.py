@@ -151,3 +151,65 @@ class TestPackedTextures:
         ref = np.asarray(tex.sample_texture_array_aniso(mips, tid, uv))
         got = np.asarray(tex.sample_texture_array_aniso(packed, tid, uv))
         np.testing.assert_allclose(got, ref, atol=3.0 / 255.0)
+
+
+class TestCombinedAux:
+    """combine_aux_maps fuses normal/roughness/metallic into one RGBA map
+    sampled once in material_pass (fetch-count economy on TPU)."""
+
+    def _scene(self, combine: bool):
+        from vqengine_tpu.render import graph
+        from vqengine_tpu.render.renderer import VQRendererTPU
+        from vqengine_tpu.render.scene_buffers import (DrawItem,
+                                                       build_scene_buffers)
+        from vqengine_tpu.scene.camera import Camera, FCameraParameters
+        from vqengine_tpu.scene.light import ELightType, Light
+        from vqengine_tpu.scene.material import Material
+        from vqengine_tpu.scene.texture_manager import (noise_texture,
+                                                        normal_from_height)
+        from vqengine_tpu.scene import mesh as meshmod
+        from vqengine_tpu.utils import math3d as m3
+
+        tm = TextureManager(size=32)
+        h = noise_texture(32, seed=5)
+        n_id = tm.create_from_array("n", normal_from_height(h, 1.5))
+        r_id = tm.create_from_array("r", noise_texture(32, base=0.5, amp=0.4))
+        mat = Material(name="m", roughness=0.9, metalness=0.3)
+        mat.textures = {"normal": n_id, "roughness": r_id}
+        if combine:
+            assert tm.combine_aux_maps([mat]) == 1
+            assert mat.combined_aux >= 0
+            assert "normal" not in mat.textures
+        textures = tm.build_device_arrays_packed()
+        items = [DrawItem("q", meshmod.quad(3.0), m3.Transform(), 0, 0)]
+        buffers = build_scene_buffers(items, [mat])
+        scene = graph.upload_scene(buffers, bucketize=False)
+        p = FCameraParameters()
+        p.position = np.array([0, 0.5, -3], np.float32)
+        cam = Camera(p, aspect=128 / 64)
+        consts = VQRendererTPU().build_frame_constants(
+            buffers, cam, [Light(type=ELightType.DIRECTIONAL, brightness=2.0)])
+        out = graph.render_forward(
+            scene, consts, 128, 64, textures=textures,
+            slots_used=graph.slots_used_of(buffers.materials),
+            enable_shadows=False)
+        return np.asarray(out["ldr"])
+
+    def test_combined_matches_separate(self):
+        sep = self._scene(combine=False)
+        com = self._scene(combine=True)
+        # z reconstructs from xy: identical up to the normal map's own
+        # quantization; the lit image must match closely
+        assert np.abs(sep - com).max() < 5e-3
+
+    def test_unpack_xy_roundtrip(self):
+        rng = np.random.default_rng(0)
+        n_ts = rng.normal(size=(8, 8, 3)).astype(np.float32)
+        n_ts[..., 2] = np.abs(n_ts[..., 2]) + 0.1
+        n_ts /= np.linalg.norm(n_ts, axis=-1, keepdims=True)
+        wn = jnp.asarray(np.tile([0.0, 0.0, 1.0], (8, 8, 1)).astype(np.float32))
+        wt = jnp.asarray(np.tile([1.0, 0.0, 0.0], (8, 8, 1)).astype(np.float32))
+        full = tex.unpack_normal_map(jnp.asarray(n_ts * 0.5 + 0.5), wn, wt)
+        xy = tex.unpack_normal_map_xy(jnp.asarray(n_ts[..., :2] * 0.5 + 0.5),
+                                      wn, wt)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(xy), atol=1e-5)

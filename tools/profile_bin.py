@@ -107,7 +107,7 @@ def main() -> None:
 
     def sortkeys_of(consts, with_gather):
         setup = setup_of(consts)
-        t = setup.edges.shape[0]
+        t = setup.edges9.shape[0]
         records = raster._pack_records(setup, extra_of(consts))
         tiles_x = raster.cdiv(width, raster.TILE_W)
         tiles_y = raster.cdiv(height, raster.TILE_H)

@@ -35,8 +35,7 @@ def main() -> None:
     buffers, lights, textures = build_sponza_stress()
     scene = graph.upload_scene(buffers)
     env = graph.build_environment(procedural_sky_equirect(512, 256))
-    slots_used = tuple(
-        bool((buffers.materials[:, 20 + k] >= 0).any()) for k in range(9))
+    slots_used = graph.slots_used_of(buffers.materials)
 
     p = FCameraParameters()
     p.position = np.array([700, 170, -50], np.float32)

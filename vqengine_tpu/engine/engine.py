@@ -189,6 +189,12 @@ class VQEngineTPU:
         if queued:
             log.info(f"textures: {len(queued) - dropped} loaded, "
                      f"{dropped} missing (slots dropped)")
+        # fuse normal/roughness/metallic maps into one sampled fetch
+        n_combined = tm.combine_aux_maps(
+            m for m in (self.material_lib.get(n) for n in used_names)
+            if m is not None)
+        if n_combined:
+            log.info(f"combined aux maps for {n_combined} materials")
 
     # ------------------------------------------------------------------
     def resolve_scene_file(self, name_or_index) -> Path | None:
@@ -262,10 +268,12 @@ class VQEngineTPU:
             gltf_loader=self._gltf_loader,
             draw_light_gizmos=self.gfx.bDrawLightBounds,
             draw_bounding_boxes=self.gfx.bDrawBoundingBoxes)
-        any_textured = any((m.pack()[15] > 0) for m in
-                           [self.material_lib.get(n) for n in used_materials]
-                           if m is not None) or any(
-            it.material_id and buffers.materials[it.material_id][15] > 0
+        any_textured = any(
+            (m.pack()[15] > 0 or m.combined_aux >= 0) for m in
+            [self.material_lib.get(n) for n in used_materials]
+            if m is not None) or any(
+            it.material_id and (buffers.materials[it.material_id][15] > 0
+                                or buffers.materials[it.material_id][29] >= 0)
             for it in buffers.items)
         equirect = self._decode_environment(rep)
         return dict(rep=rep, hook=hook, buffers=buffers, cameras=cameras,

@@ -108,8 +108,14 @@ def transform_clip_instanced(positions: jnp.ndarray, item_of_vertex: jnp.ndarray
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class TriangleSetup:
-    """Per-triangle raster data (all [T, ...])."""
-    edges: jnp.ndarray       # [T, 3, 3] homogeneous edge rows e_i (w-scaled)
+    """Per-triangle raster data (all [T, ...]).
+
+    edges9 stores the homogeneous edge rows flattened
+    (e0x,e0y,e0w, e1x,..., e2w): the setup math runs on [T] component
+    planes (full 128-lane vectorization; [T,3,3]-shaped arithmetic runs at
+    3/128 lane utilization — measured 12 ms/frame at 284k triangles) and
+    only the final table materializes."""
+    edges9: jnp.ndarray      # [T, 9] homogeneous edge rows (w-scaled)
     zc: jnp.ndarray          # [T, 3] z_i / det (depth plane coefficients)
     vert_scale: jnp.ndarray  # [T, 3] the 1/|w_i| conditioning scales; resolve
     #                          multiplies b'_i by these to recover true
@@ -138,33 +144,50 @@ def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray | None,
     if full_height is None:
         full_height = height
     c = clip if indices is None else clip[indices]   # [T,3,4]
-    w = c[..., 3]
-    # screen-homogeneous coords (pixel units, y down; band-local)
-    xs = (c[..., 0] * 0.5 + w * 0.5) * width
-    ys = (-c[..., 1] * 0.5 + w * 0.5) * full_height - y_offset * w
-    z = c[..., 2]
+    # SoA component planes ([T] each): every op below runs fully
+    # lane-vectorized; the previous [T,3,3] formulation kept only 3 of 128
+    # lanes busy and cost 12 ms/frame at 284k triangles
+    x = [c[:, i, 0] for i in range(3)]
+    y = [c[:, i, 1] for i in range(3)]
+    z = [c[:, i, 2] for i in range(3)]
+    w = [c[:, i, 3] for i in range(3)]
+    # screen-homogeneous coords (pixel units, y down; band-local), then
     # condition: scale each vertex by 1/|w| (positive scale keeps signs,
     # barycentric ratios, and z/det invariant)
-    s = 1.0 / jnp.maximum(jnp.abs(w), 1e-9)
-    xs, ys, ws, zs = xs * s, ys * s, w * s, z * s
+    s, xs, ys, ws, zs = [], [], [], [], []
+    for i in range(3):
+        si = 1.0 / jnp.maximum(jnp.abs(w[i]), 1e-9)
+        xsi = (x[i] * 0.5 + w[i] * 0.5) * width
+        ysi = (-y[i] * 0.5 + w[i] * 0.5) * full_height - y_offset * w[i]
+        s.append(si)
+        xs.append(xsi * si)
+        ys.append(ysi * si)
+        ws.append(w[i] * si)
+        zs.append(z[i] * si)
 
-    p = jnp.stack([xs, ys, ws], axis=-1)           # [T,3,3]
-    e0 = jnp.cross(p[:, 1], p[:, 2])
-    e1 = jnp.cross(p[:, 2], p[:, 0])
-    e2 = jnp.cross(p[:, 0], p[:, 1])
-    edges = jnp.stack([e0, e1, e2], axis=1)        # [T,3,3]
-    det = jnp.einsum("tk,tk->t", p[:, 0], e0)
+    def cross(a, b):
+        """(x, y, w)-homogeneous cross of two vertex index tuples."""
+        return (ys[a] * ws[b] - ws[a] * ys[b],
+                ws[a] * xs[b] - xs[a] * ws[b],
+                xs[a] * ys[b] - ys[a] * xs[b])
+
+    e0 = cross(1, 2)
+    e1 = cross(2, 0)
+    e2 = cross(0, 1)
+    det = xs[0] * e0[0] + ys[0] * e0[1] + ws[0] * e0[2]
 
     front = det > 1e-14
     inv_det = jnp.where(front, 1.0 / jnp.where(front, det, 1.0), 0.0)
-    zc = zs * inv_det[:, None]                     # [T,3]
+    zc = [zs[i] * inv_det for i in range(3)]
 
     # screen bbox (only meaningful when every w is positive)
-    all_w_pos = (w > 1e-9).all(axis=-1)
-    sxy_x = xs / jnp.where(ws != 0, ws, 1.0)
-    sxy_y = ys / jnp.where(ws != 0, ws, 1.0)
-    xmin = sxy_x.min(axis=1); xmax = sxy_x.max(axis=1)
-    ymin = sxy_y.min(axis=1); ymax = sxy_y.max(axis=1)
+    all_w_pos = (w[0] > 1e-9) & (w[1] > 1e-9) & (w[2] > 1e-9)
+    sx = [xs[i] / jnp.where(ws[i] != 0, ws[i], 1.0) for i in range(3)]
+    sy = [ys[i] / jnp.where(ws[i] != 0, ws[i], 1.0) for i in range(3)]
+    xmin = jnp.minimum(jnp.minimum(sx[0], sx[1]), sx[2])
+    xmax = jnp.maximum(jnp.maximum(sx[0], sx[1]), sx[2])
+    ymin = jnp.minimum(jnp.minimum(sy[0], sy[1]), sy[2])
+    ymax = jnp.maximum(jnp.maximum(sy[0], sy[1]), sy[2])
 
     offscreen = all_w_pos & ((xmax < 0) | (xmin >= width) | (ymax < 0) | (ymin >= height))
     valid = front & ~offscreen
@@ -179,7 +202,10 @@ def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray | None,
     ty0 = jnp.clip(jnp.floor(ymin / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
     ty1 = jnp.clip(jnp.floor(ymax / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
     return TriangleSetup(
-        edges=edges, zc=zc, vert_scale=s, valid=valid,
+        edges9=jnp.stack([e0[0], e0[1], e0[2], e1[0], e1[1], e1[2],
+                          e2[0], e2[1], e2[2]], axis=1),
+        zc=jnp.stack(zc, axis=1),
+        vert_scale=jnp.stack(s, axis=1), valid=valid,
         tile_lo=jnp.stack([tx0, ty0], axis=1),
         tile_hi=jnp.stack([tx1, ty1], axis=1),
         big=big,
@@ -207,12 +233,15 @@ def _pack_records(setup: TriangleSetup,
     never pass (e'0 = (0,0,-1)). The raster kernel therefore needs no
     per-lane validity masking and group-aligned overreads are safe.
     """
-    t = setup.edges.shape[0]
+    t = setup.edges9.shape[0]
     tid = jnp.arange(t, dtype=jnp.float32)
-    dp = jnp.einsum("tk,tkj->tj", setup.zc, setup.edges)
-    e_scaled = setup.edges * setup.vert_scale[:, :, None]
-    parts = [e_scaled.reshape(t, 9).astype(jnp.float32),
-             dp.astype(jnp.float32), tid[:, None]]
+    # SoA column math (see TriangleSetup.edges9): scaled edges + the
+    # pre-combined depth plane, each a full-lane [T] op
+    e9, zc, vs = setup.edges9, setup.zc, setup.vert_scale
+    cols = [e9[:, 3 * k + j] * vs[:, k] for k in range(3) for j in range(3)]
+    cols += [zc[:, 0] * e9[:, j] + zc[:, 1] * e9[:, 3 + j]
+             + zc[:, 2] * e9[:, 6 + j] for j in range(3)]
+    parts = [jnp.stack(cols, axis=1).astype(jnp.float32), tid[:, None]]
     if extra is not None:
         parts.append(extra.astype(jnp.float32))
     rec = jnp.concatenate(parts, axis=1)
@@ -266,10 +295,12 @@ class BinnedTriangles:
 def _radix_rank_pass(bucket: jnp.ndarray, payload: jnp.ndarray,
                      n_buckets: int) -> jnp.ndarray:
     """One stable counting-sort pass: reorder `payload` by `bucket`
-    (values in [0, n_buckets)). Rank-by-cumsum over a [P, B] one-hot —
-    the only scatter is a P-element iota scatter for the inverse
-    permutation. A bitonic lax.sort costs O(P log^2 P) full-array passes;
-    this is ~3 linear passes."""
+    (values in [0, n_buckets)). Rank-by-cumsum over a [P, B] one-hot.
+    Cost model (measured at 284k): the cumsums are ~free (memory-bound);
+    the single P-element scatter is the ~2 ms cost — so the payload
+    scatters STRAIGHT to its destination (dest is a bijection) instead of
+    building an inverse permutation and gathering (2x the random traffic).
+    A bitonic lax.sort costs O(P log^2 P) full-array passes."""
     p = bucket.shape[0]
     onehot = (bucket[:, None]
               == jnp.arange(n_buckets, dtype=jnp.int32)[None, :])
@@ -277,9 +308,7 @@ def _radix_rank_pass(bucket: jnp.ndarray, payload: jnp.ndarray,
     total = cum[-1]
     base = jnp.cumsum(total) - total                        # exclusive
     dest = ((cum - 1 + base[None, :]) * onehot).sum(axis=1)
-    inv = jnp.zeros((p,), jnp.int32).at[dest].set(
-        jnp.arange(p, dtype=jnp.int32))
-    return payload[inv]
+    return jnp.zeros((p,), payload.dtype).at[dest].set(payload)
 
 
 def _bin_one_axis(nc: jnp.ndarray, tri_cols: jnp.ndarray,
@@ -365,7 +394,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     tiles_x = cdiv(width, TILE_W)
     tiles_y = cdiv(height, TILE_H)
     nt = tiles_x * tiles_y
-    t = setup.edges.shape[0]
+    t = setup.edges9.shape[0]
     # dead pairs ride in pass-2 bucket 63 (sentinel >> 26); real tiles must
     # stay below that bucket: nt <= 63 << 6
     assert nt <= 4031, f"{nt} tiles exceed the 2x6-bit radix range"
@@ -1091,10 +1120,10 @@ def resolve_attributes(tri_id: jnp.ndarray, setup: TriangleSetup,
     h, w = tri_id.shape
     mask = tri_id != BG_ID
     sid = jnp.maximum(tri_id, 0)
-    t = setup.edges.shape[0]
+    t = setup.edges9.shape[0]
 
     # pack the per-triangle table: edges(9) | vert_scale(3) | attrs (3V x D)
-    parts = [setup.edges.reshape(t, 9), setup.vert_scale]
+    parts = [setup.edges9, setup.vert_scale]
     layout = []
     off = 12
     for name, a in attributes.items():

@@ -307,6 +307,17 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
     return acc / num_taps
 
 
+def unpack_normal_map_xy(sampled_xy: jnp.ndarray, world_normal: jnp.ndarray,
+                         world_tangent: jnp.ndarray) -> jnp.ndarray:
+    """unpack_normal_map for the combined-aux layout: only x,y stored
+    (z = sqrt(1 - x^2 - y^2), tangent-space normals point outward)."""
+    xy = sampled_xy * 2.0 - 1.0
+    z = jnp.sqrt(jnp.maximum(1.0 - (xy * xy).sum(-1, keepdims=True), 0.0))
+    return unpack_normal_map(
+        jnp.concatenate([xy, z], axis=-1) * 0.5 + 0.5,
+        world_normal, world_tangent)
+
+
 def unpack_normal_map(sampled: jnp.ndarray, world_normal: jnp.ndarray,
                       world_tangent: jnp.ndarray) -> jnp.ndarray:
     """UnpackNormal (ShadingMath.hlsl:44-52): tangent-space normal map ->

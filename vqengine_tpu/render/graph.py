@@ -324,6 +324,17 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
     return depth, tri_id, attrs, mask, coverage
 
 
+def slots_used_of(materials) -> tuple:
+    """Static texture-slot usage from a packed [M, 32] materials array:
+    9 per-slot flags + the combined-aux flag (col 29). The texture-config
+    PSO permutation analog — unused slots cost zero at trace time."""
+    import numpy as _np
+    m = _np.asarray(materials)
+    flags = [bool((m[:, 20 + k] >= 0).any()) for k in range(9)]
+    flags.append(bool((m[:, 29] >= 0).any()))
+    return tuple(flags)
+
+
 def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
                   uv: jnp.ndarray | None = None,
                   wnrm: jnp.ndarray | None = None,
@@ -384,7 +395,9 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
         return slot_id(bit) >= 0
 
     def used(bit):
-        return slots_used is None or bool(slots_used[bit])
+        if slots_used is None:
+            return True
+        return bit < len(slots_used) and bool(slots_used[bit])
 
     def sample(bit, lod_bias=None):
         l = lod if lod_bias is None else jnp.clip(lod + lod_bias, 0, max_lod)
@@ -414,6 +427,23 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
         nrm_s = sample(1, lod_bias=mrow[..., 16])
         n_mapped = tex_ops.unpack_normal_map(nrm_s[..., :3], wnrm, wtan)
         out["normal"] = jnp.where(has(1)[..., None], n_mapped, wnrm)
+
+    # combined auxiliary map (normal.xy | roughness | metalness fused at
+    # upload by TextureManager.combine_aux_maps): ONE sampled fetch where
+    # the separate slots would cost three — texture sampling is
+    # fetch-count-bound on TPU (~6 ms/map/frame at 1080p)
+    if used(9):
+        caux = mrow[..., 29].astype(jnp.int32)
+        has_c = caux >= 0
+        l_aux = jnp.clip(lod + mrow[..., 16], 0, max_lod)
+        aux = tex_ops.sample_texture_array(textures, caux, uv_t, l_aux)
+        if wnrm is not None and wtan is not None:
+            n_c = tex_ops.unpack_normal_map_xy(aux[..., 0:2], wnrm, wtan)
+            out["normal"] = jnp.where(has_c[..., None], n_c, out["normal"])
+        out["roughness"] = jnp.where(has_c, mrow[..., 12] * aux[..., 2],
+                                     out["roughness"])
+        out["metalness"] = jnp.where(has_c, mrow[..., 13] * aux[..., 3],
+                                     out["metalness"])
 
     if used(2):
         out["local_ao"] = jnp.where(has(2), sample(2)[..., 0],

@@ -70,8 +70,7 @@ class VQRendererTPU:
         self._any_alpha_mask = bool((buffers.materials[:, 23] >= 0).any())
         # static texture-slot usage (the texture-config PSO permutation):
         # slots no material references never sample
-        self._slots_used = tuple(
-            bool((buffers.materials[:, 20 + k] >= 0).any()) for k in range(9))
+        self._slots_used = graph.slots_used_of(buffers.materials)
         info(f"renderer: scene uploaded — {buffers.positions.shape[0]} verts, "
              f"{buffers.indices.shape[0]} tris "
              f"({0 if transparent is None else transparent.indices.shape[0]}"

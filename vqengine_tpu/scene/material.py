@@ -44,6 +44,10 @@ class Material:
     uv_offset: np.ndarray = field(default_factory=lambda: np.zeros(2, dtype=np.float32))
     # texture IDs into the TextureManager (-1 = none), keyed by TEXTURE_SLOTS
     textures: dict[str, int] = field(default_factory=dict)
+    # upload-time combined auxiliary map (normal.xy | roughness | metalness
+    # in RGBA): one sampled fetch replaces three — the texture cost is
+    # fetch-count-bound on TPU. Set by TextureManager.combine_aux_maps.
+    combined_aux: int = -1
     # tessellation config (reference Material.h packed byte) — kept for parity
     tessellation_enabled: bool = False
 
@@ -76,10 +80,13 @@ class Material:
         out[16] = self.normal_map_mip_bias
         for bit, slot in enumerate(TEXTURE_SLOTS):
             out[_TEX_ID_BASE + bit] = float(self.textures.get(slot, -1))
+        out[29] = float(self.combined_aux)
         return out
 
 
 def pack_materials(materials: list[Material]) -> np.ndarray:
     if not materials:
-        return np.zeros((1, MATERIAL_STRIDE), dtype=np.float32)
+        out = np.zeros((1, MATERIAL_STRIDE), dtype=np.float32)
+        out[:, _TEX_ID_BASE:30] = -1.0   # no texture slots, no combined aux
+        return out
     return np.stack([m.pack() for m in materials])
