@@ -298,6 +298,53 @@ def brdf_lut_cached(size: int = 256, num_samples: int = 512) -> np.ndarray:
     return lut
 
 
+def _cheb_basis(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Chebyshev T_0..T_{d-1} of x in [0,1] -> [..., d]."""
+    xm = 2.0 * x - 1.0
+    ts = [jnp.ones_like(xm), xm]
+    for _ in range(d - 2):
+        ts.append(2.0 * xm * ts[-1] - ts[-2])
+    return jnp.stack(ts[:d], axis=-1)
+
+
+_BRDF_POLY_CACHE: dict = {}
+
+
+def brdf_poly_fit(lut: np.ndarray, degree: int = 20) -> np.ndarray:
+    """Fit a 2D Chebyshev surface to OUR measured split-sum LUT:
+    [L, L, 2] -> coeffs [degree, degree, 2] with
+    value(ndotv, rough) = sum_ij C[i,j] T_i(ndotv) T_j(rough).
+
+    Published analytic BRDF fits (Karis/Lazarov) were rejected in round 1
+    because they approximate a different geometry term; fitting the exact
+    LUT this renderer integrates keeps the curve while replacing the
+    per-pixel LUT GATHER (~5 ms/frame at 1080p — fetch-count-bound) with
+    VPU/MXU arithmetic. Max fit error is asserted in tests/test_ibl.py."""
+    key = (lut.shape[0], degree)
+    hit = _BRDF_POLY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    l = lut.shape[0]
+    g = (np.arange(l) + 0.5) / l
+    b = np.asarray(_cheb_basis(jnp.asarray(g, jnp.float32), degree))
+    # lut[iy, ix]: ix -> ndotv, iy -> roughness (brdf_integration_lut)
+    a = np.einsum("xi,yj->yxij", b, b).reshape(l * l, degree * degree)
+    sol, *_ = np.linalg.lstsq(a, np.asarray(lut).reshape(l * l, 2),
+                              rcond=None)
+    coeffs = sol.reshape(degree, degree, 2).astype(np.float32)
+    _BRDF_POLY_CACHE[key] = coeffs
+    return coeffs
+
+
+def brdf_poly_eval(coeffs: jnp.ndarray, ndotv: jnp.ndarray,
+                   roughness: jnp.ndarray) -> jnp.ndarray:
+    """-> [..., 2] (f0 scale, bias) from the fitted Chebyshev surface."""
+    tx = _cheb_basis(jnp.clip(ndotv, 0.0, 1.0), coeffs.shape[0])
+    ty = _cheb_basis(jnp.clip(roughness, 0.0, 1.0), coeffs.shape[1])
+    tmp = jnp.einsum("...i,ijc->...jc", tx, coeffs)
+    return jnp.einsum("...jc,...j->...c", tmp, ty)
+
+
 # ---------------------------------------------------------------------------
 # shading-time environment illumination (Lighting.hlsl:348-395)
 # ---------------------------------------------------------------------------
@@ -319,16 +366,16 @@ def environment_illumination(normal: jnp.ndarray, view: jnp.ndarray,
                              specular_mips: list[jnp.ndarray],
                              brdf_lut: jnp.ndarray,
                              hdri_yaw=0.0,
-                             sh_irradiance: jnp.ndarray | None = None) -> jnp.ndarray:
+                             sh_irradiance: jnp.ndarray | None = None,
+                             brdf_poly: jnp.ndarray | None = None) -> jnp.ndarray:
     """CalculateEnvironmentMapIllumination (Lighting.hlsl:360-380):
     IBL diffuse + prefiltered specular with the split-sum BRDF LUT.
 
     Gather budget (the TPU cost): with sh_irradiance (SH9 coefficients)
-    the pass costs TWO per-pixel gathers (specular pyramid + the 512 KB
-    fast-path BRDF LUT); diffuse becomes MXU/VPU arithmetic. An analytic
-    LUT polynomial was tried and rejected: our integration uses the exact
-    BRDF.hlsl geometry term and no published fit stays within SSIM-safe
-    error of it."""
+    and brdf_poly (a Chebyshev fit of OUR exact LUT — published analytic
+    fits approximate a different geometry term and were rejected), the
+    pass costs ONE per-pixel gather (the specular pyramid); diffuse and
+    the split-sum scale/bias become MXU/VPU arithmetic."""
     ndotv = jnp.clip((normal * view).sum(-1), 0.0, 1.0)
     r = B.reflect(-view, normal)
     r = hdri_rotation(r, hdri_yaw)
@@ -342,11 +389,14 @@ def environment_illumination(normal: jnp.ndarray, view: jnp.ndarray,
     flat, offs, shapes = flatten_mip_pyramid(list(specular_mips))
     spec = sample_cube_pyramid_nearest(flat, offs, shapes, r, mip)
 
-    lut_n = brdf_lut.shape[0]
-    ix = jnp.clip((ndotv * lut_n).astype(jnp.int32), 0, lut_n - 1)
-    iy = jnp.clip((roughness * lut_n).astype(jnp.int32), 0, lut_n - 1)
-    f0_scale_bias = brdf_lut.reshape(-1, 2)[iy * lut_n + ix].astype(
-        jnp.float32)                                 # [..., 2]
+    if brdf_poly is not None:
+        f0_scale_bias = brdf_poly_eval(brdf_poly, ndotv, roughness)
+    else:
+        lut_n = brdf_lut.shape[0]
+        ix = jnp.clip((ndotv * lut_n).astype(jnp.int32), 0, lut_n - 1)
+        iy = jnp.clip((roughness * lut_n).astype(jnp.int32), 0, lut_n - 1)
+        f0_scale_bias = brdf_lut.reshape(-1, 2)[iy * lut_n + ix].astype(
+            jnp.float32)                             # [..., 2]
 
     if sh_irradiance is not None:
         diffuse_irr = sh9_eval(n_rot, sh_irradiance)

@@ -328,10 +328,12 @@ def _bin_one_axis(nc: jnp.ndarray, tri_cols: jnp.ndarray,
         jnp.arange(t, dtype=jnp.int32), mode="drop")
     t_of_p = jax.lax.cummax(fill, axis=0)                  # [cap]
     t_safe = jnp.maximum(t_of_p, 0)
-    rows = jnp.concatenate([tri_cols, nc[:, None]], axis=1)  # [T, C+1]
-    rowp = rows[t_safe]                                    # [cap, C+1]
-    k_of_p = jnp.arange(cap, dtype=jnp.int32) - offs[t_safe]
-    pair_live = (t_of_p >= 0) & (k_of_p < rowp[:, -1])
+    # one row gather carries everything pair math needs (tri_cols, nc,
+    # offs); a separate offs[t_safe] scalar gather would cost ~2 ms more
+    rows = jnp.concatenate([tri_cols, nc[:, None], offs[:, None]], axis=1)
+    rowp = rows[t_safe]                                    # [cap, C+2]
+    k_of_p = jnp.arange(cap, dtype=jnp.int32) - rowp[:, -1]
+    pair_live = (t_of_p >= 0) & (k_of_p < rowp[:, -2])
     bin_p = jnp.where(pair_live, compute_bin(rowp, k_of_p), nbins)
 
     # payload = (bin, tri) packed; the radix cumsum cost scales with the
@@ -427,8 +429,14 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     tri_cols = jnp.stack([tx0, ty0, span_w], axis=1)       # [T, 3]
 
     def fine_bin(rowp, k):
+        # variable-divisor integer div/mod has no VPU hardware path (it
+        # lowers to a long scalar sequence); exact float division covers
+        # the k < k_max <= span range (the +0.5 keeps floor() off the
+        # representability boundary for small ints)
         sw = jnp.maximum(rowp[:, 2], 1)
-        return (rowp[:, 1] + k // sw) * tiles_x + rowp[:, 0] + k % sw
+        q = jnp.floor((k.astype(jnp.float32) + 0.5)
+                      / sw.astype(jnp.float32)).astype(jnp.int32)
+        return (rowp[:, 1] + q) * tiles_x + rowp[:, 0] + (k - q * sw)
 
     def row_bin(rowp, k):
         return rowp[:, 1] + k

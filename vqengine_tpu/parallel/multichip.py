@@ -185,7 +185,8 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
         env_illum = ibl.environment_illumination(
             n, v, mat["roughness"], mat["metalness"], mat["albedo"],
             env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
-            hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance)
+            hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance,
+                brdf_poly=env.brdf_poly)
 
     enable_shadows = shadow_maps is not None
     hdr = shading.shade_forward(
@@ -206,8 +207,17 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
         env_illumination=env_illum)
 
     if env is not None:
-        dirs = _band_sky_directions(consts, width, band_height, height, y0)
-        background = ibl.sky_radiance(dirs, env.equirect, consts.hdri_yaw)
+        # quarter-res sky + phase upsample, exactly like render_forward's
+        # sky_background; the y-blend at band seams takes its +-1 quarter
+        # rows from the neighbor bands via halo exchange
+        dirs_q = graph._sky_quarter_dirs(consts, width, height,
+                                         y_offset=y0, out_rows=band_height)
+        sky_q = ibl.sky_radiance(dirs_q, env.equirect, consts.hdri_yaw,
+                                 bilinear=True)
+        sky_qp = _halo_exchange(sky_q, 1)
+        up_y = graph._axis_up4(sky_qp[1:-1], 0, band_height,
+                               prev=sky_qp[:-2], nxt=sky_qp[2:])
+        background = graph._axis_up4(up_y, 1, width)
     else:
         background = jnp.broadcast_to(consts.clear_color, hdr.shape)
     if coverage is not None:
@@ -250,22 +260,6 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
     return ldr, depth
 
 
-def _band_sky_directions(consts, width, band_height, full_height, y0):
-    """Per-pixel world view-ray directions for this band's rows."""
-    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    py = 1.0 - (y0 + jnp.arange(band_height, dtype=jnp.float32) + 0.5) \
-        / full_height * 2.0
-    ndc_x = jnp.broadcast_to(px[None, :], (band_height, width))
-    ndc_y = jnp.broadcast_to(py[:, None], (band_height, width))
-    clip = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5),
-                      jnp.ones_like(ndc_x)], axis=-1)
-    wp = jnp.einsum("ij,hwj->hwi", consts.inv_view_proj, clip)
-    wp = wp[..., :3] / jnp.where(jnp.abs(wp[..., 3:4]) > 1e-9,
-                                 wp[..., 3:4], 1e-9)
-    d = wp - consts.camera_pos
-    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
-
-
 def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
                            consts_batch: graph.FrameConstants,
                            width: int, height: int,
@@ -287,6 +281,8 @@ def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     assert height % sp == 0, f"height {height} not divisible by sp={sp}"
+    assert (height // sp) % 4 == 0, \
+        f"band height {height // sp} must be a multiple of 4 (sky grid)"
     band_height = height // sp
 
     kwargs = dict(env=env, shadow_maps=shadow_maps, textures=textures,

@@ -32,6 +32,7 @@ class EnvironmentMaps:
     specular_mips: tuple                   # tuple of [6, S_m, S_m, 3]
     brdf_lut: jnp.ndarray                  # [L, L, 2]
     sh_irradiance: jnp.ndarray = None      # [9, 3] SH9 diffuse coefficients
+    brdf_poly: jnp.ndarray = None          # [D, D, 2] Chebyshev LUT fit
 
 
 def build_environment(equirect_np, diffuse_size: int = 64,
@@ -54,6 +55,8 @@ def build_environment(equirect_np, diffuse_size: int = 64,
                 eq, base_size=specular_base, num_mips=specular_mips)),
         brdf_lut=jnp.asarray(ibl.brdf_lut_cached(lut_size)),
         sh_irradiance=ibl.sh9_irradiance_coeffs(eq),
+        brdf_poly=jnp.asarray(ibl.brdf_poly_fit(
+            ibl.brdf_lut_cached(lut_size))),
     )
 
 
@@ -633,6 +636,75 @@ def sky_directions(consts: FrameConstants, width: int, height: int) -> jnp.ndarr
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
 
 
+def _sky_quarter_dirs(consts: FrameConstants, width: int, height: int,
+                      y_offset: int = 0,
+                      out_rows: int | None = None) -> jnp.ndarray:
+    """View-ray directions on the quarter-resolution grid whose cell (qy,
+    qx) centers at full-res pixel coords (4qx + 2, y_offset + 4qy + 2).
+    out_rows limits the row count (a screen band of the full frame)."""
+    qw, qh = -(-width // 4), -(-(out_rows if out_rows is not None
+                                 else height) // 4)
+    px = (4.0 * jnp.arange(qw, dtype=jnp.float32) + 2.0) / width * 2.0 - 1.0
+    py = 1.0 - (y_offset + 4.0 * jnp.arange(qh, dtype=jnp.float32) + 2.0) \
+        / height * 2.0
+    ndc_x = jnp.broadcast_to(px[None, :], (qh, qw))
+    ndc_y = jnp.broadcast_to(py[:, None], (qh, qw))
+    clip = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, 0.5),
+                      jnp.ones_like(ndc_x)], axis=-1)
+    wp = jnp.einsum("ij,hwj->hwi", consts.inv_view_proj, clip)
+    wp = wp[..., :3] / jnp.where(jnp.abs(wp[..., 3:4]) > 1e-9, wp[..., 3:4], 1e-9)
+    d = wp - consts.camera_pos
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+
+
+def _axis_up4(a: jnp.ndarray, axis: int, n_out: int,
+              prev: jnp.ndarray | None = None,
+              nxt: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Bilinear 4x upsample along one axis of a quarter grid (centers at
+    4i + 1.5): gather-free — +-1 shifts blended with the four static
+    phase weights, interleaved by reshape. Output index y reads quarter
+    coord (y + 0.5)/4 - 0.5. prev/nxt override the edge-clamped shifted
+    copies (the multichip band renderer passes halo-exchanged rows so
+    seams interpolate exactly like the single-chip frame)."""
+    if prev is None:
+        prev = jnp.concatenate([jax.lax.slice_in_dim(a, 0, 1, axis=axis),
+                                jax.lax.slice_in_dim(a, 0, a.shape[axis] - 1,
+                                                     axis=axis)], axis=axis)
+    if nxt is None:
+        nxt = jnp.concatenate([jax.lax.slice_in_dim(a, 1, a.shape[axis],
+                                                    axis=axis),
+                               jax.lax.slice_in_dim(a, a.shape[axis] - 1,
+                                                    a.shape[axis],
+                                                    axis=axis)], axis=axis)
+    # phases r = 0..3: p = i + (2r - 3)/8
+    phases = [0.375 * prev + 0.625 * a,
+              0.125 * prev + 0.875 * a,
+              0.875 * a + 0.125 * nxt,
+              0.625 * a + 0.375 * nxt]
+    out = jnp.stack(phases, axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] = shape[axis] * 4
+    out = out.reshape(shape)
+    return jax.lax.slice_in_dim(out, 0, n_out, axis=axis)
+
+
+def _upsample4_phase(q: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    return _axis_up4(_axis_up4(q, 0, height), 1, width)
+
+
+def sky_background(consts: FrameConstants, env: EnvironmentMaps,
+                   width: int, height: int) -> jnp.ndarray:
+    """Skydome radiance for the frame at QUARTER resolution, bilinearly
+    upsampled: sky content is magnified many-fold from the equirect at
+    1080p, so the full-res per-pixel gather (~5.6 ms) is pure waste;
+    quarter-res bilinear equirect taps + the phase upsampler cost ~1.5 ms
+    and come out smoother than the old full-res nearest fetch."""
+    dirs_q = _sky_quarter_dirs(consts, width, height)
+    sky_q = ibl.sky_radiance(dirs_q, env.equirect, consts.hdri_yaw,
+                             bilinear=True)
+    return _upsample4_phase(sky_q, height, width)
+
+
 def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
                      hdr: jnp.ndarray, opaque_depth: jnp.ndarray,
                      width: int, height: int,
@@ -688,7 +760,8 @@ def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
             env_illum = ibl.environment_illumination(
                 n, v, mat["roughness"], mat["metalness"], mat["albedo"],
                 env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
-                hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance)
+                hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance,
+                brdf_poly=env.brdf_poly)
         color = shading.shade_forward(
             world_pos=attrs["wpos"], normal=n,
             albedo=mat["albedo"], roughness=mat["roughness"],
@@ -856,7 +929,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         env_illum = ibl.environment_illumination(
             n, v, mat["roughness"], mat["metalness"], mat["albedo"],
             env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
-            hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance)
+            hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance,
+                brdf_poly=env.brdf_poly)
 
     ao = jnp.broadcast_to(consts.ambient_factor, mask.shape)
     ao = ao * mat["local_ao"]  # material AO map (ForwardLighting.hlsl:269)
@@ -886,8 +960,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
     )
     if env is not None:
         # skydome for background pixels (Skydome.hlsl behavior)
-        dirs = sky_directions(consts, width, height)
-        background = ibl.sky_radiance(dirs, env.equirect, consts.hdri_yaw)
+        background = sky_background(consts, env, width, height)
     else:
         background = jnp.broadcast_to(consts.clear_color, hdr.shape)
     if coverage is not None:
