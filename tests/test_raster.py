@@ -74,7 +74,9 @@ class TestCube:
 
     def test_near_plane_crossing(self):
         # camera inside looking out through a giant ground plane that crosses
-        # the near plane -> the clipless path (global list) must render the
+        # the near plane -> the homogeneous clip-bbox must route it through
+        # the normal tile tiers (NOT a capacity-limited global list: the
+        # Sponza hall has ~1069 crossers vs the old 512 cap) and render the
         # visible part without artifacts.
         g = meshmod.grid(100.0, 100.0, 2, 2).lods[0]
         pos = g.positions.copy()
@@ -82,7 +84,8 @@ class TestCube:
         clip = raster.transform_clip(jnp.asarray(pos), jnp.asarray(mvp))
         depth, tid, setup = raster.render_visibility(clip, jnp.asarray(g.indices), W, H)
         depth, tid = np.asarray(depth), np.asarray(tid)
-        assert bool(np.asarray(setup.big).any())  # went through the global list
+        assert not bool(np.asarray(setup.big).any())  # no global-list routing
+        assert bool(np.asarray(setup.valid).any())
         covered = tid >= 0
         # lower half of the screen shows the plane, upper half is sky
         assert covered[int(H * 0.8):].mean() > 0.9

@@ -198,6 +198,28 @@ def main() -> None:
         return recs[idx].sum()
     micro("record gather [T,32]", rg)
 
+    sorted_bins = jnp.sort((payload % 1021).astype(jnp.int32))
+
+    def ss(s):
+        return jnp.searchsorted(
+            sorted_bins + s * 0, jnp.arange(1022, dtype=jnp.int32),
+            side="left").sum().astype(jnp.float32)
+    micro("searchsorted [T] x 1022", ss)
+
+    def hist_scatter(s):
+        b = ((payload + s.astype(jnp.uint32)) % 1021).astype(jnp.int32)
+        h = jnp.zeros((1021,), jnp.int32).at[b].add(1)
+        return jnp.cumsum(h).sum().astype(jnp.float32)
+    micro("scatter-add hist 1021 + cumsum", hist_scatter)
+
+    def binp(s):
+        sw = jnp.maximum((payload % 15).astype(jnp.int32), 1)
+        k = ((payload >> 4) % 16).astype(jnp.int32) + s * 0
+        q = jnp.floor((k.astype(jnp.float32) + 0.5)
+                      / sw.astype(jnp.float32)).astype(jnp.int32)
+        return ((q * 15) + (k - q * sw)).sum().astype(jnp.float32)
+    micro("fine bin compute (float div)", binp)
+
 
 if __name__ == "__main__":
     main()

@@ -12,6 +12,16 @@ import functools
 import jax
 from jax.experimental import pallas as pl
 
+# TPU MXU f32 matmuls/einsums default to ONE bf16 pass (8-bit mantissa):
+# measured on-chip, a one-hot id-selection dot returns ids wrong by up to
+# +-1014 at 284k triangles and edge functions carry 6.8e-4 relative error
+# — the source of the round-1 "MSAA brightness diff" and shattered
+# geometry on TPU that CPU (exact f32) tests could never see. 'highest'
+# (6-pass bf16 decomposition) reproduces f32 exactly, including the
+# packed-bf16-pair attribute words selected through the MXU. This must be
+# set before any trace; every op module imports this one.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @functools.cache
 def on_tpu() -> bool:

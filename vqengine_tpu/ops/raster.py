@@ -155,11 +155,14 @@ def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray | None,
     # condition: scale each vertex by 1/|w| (positive scale keeps signs,
     # barycentric ratios, and z/det invariant)
     s, xs, ys, ws, zs = [], [], [], [], []
+    xs_u, ys_u = [], []
     for i in range(3):
         si = 1.0 / jnp.maximum(jnp.abs(w[i]), 1e-9)
         xsi = (x[i] * 0.5 + w[i] * 0.5) * width
         ysi = (-y[i] * 0.5 + w[i] * 0.5) * full_height - y_offset * w[i]
         s.append(si)
+        xs_u.append(xsi)
+        ys_u.append(ysi)
         xs.append(xsi * si)
         ys.append(ysi * si)
         ws.append(w[i] * si)
@@ -180,20 +183,53 @@ def setup_triangles(clip: jnp.ndarray, indices: jnp.ndarray | None,
     inv_det = jnp.where(front, 1.0 / jnp.where(front, det, 1.0), 0.0)
     zc = [zs[i] * inv_det for i in range(3)]
 
-    # screen bbox (only meaningful when every w is positive)
-    all_w_pos = (w[0] > 1e-9) & (w[1] > 1e-9) & (w[2] > 1e-9)
-    sx = [xs[i] / jnp.where(ws[i] != 0, ws[i], 1.0) for i in range(3)]
-    sy = [ys[i] / jnp.where(ws[i] != 0, ws[i], 1.0) for i in range(3)]
-    xmin = jnp.minimum(jnp.minimum(sx[0], sx[1]), sx[2])
-    xmax = jnp.maximum(jnp.maximum(sx[0], sx[1]), sx[2])
-    ymin = jnp.minimum(jnp.minimum(sy[0], sy[1]), sy[2])
-    ymax = jnp.maximum(jnp.maximum(sy[0], sy[1]), sy[2])
+    # screen bbox. Near-plane crossers (mixed w signs) get an EXACT bbox
+    # by clipping against w = eps in homogeneous space: the visible part
+    # of the triangle is a bounded convex polygon whose projection is the
+    # hull of (vertices with w > eps) + (edge intersections at w = eps) —
+    # so every triangle bins through the normal tile tiers. (The old
+    # design routed crossers to a GLOBAL_CAP=512 list streamed by every
+    # tile: scenes whose camera sits inside large geometry overflow it —
+    # the Sponza hall has ~1069 crossers — silently dropping walls.)
+    eps = 1e-5
+    w_ok = [w[i] > eps for i in range(3)]
+    any_ok = w_ok[0] | w_ok[1] | w_ok[2]
+    all_w_pos = w_ok[0] & w_ok[1] & w_ok[2]
+    BIG = jnp.float32(1e9)
+    cand_x, cand_y, cand_ok = [], [], []
+    for i in range(3):
+        cand_x.append(xs[i] / jnp.where(ws[i] != 0, ws[i], 1.0))
+        cand_y.append(ys[i] / jnp.where(ws[i] != 0, ws[i], 1.0))
+        cand_ok.append(w_ok[i])
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        cross_e = w_ok[a] != w_ok[b]
+        denom = w[b] - w[a]
+        t = (eps - w[a]) / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+        xh = xs_u[a] + t * (xs_u[b] - xs_u[a])
+        yh = ys_u[a] + t * (ys_u[b] - ys_u[a])
+        cand_x.append(xh / eps)
+        cand_y.append(yh / eps)
+        cand_ok.append(cross_e)
+    xmin = xmax = ymin = ymax = None
+    for cx, cy, ok in zip(cand_x, cand_y, cand_ok):
+        lo_x = jnp.where(ok, cx, BIG)
+        hi_x = jnp.where(ok, cx, -BIG)
+        lo_y = jnp.where(ok, cy, BIG)
+        hi_y = jnp.where(ok, cy, -BIG)
+        xmin = lo_x if xmin is None else jnp.minimum(xmin, lo_x)
+        xmax = hi_x if xmax is None else jnp.maximum(xmax, hi_x)
+        ymin = lo_y if ymin is None else jnp.minimum(ymin, lo_y)
+        ymax = hi_y if ymax is None else jnp.maximum(ymax, hi_y)
+    # a pixel of slack absorbs f32 rounding of the extreme clip ratios
+    pad = jnp.where(all_w_pos, 0.0, 1.0)
+    xmin, xmax = xmin - pad, xmax + pad
+    ymin, ymax = ymin - pad, ymax + pad
 
-    offscreen = all_w_pos & ((xmax < 0) | (xmin >= width) | (ymax < 0) | (ymin >= height))
-    valid = front & ~offscreen
+    offscreen = (xmax < 0) | (xmin >= width) | (ymax < 0) | (ymin >= height)
+    valid = front & any_ok & ~offscreen
     if tri_mask is not None:
         valid = valid & tri_mask
-    big = valid & ~all_w_pos                       # near-plane crossers: no bbox
+    big = jnp.zeros_like(valid)     # the global tier is no longer needed
 
     tiles_x = cdiv(width, TILE_W)
     tiles_y = cdiv(height, TILE_H)
@@ -406,7 +442,10 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
         # average ~1.3 covered tiles, so cap = T gives ~2.5x headroom.
         pair_capacity = max(GROUP, min(t, 4 * 1024 * 1024))
     cap = cdiv(pair_capacity, GROUP) * GROUP
-    cap_r = cdiv(max(4096, t // 8), GROUP) * GROUP
+    # row-tier capacity: medium triangles emit span_h pairs each, and
+    # near-plane crossers (clipped bboxes often spanning many rows) now
+    # bin here too — t//4 holds ~2.5k full-height triangles at 1080p
+    cap_r = cdiv(max(8192, t // 4), GROUP) * GROUP
 
     records = _pack_records(setup, extra)
 
