@@ -212,6 +212,20 @@ def main() -> None:
         return jnp.cumsum(h).sum().astype(jnp.float32)
     micro("scatter-add hist 1021 + cumsum", hist_scatter)
 
+    # decides the gather-resolve kernel design: per-PIXEL winner-record
+    # row fetch from the [cap, 32] f32 table (36 MB — well off the
+    # small-table fast path, but row gathers are fetch-count-bound)
+    pix = 1920 * 1080
+    pidx = jnp.asarray(rng.integers(0, T, pix).astype(np.int32))
+
+    def rg2m(s):
+        return recs[(pidx + s) % T].sum()
+    micro("record row gather [2M px, 32]", rg2m)
+
+    def rg2m_half(s):
+        return recs[(pidx[: pix // 4] + s) % T].sum()
+    micro("record row gather [0.5M px, 32]", rg2m_half)
+
     def binp(s):
         sw = jnp.maximum((payload % 15).astype(jnp.int32), 1)
         k = ((payload >> 4) % 16).astype(jnp.int32) + s * 0

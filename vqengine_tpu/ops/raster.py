@@ -581,6 +581,8 @@ def _make_raster_kernel(sample_offsets: tuple):
                                           sem.at[slot]).wait()
                     cur = buf.at[slot]
 
+                    # (Precision.HIGH is not lowerable by Mosaic; all
+                    # kernel dots run the exact 6-pass config default)
                     b0 = jax.lax.dot_general(cur[0:3], p3, dn, preferred_element_type=jnp.float32)
                     b1 = jax.lax.dot_general(cur[3:6], p3, dn, preferred_element_type=jnp.float32)
                     b2 = jax.lax.dot_general(cur[6:9], p3, dn, preferred_element_type=jnp.float32)
@@ -807,6 +809,8 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
                                           sem.at[slot]).wait()
                     cur = buf.at[slot]
 
+                    # (Precision.HIGH is not lowerable by Mosaic; all
+                    # kernel dots run the exact 6-pass config default)
                     b0 = jax.lax.dot_general(cur[0:3], p3, dn, preferred_element_type=jnp.float32)
                     b1 = jax.lax.dot_general(cur[3:6], p3, dn, preferred_element_type=jnp.float32)
                     b2 = jax.lax.dot_general(cur[6:9], p3, dn, preferred_element_type=jnp.float32)

@@ -245,20 +245,43 @@ def tex_num_levels(textures) -> int:
     return len(textures)
 
 
+def mip_jitter(h: int, w: int, y_offset=0) -> jnp.ndarray:
+    """Per-pixel R2 low-discrepancy jitter in [0,1) for stochastic
+    trilinear (see sample_texture_array). y_offset shifts the pattern to
+    global frame rows so screen-band sharding reproduces the single-chip
+    dither exactly."""
+    g = 1.32471795724474602596  # plastic constant
+    a1, a2 = 1.0 / g, 1.0 / (g * g)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + y_offset
+    return (a1 * xs + a2 * ys) % 1.0
+
+
 def sample_texture_array(mips, tex_id: jnp.ndarray,
                          uv: jnp.ndarray, lod: jnp.ndarray | None = None,
-                         trilinear: bool = True) -> jnp.ndarray:
+                         trilinear: bool = True,
+                         jitter: jnp.ndarray | None = None) -> jnp.ndarray:
     """Mip-mapped sample: mips is a list of [N, s_m, s_m, 4] levels or a
     PackedTextures; tex_id [H, W] (negative = slot unused; callers mask via
     Has*Map), uv [H, W, 2] -> rgba [H, W, 4]. Trilinear by default — the
     reference samples material maps with linear-mip samplers
     (ForwardLighting.hlsl:81-102); trilinear=False falls back to
     nearest-mip bilinear. Gather cost: packed = 1 row gather per tap
-    (2 trilinear), f32 = 4 per tap (8 trilinear)."""
+    (2 trilinear), f32 = 4 per tap (8 trilinear).
+
+    jitter [H, W] in [0,1) enables STOCHASTIC trilinear: the mip blend
+    becomes a dithered selection (floor(lod + jitter)) — the trilinear
+    curve in expectation at HALF the fetches (texture sampling is
+    fetch-count-bound on TPU, ~6 ms per sampled map per 1080p frame).
+    The R2 dither (mip_jitter) keeps the error blue-noise distributed."""
     if lod is None:
         lod = uv_mip_level(uv, tex_base_size(mips), tex_num_levels(mips) - 1)
     if isinstance(mips, PackedTextures):
         max_m = len(mips.sizes) - 1
+        if jitter is not None and trilinear:
+            lodi = jnp.clip(jnp.floor(lod + jitter).astype(jnp.int32),
+                            0, max_m)
+            return _packed_tap(mips, tex_id, uv, lodi)
         if not trilinear:
             lodi = jnp.clip(lod.astype(jnp.int32), 0, max_m)
             return _packed_tap(mips, tex_id, uv, lodi)
@@ -271,6 +294,9 @@ def sample_texture_array(mips, tex_id: jnp.ndarray,
     flat, offs = _flatten_mips(mips)
     t = jnp.maximum(tex_id, 0)
     max_m = len(mips) - 1
+    if jitter is not None and trilinear:
+        lodi = jnp.clip(jnp.floor(lod + jitter).astype(jnp.int32), 0, max_m)
+        return _bilinear_fetch(flat, _bilinear_indices(mips, offs, t, uv, lodi))
     if not trilinear:
         lodi = jnp.clip(lod.astype(jnp.int32), 0, max_m)
         return _bilinear_fetch(flat, _bilinear_indices(mips, offs, t, uv, lodi))
@@ -284,7 +310,8 @@ def sample_texture_array(mips, tex_id: jnp.ndarray,
 
 def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
                                uv: jnp.ndarray, num_taps: int = 2,
-                               max_aniso: float = 4.0) -> jnp.ndarray:
+                               max_aniso: float = 4.0,
+                               jitter: jnp.ndarray | None = None) -> jnp.ndarray:
     """Anisotropic sample (the AnisoSampler, ForwardLighting.hlsl:81):
     num_taps trilinear taps along the major-footprint axis, weighted
     uniformly, with LOD chosen from the minor axis so grazing-angle
@@ -302,7 +329,9 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
     for i in range(num_taps):
         f = (i + 0.5) / num_taps - 0.5
         uv_i = uv + major * (f * span / jnp.maximum(ratio, 1e-6))[..., None]
-        c = sample_texture_array(mips, tex_id, uv_i, lod=lod)
+        # decorrelate the taps' stochastic mip picks (i/num_taps shift)
+        jit_i = None if jitter is None else (jitter + i / num_taps) % 1.0
+        c = sample_texture_array(mips, tex_id, uv_i, lod=lod, jitter=jit_i)
         acc = c if acc is None else acc + c
     return acc / num_taps
 

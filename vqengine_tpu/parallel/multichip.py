@@ -39,6 +39,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import culling, ibl, raster, shading
+from ..ops import texture as tex_ops2
 from ..ops import postprocess as pp
 from ..ops import colorspace as cs
 from ..ops import ssao as ssao_ops
@@ -148,9 +149,13 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
         lod = tex_ops.uv_mip_level(
             uv_scaled, tex_ops.tex_base_size(textures),
             tex_ops.tex_num_levels(textures) - 1)[1:-1]
+    # R2 mip jitter at GLOBAL frame rows: band dithers match single-chip
+    mip_jit = (tex_ops2.mip_jitter(band_height, width, y_offset=y0)
+               if textures is not None else None)
     mat = graph.material_pass(scene, tri_id, uv=uv, wnrm=wn, wtan=wt,
                               textures=textures, mrow=mrow, ids=ids,
-                              slots_used=slots_used, lod=lod)
+                              slots_used=slots_used, lod=lod,
+                              mip_jitter=mip_jit)
     n = mat["normal"] if mat.get("normal") is not None else wn
 
     ao = jnp.broadcast_to(consts.ambient_factor, mask.shape)

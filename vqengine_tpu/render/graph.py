@@ -347,7 +347,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
                   ids: jnp.ndarray | None = None,
                   aniso_taps: int = 0,
                   slots_used: tuple | None = None,
-                  lod: "jnp.ndarray | None" = None):
+                  lod: "jnp.ndarray | None" = None,
+                  mip_jitter: "jnp.ndarray | None" = None):
     """Per-pixel material fetch + texture sampling — the PSMain material
     block (ForwardLighting.hlsl:226-277): per-slot Has*Map tests gate
     sampled values; albedo/emissive decode sRGB; ORM packs
@@ -404,7 +405,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
 
     def sample(bit, lod_bias=None):
         l = lod if lod_bias is None else jnp.clip(lod + lod_bias, 0, max_lod)
-        return tex_ops.sample_texture_array(textures, slot_id(bit), uv_t, l)
+        return tex_ops.sample_texture_array(textures, slot_id(bit), uv_t, l,
+                                            jitter=mip_jitter)
 
     if used(0):
         if aniso_taps > 1:
@@ -412,7 +414,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
             # AnisoSampler on the albedo slot (grazing-angle floors); other
             # slots stay trilinear
             diffuse_s = tex_ops.sample_texture_array_aniso(
-                textures, slot_id(0), uv_t, num_taps=aniso_taps)
+                textures, slot_id(0), uv_t, num_taps=aniso_taps,
+                jitter=mip_jitter)
         else:
             diffuse_s = sample(0)
         out["albedo"] = jnp.where(
@@ -439,7 +442,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
         caux = mrow[..., 29].astype(jnp.int32)
         has_c = caux >= 0
         l_aux = jnp.clip(lod + mrow[..., 16], 0, max_lod)
-        aux = tex_ops.sample_texture_array(textures, caux, uv_t, l_aux)
+        aux = tex_ops.sample_texture_array(textures, caux, uv_t, l_aux,
+                                           jitter=mip_jitter)
         if wnrm is not None and wtan is not None:
             n_c = tex_ops.unpack_normal_map_xy(aux[..., 0:2], wnrm, wtan)
             out["normal"] = jnp.where(has_c[..., None], n_c, out["normal"])
@@ -830,10 +834,16 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
     wn = attrs["wnrm"]
     wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-9)
     wt = attrs["wtan"]
+    # stochastic trilinear: per-pixel R2-dithered mip pick — the
+    # trilinear curve in expectation at half the (fetch-count-bound) taps
+    from ..ops import texture as tex_ops
+    mip_jit = (tex_ops.mip_jitter(height, width)
+               if textures is not None else None)
     mat = material_pass(scene, tri_id, uv=attrs["uv"], wnrm=wn, wtan=wt,
                         textures=textures,
                         mrow=attrs.get("mrow"), ids=attrs.get("ids"),
-                        aniso_taps=aniso_taps, slots_used=slots_used)
+                        aniso_taps=aniso_taps, slots_used=slots_used,
+                        mip_jitter=mip_jit)
     n = mat["normal"] if mat.get("normal") is not None else wn
 
     if alpha_test and "alpha" in mat:
@@ -853,7 +863,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         mat2 = material_pass(scene, id2, uv=attrs2["uv"], wnrm=wn2,
                              wtan=attrs2["wtan"], textures=textures,
                              mrow=attrs2["mrow"], ids=attrs2["ids"],
-                             aniso_taps=aniso_taps, slots_used=slots_used)
+                             aniso_taps=aniso_taps, slots_used=slots_used,
+                             mip_jitter=mip_jit)
         ok2 = mask2 & (mat2.get("alpha", jnp.ones_like(d2)) >= 0.01)
 
         def mrg(x1, x2):
