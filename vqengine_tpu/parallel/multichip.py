@@ -307,13 +307,16 @@ def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
 
     rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
     specs_consts = jax.tree_util.tree_map(lambda _: P("dp"), consts_batch)
-    fn = shard_map(
+    # jit the whole sharded step: an un-jitted shard_map dispatches
+    # EAGERLY op by op (measured 9.5 min vs 54 s for the driver dryrun
+    # shapes on the 1-core CPU host — each primitive compiled separately)
+    fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(rep(scene), specs_consts, rep(env), rep(shadow_maps),
                   rep(textures)),
         out_specs=(P("dp", "sp", None, None), P("dp", "sp", None)),
         check_vma=False,  # pallas_call outputs carry no vma info
-    )
+    ))
     return fn(scene, consts_batch, env, shadow_maps, textures)
 
 
