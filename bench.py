@@ -175,25 +175,37 @@ def main() -> None:
 
     @jax.jit
     def run_n(scene, consts_batch, env, shadow_maps, textures):
+        # SSR history carries ACROSS frames (the DNSR temporal path is
+        # part of the measured config, VERDICT r2 #9); motion vectors feed
+        # the reprojection like the reference's DNSR reproject pass.
+        hist0 = jnp.zeros((height // 2, width // 2, 4), jnp.float32)
+
         def frame(carry, consts_i):
+            acc, hist, oflow = carry
             out = graph.render_forward(
                 scene, consts_i, width=width, height=height,
                 enable_shadows=True, enable_ssao=True, enable_ssr=True,
                 msaa=True, textures=textures, aniso_taps=2,
-                slots_used=slots_used,
+                slots_used=slots_used, enable_motion_vectors=True,
+                ssr_history=hist,
                 env=env, shadow_maps=shadow_maps)
-            return (carry + out["ldr"].sum() + out["depth"].sum(),
+            acc = acc + out["ldr"].sum() + out["depth"].sum()
+            oflow = jnp.maximum(oflow, out["overflow"].max())
+            return ((acc, out["ssr_history"], oflow),
                     (out["tri_id"] >= 0).mean())
-        total, cover = jax.lax.scan(frame, jnp.float32(0.0), consts_batch)
-        return total, cover
+        (total, _, oflow), cover = jax.lax.scan(
+            frame, (jnp.float32(0.0), hist0, jnp.int32(0)), consts_batch)
+        return total, cover, oflow
 
     @jax.jit
     def nop(t):
         return t + 1
 
-    tot, cover = run_n(scene, consts_batch, env, shadow_maps, textures)
+    tot, cover, oflow = run_n(scene, consts_batch, env, shadow_maps, textures)
     coverage = float(np.asarray(cover).mean())
     assert coverage > 0.5, f"stress frame mostly empty (coverage={coverage})"
+    assert int(np.asarray(oflow)) == 0, \
+        f"raster bin overflow in bench scene: {int(np.asarray(oflow))} pairs dropped"
     _ = np.asarray(nop(jnp.zeros(4)))
 
     t0 = time.perf_counter()
@@ -203,7 +215,7 @@ def main() -> None:
     floor = (time.perf_counter() - t0) / reps
 
     t0 = time.perf_counter()
-    tot, cover = run_n(scene, consts_batch, env, shadow_maps, textures)
+    tot, cover, oflow = run_n(scene, consts_batch, env, shadow_maps, textures)
     _ = np.asarray(tot)
     total = time.perf_counter() - t0 - floor
 

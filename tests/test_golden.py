@@ -106,8 +106,9 @@ def render_config(name: str) -> np.ndarray:
     e.gfx.bAntiAliasing = opts.get("msaa", False)
     e.gfx.Reflections = 1 if opts.get("ssr", False) else 0
     e.gfx.bDrawLightBounds = True
-    if not e.start_loading_scene(scene):
-        pytest.skip(f"scene {scene} unavailable")
+    # scenes ship in-repo (Data/Levels); an unresolvable scene is a bug,
+    # not a skip (VERDICT r2 #8 — the silent-skip path hid missing data)
+    assert e.start_loading_scene(scene), f"scene {scene} failed to load"
     cam = e.cameras[0]
     consts = e.renderer.build_frame_constants(e.scene_buffers, cam, e.lights)
     out = e.renderer.render(consts, 192, 108, env=e.environment,
@@ -120,12 +121,21 @@ def render_config(name: str) -> np.ndarray:
     return np.asarray(out.ldr)
 
 
-CONFIGS = ["hello_triangle", "hello_cube", "hello_cube_msaa", "default_scene",
-           "default_ssao", "default_ssr", "default_hdr10", "sponza",
-           "terrain", "envmap_unit_test", "textured_quad"]
+# core lane: one config per major feature axis (raster, MSAA, shadows,
+# SSAO, SSR, textures, stress scene). The rest are variations that share
+# those code paths and run in the --runslow lane (the host has one CPU
+# core; each engine-level config compiles its own graph).
+CORE_CONFIGS = ["hello_triangle", "hello_cube_msaa", "default_ssao",
+                "default_ssr", "sponza", "textured_quad"]
+EXTENDED_CONFIGS = ["hello_cube", "default_scene", "default_hdr10",
+                    "terrain", "envmap_unit_test"]
+CONFIGS = CORE_CONFIGS + EXTENDED_CONFIGS
 
 
-@pytest.mark.parametrize("name", CONFIGS)
+@pytest.mark.parametrize(
+    "name",
+    CORE_CONFIGS + [pytest.param(n, marks=pytest.mark.slow)
+                    for n in EXTENDED_CONFIGS])
 def test_golden(name):
     from vqengine_tpu.utils.image_io import read_png
     from vqengine_tpu.utils.ssim import ssim

@@ -86,6 +86,7 @@ class TestShardedRender:
                 assert covered[0].any() and covered[1].any()
 
 
+@pytest.mark.slow
 class TestShardedFullPipeline:
     """Feature parity of the sharded band renderer with render_forward:
     shadows (cached ESM maps incl. point cube), IBL, textured materials,

@@ -683,6 +683,17 @@ class VQEngineTPU:
                     if not bool(np.asarray(jnp.isfinite(last.ldr).all())):
                         log.error(f"non-finite pixels at frame {self.num_ticks}")
                         return 2
+                    # binning-capacity probe: dropped pairs mean silently
+                    # missing geometry (the failure class that ate Sponza's
+                    # walls in round 2) — abort loudly instead
+                    if last.overflow is not None:
+                        ov = np.asarray(last.overflow)
+                        if int(ov.sum()) != 0:
+                            log.error(
+                                f"raster bin overflow at frame "
+                                f"{self.num_ticks}: dropped (fine, row, "
+                                f"global) pairs = {ov.tolist()}")
+                            return 3
         except Exception as e:  # noqa: BLE001
             log.error(f"frame {self.num_ticks} failed: {e}")
             raise

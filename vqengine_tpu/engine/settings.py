@@ -27,7 +27,10 @@ class FGraphicsSettings:
     Reflections: int = 1                # 0 off, 1 SSR on
     EnvironmentMapResolution: int = 512
     bAmbientOcclusion: bool = True      # FFX-CACAO-class SSAO
-    bMotionVectors: bool = False
+    # motion vectors feed the DNSR temporal reprojection; on by default so
+    # reflections reproject under camera motion like the reference
+    # (ScreenSpaceReflections.h:104-171 reproject pass)
+    bMotionVectors: bool = True
     bDrawLightBounds: bool = True       # light gizmo meshes (Unlit.hlsl)
     bDrawBoundingBoxes: bool = False    # wireframe AABBs (F-key toggle)
 

@@ -285,6 +285,10 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
             depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width, height)
         attrs, mask = _attrs_from_gbuf(scene, consts, depth, tri_id, gbuf,
                                        width, height)
+        # binning capacity accounting rides with the frame so production
+        # callers can detect silently-dropped geometry (the debug-layer
+        # discipline of Renderer.cpp:233-240; see engine.run's probe)
+        attrs["overflow"] = binned.overflow
         if return_binned:
             return depth, tri_id, attrs, mask, coverage, binned
         return depth, tri_id, attrs, mask, coverage
@@ -1031,6 +1035,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
 
     out = {"ldr": ldr, "depth": depth, "tri_id": tri_id,
            "object_id": jnp.where(mask, mat["object_id"], -1)}
+    if "overflow" in attrs:
+        out["overflow"] = attrs["overflow"]
     if ao_map is not None:
         out["ao"] = ao_map
     if motion is not None:

@@ -47,6 +47,7 @@ class FrameOutput:
     ao: np.ndarray | None = None
     motion: np.ndarray | None = None
     ssr_history: np.ndarray | None = None
+    overflow: np.ndarray | None = None  # [3] dropped (pairs, row pairs, globals)
 
 
 class VQRendererTPU:
@@ -276,4 +277,5 @@ class VQRendererTPU:
         return FrameOutput(ldr=ldr, depth=out["depth"], tri_id=out["tri_id"],
                            object_id=out.get("object_id"),
                            ao=out.get("ao"), motion=out.get("motion"),
-                           ssr_history=out.get("ssr_history"))
+                           ssr_history=out.get("ssr_history"),
+                           overflow=out.get("overflow"))
