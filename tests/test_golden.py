@@ -92,6 +92,11 @@ def render_config(name: str) -> np.ndarray:
         "default_hdr10": ("Default", dict(ssao=False, msaa=False, ssr=False,
                                           shadow_dims=(64, 64, 64),
                                           hdr10=True)),
+        # full-res 5x5 PCF spot/dir + 20-tap omni point (the reference's
+        # default shadow look, Lighting.hlsl:89-272) as a pinned config
+        "default_pcf": ("Default", dict(ssao=False, msaa=False, ssr=False,
+                                        shadow_dims=(128, 64, 128),
+                                        shadow_filter="pcf")),
         "sponza": ("Sponza", dict(ssao=False, msaa=False, ssr=False,
                                   shadow_dims=(128, 64, 256))),
         "terrain": ("Terrain", dict(ssao=False, msaa=False, ssr=False,
@@ -117,7 +122,8 @@ def render_config(name: str) -> np.ndarray:
                             enable_ssr=bool(e.gfx.Reflections),
                             textures=e.texture_arrays,
                             hdr10=opts.get("hdr10", False),
-                            shadow_dims=opts.get("shadow_dims"))
+                            shadow_dims=opts.get("shadow_dims"),
+                            shadow_filter=opts.get("shadow_filter", "esm"))
     return np.asarray(out.ldr)
 
 
@@ -128,7 +134,7 @@ def render_config(name: str) -> np.ndarray:
 CORE_CONFIGS = ["hello_triangle", "hello_cube_msaa", "default_ssao",
                 "default_ssr", "sponza", "textured_quad"]
 EXTENDED_CONFIGS = ["hello_cube", "default_scene", "default_hdr10",
-                    "terrain", "envmap_unit_test"]
+                    "default_pcf", "terrain", "envmap_unit_test"]
 CONFIGS = CORE_CONFIGS + EXTENDED_CONFIGS
 
 

@@ -1,0 +1,122 @@
+"""One-row geometry timing (bin+raster_gbuf, msaa) on the bench scene —
+quick A/B for raster/binning experiments. Run alone on the TPU."""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+from bench import build_sponza_stress  # noqa: E402
+
+
+def main() -> None:
+    from vqengine_tpu.engine.engine import _enable_compilation_cache
+    _enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqengine_tpu.ops import culling, raster
+    from vqengine_tpu.render import graph
+    from vqengine_tpu.render.renderer import VQRendererTPU
+    from vqengine_tpu.scene.camera import Camera, FCameraParameters
+
+    width, height = 1920, 1080
+    buffers, lights, _ = build_sponza_stress()
+    scene = graph.upload_scene(buffers)
+
+    p = FCameraParameters()
+    p.position = np.array([700, 170, -50], np.float32)
+    p.pitch_deg, p.yaw_deg = 15.0, -90.0
+    p.fov_v_deg, p.near_z, p.far_z = 60.0, 0.5, 4000.0
+    cam = Camera(p, aspect=width / height)
+    renderer = VQRendererTPU()
+
+    n = 16
+    cam_list = []
+    for i in range(n):
+        cam.yaw = -90.0 + 4.0 * np.sin(i * 0.15)
+        cam_list.append(renderer.build_frame_constants(buffers, cam, lights))
+    consts_batch = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *cam_list)
+
+    def checksum(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves
+                   if hasattr(x, "astype"))
+
+    @jax.jit
+    def nop(t):
+        return t + 1
+
+    def timed(name, frame_fn):
+        @jax.jit
+        def run_n(consts_batch):
+            def step(carry, consts_i):
+                return carry + frame_fn(consts_i), None
+            tot, _ = jax.lax.scan(step, jnp.float32(0.0), consts_batch)
+            return tot
+        _ = np.asarray(run_n(consts_batch))
+        samples = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            _ = np.asarray(nop(jnp.zeros(4)))
+            samples.append(time.perf_counter() - t0)
+        floor = min(samples)
+        t0 = time.perf_counter()
+        _ = np.asarray(run_n(consts_batch))
+        ms = (time.perf_counter() - t0 - floor) / n * 1e3
+        print(f"{name:40s} {ms:8.2f} ms/frame", flush=True)
+
+    def geom(consts, msaa=True):
+        visible, lod = culling.cull_and_select_lod(
+            consts.world, scene.aabb_center, scene.aabb_extent,
+            consts.frustum_planes, consts.view_proj, scene.item_num_lods)
+        tri_mask = culling.triangle_mask_from_items(
+            scene.tri_item, scene.tri_lod, visible, lod)
+        wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+        tl = scene.num_tris_live
+        tri_item = scene.tri_item[:tl]
+        clip_c = raster.transform_clip_corners(
+            scene.corner_positions, tri_item, wvp)
+        setup = raster.setup_triangles(clip_c, None, width, height,
+                                       tri_mask=tri_mask[:tl])
+        extra = raster.pack_gbuf_extra_corners(
+            scene.corner_normals, scene.corner_tangents, scene.corner_uvs,
+            tri_item, consts.normal_mats,
+            scene.item_material[tri_item], scene.item_object[tri_item])
+        binned = raster.bin_triangles(setup, width, height, extra=extra)
+        out = raster.rasterize_gbuf(binned, width, height, msaa=msaa)
+        return checksum((out[0], out[1]))
+
+    def bin_only(consts):
+        visible, lod = culling.cull_and_select_lod(
+            consts.world, scene.aabb_center, scene.aabb_extent,
+            consts.frustum_planes, consts.view_proj, scene.item_num_lods)
+        tri_mask = culling.triangle_mask_from_items(
+            scene.tri_item, scene.tri_lod, visible, lod)
+        wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+        tl = scene.num_tris_live
+        tri_item = scene.tri_item[:tl]
+        clip_c = raster.transform_clip_corners(
+            scene.corner_positions, tri_item, wvp)
+        setup = raster.setup_triangles(clip_c, None, width, height,
+                                       tri_mask=tri_mask[:tl])
+        extra = raster.pack_gbuf_extra_corners(
+            scene.corner_normals, scene.corner_tangents, scene.corner_uvs,
+            tri_item, consts.normal_mats,
+            scene.item_material[tri_item], scene.item_object[tri_item])
+        return checksum(raster.bin_triangles(setup, width, height,
+                                             extra=extra))
+
+    timed("bin only", bin_only)
+    timed("geometry msaa", geom)
+    timed("bin only (2)", bin_only)
+    timed("geometry msaa (2)", geom)
+
+
+if __name__ == "__main__":
+    main()

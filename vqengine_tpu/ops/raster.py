@@ -33,6 +33,7 @@ z in [0, 1]; screen y points down; front faces wind clockwise on screen
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -433,19 +434,19 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     tiles_y = cdiv(height, TILE_H)
     nt = tiles_x * tiles_y
     t = setup.edges9.shape[0]
-    # dead pairs ride in pass-2 bucket 63 (sentinel >> 26); real tiles must
-    # stay below that bucket: nt <= 63 << 6
-    assert nt <= 4031, f"{nt} tiles exceed the 2x6-bit radix range"
+    # fine bins + row bins + the dead-pair sentinel must fit the packed
+    # payload's 12-bit bin field (covers 2048^2 shadow maps: 2176 bins)
+    assert nt + tiles_y <= 4094, f"{nt}+{tiles_y} bins exceed the 12-bit field"
     if pair_capacity is None:
         # pair work scales with CAPACITY, so keep it tight: T is already
         # bucket-padded above the live triangle count, and live triangles
-        # average ~1.3 covered tiles, so cap = T gives ~2.5x headroom.
-        pair_capacity = max(GROUP, min(t, 4 * 1024 * 1024))
-    cap = cdiv(pair_capacity, GROUP) * GROUP
-    # row-tier capacity: medium triangles emit span_h pairs each, and
-    # near-plane crossers (clipped bboxes often spanning many rows) now
-    # bin here too — t//4 holds ~2.5k full-height triangles at 1080p
-    cap_r = cdiv(max(8192, t // 4), GROUP) * GROUP
+        # average ~1.3 covered tiles, so cap = T gives ~2.5x headroom;
+        # the row-tier share (medium triangles emit span_h pairs each,
+        # incl. near-plane crossers) adds t//4 — ~2.5k full-height
+        # triangles at 1080p.
+        pair_capacity = (max(GROUP, min(t, 4 * 1024 * 1024))
+                         + max(8192, t // 4))
+    cap_all = cdiv(pair_capacity, GROUP) * GROUP
 
     records = _pack_records(setup, extra)
 
@@ -462,12 +463,20 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     small = setup.valid & ~setup.big & (ncover <= k_max)
     medium = setup.valid & ~setup.big & (ncover > k_max)
     big = setup.valid & setup.big
-    nc = jnp.where(small, ncover, 0).astype(jnp.int32)
-    nc_r = jnp.where(medium, span_h, 0).astype(jnp.int32)
+    nc_all = jnp.where(small, ncover,
+                       jnp.where(medium, span_h, 0)).astype(jnp.int32)
 
-    tri_cols = jnp.stack([tx0, ty0, span_w], axis=1)       # [T, 3]
+    # fine and row tiers ride ONE compaction + radix pipeline (measured:
+    # the per-pass fixed costs — scatter, cummax fill, row gathers, block
+    # transpose — dominate over the bucket-count-proportional cumsum, so
+    # one combined pass over cap+cap_r pairs with nt+tiles_y bins beats
+    # two separate passes by ~6 ms/frame at 284k tris). Bins 0..nt-1 are
+    # per-tile (small tris), nt..nt+tiles_y-1 per tile-row (medium tris);
+    # both segment tables slice out of the one sorted array.
+    tri_cols = jnp.stack([tx0, ty0, span_w,
+                          medium.astype(jnp.int32)], axis=1)   # [T, 4]
 
-    def fine_bin(rowp, k):
+    def combined_bin(rowp, k):
         # variable-divisor integer div/mod has no VPU hardware path (it
         # lowers to a long scalar sequence); exact float division covers
         # the k < k_max <= span range (the +0.5 keeps floor() off the
@@ -475,15 +484,15 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
         sw = jnp.maximum(rowp[:, 2], 1)
         q = jnp.floor((k.astype(jnp.float32) + 0.5)
                       / sw.astype(jnp.float32)).astype(jnp.int32)
-        return (rowp[:, 1] + q) * tiles_x + rowp[:, 0] + (k - q * sw)
+        fine = (rowp[:, 1] + q) * tiles_x + rowp[:, 0] + (k - q * sw)
+        row = nt + rowp[:, 1] + k
+        return jnp.where(rowp[:, 3] > 0, row, fine)
 
-    def row_bin(rowp, k):
-        return rowp[:, 1] + k
-
-    pairs, starts, drop_f = _bin_one_axis(nc, tri_cols, records, cap, nt,
-                                          fine_bin)
-    rpairs, rstarts, drop_r = _bin_one_axis(nc_r, tri_cols, records, cap_r,
-                                            tiles_y, row_bin)
+    pairs, starts_all, drop_all = _bin_one_axis(
+        nc_all, tri_cols, records, cap_all, nt + tiles_y, combined_bin)
+    starts = starts_all[:nt + 1]
+    rstarts = starts_all[nt:]
+    rpairs = pairs
 
     # global (near-plane) list: counting-compact ids to the front
     nbig_cum = jnp.cumsum(big.astype(jnp.int32))
@@ -501,7 +510,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     # offsets fall past the buffer end) and the global list truncates at
     # GLOBAL_CAP — surface dropped counts so callers can assert zero loss.
     nbig = big.sum(dtype=jnp.int32)
-    overflow = jnp.stack([drop_f, drop_r,
+    overflow = jnp.stack([drop_all, jnp.zeros_like(drop_all),
                           jnp.maximum(nbig - GLOBAL_CAP, 0)])
 
     return BinnedTriangles(pairs=pairs, starts=starts,
@@ -521,6 +530,68 @@ TILES_PER_BLOCK = 8    # tiles processed per kernel instance (sublane rows)
 # (the reference renders fixed 4x MSAA, RenderResources.h:25-26)
 MSAA4_OFFSETS = ((-2 / 16, -6 / 16), (6 / 16, -2 / 16),
                  (-6 / 16, 2 / 16), (2 / 16, 6 / 16))
+
+
+def _tile_p2b(lin):
+    """bf16-exact local pixel rows [3, NPX]: (2*lx+1; 2*ly+1; 1). Local
+    coords 2*lx+1 <= 255 are exactly representable in bf16's 8-bit
+    mantissa — the p-side of the split eval dots carries no rounding."""
+    lxf = (lin % TILE_W).astype(jnp.float32)
+    lyf = (lin // TILE_W).astype(jnp.float32)
+    return jnp.concatenate([2.0 * lxf + 1.0, 2.0 * lyf + 1.0,
+                            jnp.ones_like(lxf)], axis=0).astype(jnp.bfloat16)
+
+
+# bisect toggle: 1 = bf16 hi/lo split eval dots, 0 = exact 6-pass f32 dots
+_SPLIT_EVAL = os.environ.get("VQE_SPLIT_EVAL", "1") == "1"
+
+
+def _plane_eval_dots(cur, p2b, x0f, y0f, dn):
+    """Evaluate the four plane rows of `cur` (e'0 e'1 e'2 dp) over the
+    tile's pixels with TWO 1-pass bf16 MXU dots (hi+lo operand split,
+    ~17-bit-mantissa accurate) instead of four 6-pass f32 dots — the
+    6-pass eval dots measured ~8 ms of the 24 ms kernel at 284k tris.
+
+    Tile-local reformulation keeps the p-side bf16-exact:
+      b = (ex/2)(2lx+1) + (ey/2)(2ly+1) + ew2,
+      ew2 = ew + ex*(x0+0.5-0.5?)  -- precisely: with px = x0 + lx + 0.5,
+      b = ex*px + ey*py + ew = (ex/2)(2lx+1) + (ey/2)(2ly+1)
+          + [ew + ex*x0 + ey*y0].
+    The e-side splits into bf16 hi + bf16 lo residual (16-bit combined
+    mantissa). A conservative +2^-15-relative bias on the edge planes
+    (not depth) makes adjacent triangles' independently-rounded edges
+    OVERLAP instead of cracking (depth test resolves double hits).
+    Returns [4*GROUP, NPX]: plane p at rows p*GROUP:(p+1)*GROUP."""
+    if not _SPLIT_EVAL:
+        pf = p2b.astype(jnp.float32)
+        px = pf[0:1] * 0.5 + x0f
+        py = pf[1:2] * 0.5 + y0f
+        p3 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)
+        return jnp.concatenate(
+            [jax.lax.dot_general(cur[3 * p:3 * p + 3], p3, dn,
+                                 preferred_element_type=jnp.float32)
+             for p in range(4)], axis=0)
+    parts_h, parts_l = [], []
+    for p in range(4):
+        er = cur[3 * p:3 * p + 3]
+        ex2 = er[0:1] * 0.5
+        ey2 = er[1:2] * 0.5
+        ew2 = er[2:3] + er[0:1] * x0f + er[1:2] * y0f
+        if p < 3:
+            eps = (jnp.abs(ex2) * (2.0 * TILE_W) + jnp.abs(ey2)
+                   * (2.0 * TILE_H) + jnp.abs(ew2)) * (2.0 ** -15)
+            ew2 = ew2 + eps
+        e2 = jnp.concatenate([ex2, ey2, ew2], axis=0)
+        e2h = e2.astype(jnp.bfloat16)
+        parts_h.append(e2h)
+        parts_l.append((e2 - e2h.astype(jnp.float32)).astype(jnp.bfloat16))
+    lh = jnp.concatenate(parts_h, axis=1)        # [3, 4*GROUP]
+    ll = jnp.concatenate(parts_l, axis=1)
+    one = jax.lax.Precision.DEFAULT
+    return (jax.lax.dot_general(lh, p2b, dn, precision=one,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(ll, p2b, dn, precision=one,
+                                  preferred_element_type=jnp.float32))
 
 
 def _make_raster_kernel(sample_offsets: tuple):
@@ -547,11 +618,11 @@ def _make_raster_kernel(sample_offsets: tuple):
             ty = tile // tiles_x
             tx = tile % tiles_x
 
-            # pixel-center rows P3 [3, NPX] = (px; py; 1). Pixels live on
-            # the lane axis; triangles on the sublane axis.
-            px = (lin % TILE_W).astype(jnp.float32) + (tx * TILE_W).astype(jnp.float32) + 0.5
-            py = (lin // TILE_W).astype(jnp.float32) + (ty * TILE_H).astype(jnp.float32) + 0.5
-            p3 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)
+            # bf16-exact local pixel rows; the tile origin folds into the
+            # per-record plane constants (see _plane_eval_dots)
+            p2b = _tile_p2b(lin)
+            x0f = (tx * TILE_W).astype(jnp.float32)
+            y0f = (ty * TILE_H).astype(jnp.float32)
 
             def stream(src_ref, g0, g1, carry):
                 """Depth-test group blocks [g0, g1). One group = GROUP
@@ -583,10 +654,11 @@ def _make_raster_kernel(sample_offsets: tuple):
 
                     # (Precision.HIGH is not lowerable by Mosaic; all
                     # kernel dots run the exact 6-pass config default)
-                    b0 = jax.lax.dot_general(cur[0:3], p3, dn, preferred_element_type=jnp.float32)
-                    b1 = jax.lax.dot_general(cur[3:6], p3, dn, preferred_element_type=jnp.float32)
-                    b2 = jax.lax.dot_general(cur[6:9], p3, dn, preferred_element_type=jnp.float32)
-                    z = jax.lax.dot_general(cur[9:12], p3, dn, preferred_element_type=jnp.float32)
+                    bz = _plane_eval_dots(cur, p2b, x0f, y0f, dn)
+                    b0 = bz[0:GROUP]
+                    b1 = bz[GROUP:2 * GROUP]
+                    b2 = bz[2 * GROUP:3 * GROUP]
+                    z = bz[3 * GROUP:4 * GROUP]
                     ids = cur[12:13]
 
                     new = []
@@ -675,6 +747,12 @@ _raster_kernel_msaa4 = _make_raster_kernel(MSAA4_OFFSETS)
 
 GBUF_ROWS = 32
 SEL_ROWS = 30        # rows 0..29 ride through the per-group selection dot
+# experiment knobs (tools/profile_geom_sel.py): shrink the selection dot /
+# drop the 6-pass f32 precision to attribute kernel time. NOT for
+# production — both corrupt G-buffer attributes.
+_X_SEL_ROWS = None
+_X_SEL_PRECISION = None
+_X_EVAL_PRECISION = None
 GBUF_VATTR = 5       # per-vertex attr rows: packed nrm/tan(3) uv(2)
 NRM_PACK_BIAS = 3.0
 # kernel gbuf output channels: nrm(3) tan(3) uv(2) mid obj item = 11 -> pad 16
@@ -779,7 +857,9 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
             tx = tile % tiles_x
             px = (lin % TILE_W).astype(jnp.float32) + (tx * TILE_W).astype(jnp.float32) + 0.5
             py = (lin // TILE_W).astype(jnp.float32) + (ty * TILE_H).astype(jnp.float32) + 0.5
-            p3 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=0)
+            p2b = _tile_p2b(lin)
+            x0f = (tx * TILE_W).astype(jnp.float32)
+            y0f = (ty * TILE_H).astype(jnp.float32)
             if bounded:
                 zb = zbound_ref[pl.ds(t, 1)][0]              # [2, NPX]
                 zlo, zhi = zb[0:1], zb[1:2]                  # [1, NPX] each
@@ -811,10 +891,11 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
 
                     # (Precision.HIGH is not lowerable by Mosaic; all
                     # kernel dots run the exact 6-pass config default)
-                    b0 = jax.lax.dot_general(cur[0:3], p3, dn, preferred_element_type=jnp.float32)
-                    b1 = jax.lax.dot_general(cur[3:6], p3, dn, preferred_element_type=jnp.float32)
-                    b2 = jax.lax.dot_general(cur[6:9], p3, dn, preferred_element_type=jnp.float32)
-                    z = jax.lax.dot_general(cur[9:12], p3, dn, preferred_element_type=jnp.float32)
+                    bz = _plane_eval_dots(cur, p2b, x0f, y0f, dn)
+                    b0 = bz[0:GROUP]
+                    b1 = bz[GROUP:2 * GROUP]
+                    b2 = bz[2 * GROUP:3 * GROUP]
+                    z = bz[3 * GROUP:4 * GROUP]
                     if ns:
                         # per-sample edge tests against per-triangle offset
                         # thresholds (b_i(sample) = b_i(center) + e_ix*dx +
@@ -862,8 +943,14 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
                     # ONE MXU dot selects the winner's full record (edge
                     # rows + attributes); barycentrics + interpolation
                     # happen once per tile after the group loop.
-                    sel = jnp.dot(cur[0:SEL_ROWS], onehot,
+                    sel_rows = _X_SEL_ROWS or SEL_ROWS
+                    sel = jnp.dot(cur[0:sel_rows], onehot,
+                                  precision=_X_SEL_PRECISION,
                                   preferred_element_type=jnp.float32)
+                    if sel_rows < SEL_ROWS:
+                        sel = jnp.concatenate(
+                            [sel, jnp.zeros((SEL_ROWS - sel_rows, NPX),
+                                            jnp.float32)], axis=0)
 
                     upd = zmin < depth
                     new_carry = (jnp.where(upd, zmin, depth),

@@ -227,6 +227,61 @@ def shadow_test_esm(wpos: jnp.ndarray, light_vp: jnp.ndarray,
     return jnp.where(inside, vis, 0.0)
 
 
+def shadow_test_esm_batch(wpos: jnp.ndarray, light_vps: jnp.ndarray,
+                          esm_maps: jnp.ndarray, depth_biases: jnp.ndarray,
+                          c: float = 80.0) -> jnp.ndarray:
+    """All C spot/dir casters in ONE projection einsum + ONE stacked-table
+    gather (the per-caster loop paid C gather fixed costs; fetch-bound,
+    VERDICT r2 #4). wpos [h,w,3], light_vps [C,4,4], esm_maps [C,S,S],
+    depth_biases [C] -> visibility [C,h,w]. Counterpart of C calls to
+    shadow_test_esm (ForwardLighting.hlsl's per-light ShadowTest loop)."""
+    ones = jnp.ones_like(wpos[..., :1])
+    wp1 = jnp.concatenate([wpos, ones], axis=-1)            # [h,w,4]
+    clip = jnp.einsum("cij,hwj->chwi", light_vps, wp1)      # [C,h,w,4]
+    w = clip[..., 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    ndc = clip[..., :3] / safe_w[..., None]
+    inside = ((ndc[..., 0] >= -1) & (ndc[..., 0] <= 1)
+              & (ndc[..., 1] >= -1) & (ndc[..., 1] <= 1)
+              & (ndc[..., 2] >= 0) & (ndc[..., 2] <= 1) & (w > 0))
+    s = esm_maps.shape[-1]
+    tx = jnp.clip(((0.5 + 0.5 * ndc[..., 0]) * s).astype(jnp.int32), 0, s - 1)
+    ty = jnp.clip(((0.5 - 0.5 * ndc[..., 1]) * s).astype(jnp.int32), 0, s - 1)
+    cbase = (jnp.arange(esm_maps.shape[0], dtype=jnp.int32)
+             * (s * s))[:, None, None]
+    from .ssao import gather_scalar_rows4
+    closest = gather_scalar_rows4(esm_maps.reshape(-1),
+                                  cbase + ty * s + tx).astype(jnp.float32)
+    z = ndc[..., 2]
+    bias = depth_biases[:, None, None]
+    vis = jnp.exp(jnp.clip((closest - z + bias) * c, -60.0, 0.0))
+    return jnp.where(inside, vis, 0.0)
+
+
+def omni_shadow_test_esm_batch(wpos: jnp.ndarray, light_pos: jnp.ndarray,
+                               esm_cubes: jnp.ndarray, fars: jnp.ndarray,
+                               depth_biases: jnp.ndarray,
+                               c: float = 80.0) -> jnp.ndarray:
+    """All C point casters in ONE stacked cube gather. wpos [h,w,3],
+    light_pos [C,3], esm_cubes [C,6,S,S], fars/depth_biases [C] ->
+    visibility [C,h,w]. See omni_shadow_test_esm."""
+    lw = light_pos[:, None, None, :] - wpos[None]           # [C,h,w,3]
+    far = jnp.maximum(fars, 1e-6)[:, None, None]
+    dist = jnp.linalg.norm(lw, axis=-1) / far
+    face, uv = _cube_face_uv(-lw)
+    s = esm_cubes.shape[-1]
+    tx = jnp.clip((uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
+    ty = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
+    cbase = (jnp.arange(esm_cubes.shape[0], dtype=jnp.int32)
+             * (6 * s * s))[:, None, None]
+    from .ssao import gather_scalar_rows4
+    closest = gather_scalar_rows4(
+        esm_cubes.reshape(-1),
+        cbase + (face * s + ty) * s + tx).astype(jnp.float32)
+    bias_n = (depth_biases[:, None, None] + 0.001) / far
+    return jnp.exp(jnp.clip((closest - dist + bias_n) * c, -60.0, 0.0))
+
+
 def omni_shadow_test_esm(wpos: jnp.ndarray, light_pos: jnp.ndarray,
                          esm_cube: jnp.ndarray, far: float,
                          depth_bias: float, c: float = 80.0) -> jnp.ndarray:

@@ -581,36 +581,38 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
 
     spot_vis = None
     if sc:
-        vis = []
-        for i in range(sc):
-            dmap = shadow_maps["spot"][i]
-            lrow = consts.spot_casters[i]
-            if filter_mode == "esm":
-                vis.append(shadow.shadow_test_esm(
-                    wpos_q, consts.spot_caster_vps[i], dmap, lrow[11]))
-            else:
+        if filter_mode == "esm":
+            # one projection einsum + one stacked gather for all casters
+            vis = shadow.shadow_test_esm_batch(
+                wpos_q, consts.spot_caster_vps[:sc],
+                jnp.stack([shadow_maps["spot"][i] for i in range(sc)]),
+                consts.spot_casters[:, 11])
+        else:
+            per = []
+            for i in range(sc):
+                lrow = consts.spot_casters[i]
                 wi = lrow[0:3] - wpos
                 wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-9)
                 ndotl = jnp.clip((normal * wi).sum(-1), 0.0, 1.0)
-                vis.append(shadow.shadow_test_pcf(
-                    wpos, ndotl, consts.spot_caster_vps[i], dmap,
-                    lrow[11], slope_scaled=True))
-        spot_vis = up(jnp.stack(vis), times=2)
+                per.append(shadow.shadow_test_pcf(
+                    wpos, ndotl, consts.spot_caster_vps[i],
+                    shadow_maps["spot"][i], lrow[11], slope_scaled=True))
+            vis = jnp.stack(per)
+        spot_vis = up(vis, times=2)
 
     point_vis = None
     if pc:
-        vis = []
-        for i in range(pc):
-            cube = shadow_maps["point"][i]
-            lrow = consts.point_casters[i]
-            if filter_mode == "esm":
-                vis.append(shadow.omni_shadow_test_esm(
-                    wpos_q, lrow[0:3], cube, lrow[9], lrow[8]))
-            else:
-                vis.append(shadow.omni_shadow_test_pcf(
-                    wpos, lrow[0:3], cube, lrow[9], lrow[8],
-                    consts.camera_pos))
-        point_vis = up(jnp.stack(vis), times=2)
+        if filter_mode == "esm":
+            vis = shadow.omni_shadow_test_esm_batch(
+                wpos_q, consts.point_casters[:, 0:3],
+                jnp.stack([shadow_maps["point"][i] for i in range(pc)]),
+                consts.point_casters[:, 9], consts.point_casters[:, 8])
+        else:
+            vis = jnp.stack([shadow.omni_shadow_test_pcf(
+                wpos, consts.point_casters[i, 0:3], shadow_maps["point"][i],
+                consts.point_casters[i, 9], consts.point_casters[i, 8],
+                consts.camera_pos) for i in range(pc)])
+        point_vis = up(vis, times=2)
 
     dir_vis = None
     if has_dir:

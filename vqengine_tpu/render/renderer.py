@@ -244,7 +244,8 @@ class VQRendererTPU:
                render_scale: float = 1.0,
                cas_sharpness: float | None = None,
                shadow_maps: dict | None = None,
-               aniso_taps: int = 0) -> FrameOutput:
+               aniso_taps: int = 0,
+               shadow_filter: str = "esm") -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
         scene_t = getattr(self, "_scene_t", None)
@@ -258,6 +259,7 @@ class VQRendererTPU:
                                  has_ssr_history=ssr_history is not None,
                                  render_scale=render_scale,
                                  cas_sharpness=cas_sharpness,
+                                 shadow_filter=shadow_filter,
                                  has_shadow_maps=shadow_maps is not None,
                                  enable_alpha_mask=getattr(
                                      self, "_any_alpha_mask", False),
