@@ -23,23 +23,27 @@ import time
 import numpy as np
 
 
-def build_textures():
+def build_textures(size: int = 512):
     """Procedural material maps (the reference's Sponza textures aren't
     shipped): brick + stone diffuse, bump normal, noise roughness —
-    quad-packed RGBA8 so a bilinear tap is ONE row gather."""
+    quad-packed RGBA8 so a bilinear tap is ONE row gather.
+
+    size defaults to 512: real Sponza ships 1024²-class maps, so the
+    benched tables must exercise the LARGE-table gather path, not the
+    fast sub-MB one the round-2 128² tables stayed on (VERDICT r2 #3)."""
     from vqengine_tpu.scene.texture_manager import (
         TextureManager, brick, checkerboard, noise_texture,
         normal_from_height)
 
-    tm = TextureManager(size=128)
-    tm.create_from_array("brick", brick(128))
+    tm = TextureManager(size=size)
+    tm.create_from_array("brick", brick(size))
     tm.create_from_array("stone", checkerboard(
-        128, 8, (0.62, 0.58, 0.52), (0.48, 0.45, 0.42)))
+        size, 8, (0.62, 0.58, 0.52), (0.48, 0.45, 0.42)))
     tm.create_from_array("marble", checkerboard(
-        128, 4, (0.8, 0.78, 0.72), (0.7, 0.68, 0.65)))
-    h = noise_texture(128, seed=21)
+        size, 4, (0.8, 0.78, 0.72), (0.7, 0.68, 0.65)))
+    h = noise_texture(size, seed=21)
     tm.create_from_array("bump_n", normal_from_height(h, 1.6))
-    tm.create_from_array("rough", noise_texture(128, base=0.6, amp=0.3))
+    tm.create_from_array("rough", noise_texture(size, base=0.6, amp=0.3))
     ids = {k: tm._by_key[k] for k in
            ("brick", "stone", "marble", "bump_n", "rough")}
     return tm, ids
@@ -223,7 +227,8 @@ def main() -> None:
     n_tris = int(buffers.indices.shape[0])
     print(json.dumps({
         "metric": f"sponza_stress_1080p_ms ({n_tris} tris, fwd PBR + MSAA4x "
-                  f"+ textured aniso + 5+5+1 shadows ESM + SSAO + IBL + SSR, "
+                  f"edge-resolve + 512^2 textured aniso + 5+5+1 shadows ESM "
+                  f"+ adaptive SSAO + IBL + SSR temporal, "
                   f"{len(lights)} lights)",
         "value": round(ms, 3),
         "unit": "ms/frame",

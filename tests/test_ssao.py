@@ -65,3 +65,59 @@ class TestSsao:
         ao = np.asarray(ssao.ssao(depth, jnp.asarray(n), make_view_info()))
         assert np.isfinite(ao).all()
         assert (ao >= 0).all() and (ao <= 1).all()
+
+
+class TestAdaptive:
+    """CACAO's importance map + adaptive refinement
+    (ffx_cacao_impl.cpp importance passes) as TPU compaction."""
+
+    def _step_scene(self, h=64, w=64):
+        depth = np.full((h, w), ndc_depth(10.5), np.float32)
+        depth[:, : w // 2] = ndc_depth(10.0)
+        normals = np.tile([0, 0, -1], (h, w, 1)).astype(np.float32)
+        return jnp.asarray(depth), jnp.asarray(normals), \
+            make_view_info(eye=(0, 0, 0))
+
+    def test_importance_map_flags_contrast(self):
+        flat = jnp.ones((32, 32))
+        assert float(ssao.importance_map(flat).max()) == 0.0
+        checker = jnp.asarray(
+            (np.indices((32, 32)).sum(0) % 2).astype(np.float32))
+        assert float(ssao.importance_map(checker).max()) > 0.5
+
+    def test_adaptive_refines_toward_dense(self):
+        depth, normals, info = self._step_scene()
+        kw = dict(radius_world=2.0, skip_blur=True)
+        base = np.asarray(ssao.ssao(depth, normals, info, num_taps=8, **kw))
+        ref = np.asarray(ssao.ssao(depth, normals, info, num_taps=32, **kw))
+        adapt = np.asarray(ssao.ssao(depth, normals, info, num_taps=8,
+                                     adaptive_taps=8, **kw))
+        assert np.isfinite(adapt).all()
+        assert (adapt >= 0).all() and (adapt <= 1).all()
+        # refinement ran somewhere, and only where it ran do values move
+        # (the base pass is bit-identical to the non-adaptive config)
+        refined = np.abs(adapt - base) > 1e-7
+        assert refined.any(), "no pixel was refined"
+        # flat open regions keep the base result (importance ~ 0 there)
+        far_open = np.s_[8:-8, -8:]
+        np.testing.assert_array_equal(adapt[far_open], base[far_open])
+        # refined pixels move toward a high-tap-count reference on average
+        err_base = np.abs(base[refined] - ref[refined]).mean()
+        err_adapt = np.abs(adapt[refined] - ref[refined]).mean()
+        assert err_adapt < err_base
+
+    def test_upsample_bilateral_respects_depth_edges(self):
+        # coarse AO: dark on the near half, bright on the far half, with a
+        # matching depth edge; the upsample must not bleed dark AO across
+        h, w = 16, 16
+        z_c = np.full((h, w), 0.8, np.float32)
+        z_c[:, : w // 2] = 0.2
+        ao_c = np.where(z_c < 0.5, 0.2, 1.0).astype(np.float32)
+        z_f = np.repeat(np.repeat(z_c, 2, 0), 2, 1)
+        up = np.asarray(ssao.upsample_bilateral(
+            jnp.asarray(ao_c), jnp.asarray(z_c), jnp.asarray(z_f)))
+        assert up.shape == (2 * h, 2 * w)
+        # far-side pixels adjacent to the edge stay bright
+        assert up[:, w + 1] .min() > 0.95
+        # near-side pixels adjacent to the edge stay dark
+        assert up[:, w - 2].max() < 0.25

@@ -182,9 +182,10 @@ class TestMSAAGbuf:
             buffers, _camera(), _lights())
         depth, tri_id, attrs, mask, coverage = graph.geometry_pass(
             scene, consts, W, H, msaa=True)
-        cov = np.asarray(coverage)
+        cov_s = np.asarray(coverage)
         mk = np.asarray(mask)
-        assert cov.shape == (H, W)
+        assert cov_s.shape == (4, H, W)
+        cov = cov_s.mean(axis=0)
         # interior pixels fully covered
         interior = mk & (np.roll(mk, 2, 0) & np.roll(mk, -2, 0)
                          & np.roll(mk, 2, 1) & np.roll(mk, -2, 1))

@@ -60,6 +60,22 @@ def lod_from_projected_area(area: jnp.ndarray, num_lods: jnp.ndarray,
     return jnp.minimum(k, num_lods - 1)
 
 
+def tessellation_morph_factor(lod: jnp.ndarray, area: jnp.ndarray,
+                              num_lods: jnp.ndarray,
+                              window: float = 0.4) -> jnp.ndarray:
+    """Continuous per-item geomorph factor [N] in [0,1] (1 = full fine
+    detail) — the reference's distance-based tess factors
+    (Tessellation.hlsl CalcTessFactor) mapped onto the projected-area LOD
+    metric: with g = -log10(area) - 1 the continuous LOD, level k is
+    active for g in (k-1, k], and over the last `window` of that range the
+    level morphs toward its coarser parents so that at g = k it equals
+    level k+1 exactly (grid_exact_halving) and the switch is invisible.
+    The coarsest level has no parent and never morphs."""
+    g = -jnp.log10(jnp.maximum(area, 1e-30)) - 1.0
+    m = jnp.clip((lod.astype(jnp.float32) - g) / window, 0.0, 1.0)
+    return jnp.where(lod >= num_lods - 1, 1.0, m)
+
+
 def cull_and_select_lod(world: jnp.ndarray, centers: jnp.ndarray,
                         extents: jnp.ndarray, planes: jnp.ndarray,
                         view_proj: jnp.ndarray, num_lods: jnp.ndarray,

@@ -1,0 +1,128 @@
+"""Per-sample MSAA edge resolve — the counterpart of the reference's
+ResolveMSAA pass averaging 4 shaded samples (Shaders/DepthResolve.hlsl,
+SceneRendering.cpp:2060 ResolveMSAA) built TPU-first.
+
+The G-buffer raster kernel keeps ONE min-depth winner per pixel plus
+per-sample sticky coverage: shading stays a single dense pass (the
+shade-once economics the reference's resolve also banks on for depth).
+What that loses is triangle-triangle edges — pixels whose 4 samples split
+between two surfaces resolved to the winner at full weight. This module
+closes that gap WITHOUT growing the hot kernel:
+
+1. **Detect** edge pixels: the winner id differs from a 4-neighbor's and
+   the surfaces genuinely differ (object id change or a depth gap) — the
+   edges the reference's per-sample resolve visibly improves
+   (interpenetrations, silhouettes over other geometry). Same-mesh
+   interior edges interpolate continuously and are skipped.
+2. **Compact** them (ops/sparse.py): edge pixels are a few percent of the
+   frame, so everything downstream costs a few percent of a dense pass.
+3. **Re-evaluate visibility per sample** in plain jnp: the candidate set
+   for a pixel's samples is {own winner} ∪ {4-neighbor winners} — their
+   packed records' edge/depth planes (raster.eval_record_planes, exactly
+   the kernel's coverage test) decide which candidate wins each D3D 4x
+   sample. Sub-pixel slivers that win a sample but no neighboring pixel
+   center are the only misses.
+4. The caller sparse-shades ONE secondary surface per edge pixel and
+   blends by exact sample counts (render_forward).
+
+Cost model (docs/ARCHITECTURE.md "TPU gather cost model"): 5 record-row
+gathers + a handful of [CAP, 5] VPU ops; at CAP = 64k that is well under
+a millisecond, vs ~4x the full shade cost for true per-sample shading.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import raster
+from . import sparse
+
+# NDC-depth gap above which two adjacent winners count as distinct
+# surfaces (silhouette-over-geometry edges); interpenetrating different
+# objects are caught by the object-id test regardless of gap.
+EDGE_Z_TOL = 2e-3
+
+
+def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Neighbor image with edge-clamped borders (pad + slice, not index
+    gathers — affine [H]/[W] index gathers can lower as real gathers and
+    relayout the lane axis on TPU)."""
+    h, w = img.shape[:2]
+    pads = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)))
+    pads = pads + ((0, 0),) * (img.ndim - 2)
+    p = jnp.pad(img, pads, mode="edge")
+    return p[max(dy, 0):max(dy, 0) + h, max(dx, 0):max(dx, 0) + w]
+
+
+NEIGHBOR_OFFSETS = ((0, 1), (0, -1), (1, 0), (-1, 0))
+
+
+def detect_edges(tri_id: jnp.ndarray, depth: jnp.ndarray,
+                 object_id: jnp.ndarray, mask: jnp.ndarray,
+                 z_tol: float = EDGE_Z_TOL) -> jnp.ndarray:
+    """[H,W] bool: pixels whose 4 MSAA samples may split between two
+    DISTINCT surfaces. True where a 4-neighbor's winner is a different
+    triangle of a different object, or across a depth discontinuity."""
+    live = jnp.zeros(tri_id.shape, bool)
+    for dy, dx in NEIGHBOR_OFFSETS:
+        nb_id = _shift(tri_id, dy, dx)
+        nb_obj = _shift(object_id, dy, dx)
+        nb_z = _shift(depth, dy, dx)
+        nb_mask = _shift(mask, dy, dx)
+        differs = (nb_id != tri_id) & nb_mask & (
+            (nb_obj != object_id) | (jnp.abs(nb_z - depth) > z_tol))
+        live = live | differs
+    return live & mask
+
+
+def resolve_secondary(records: jnp.ndarray, tri_id: jnp.ndarray,
+                      depth: jnp.ndarray, object_id: jnp.ndarray,
+                      mask: jnp.ndarray, cov_s: jnp.ndarray,
+                      cap: int):
+    """Per-sample visibility at edge pixels.
+
+    records [T,R] packed gbuf records; tri_id/depth/object_id/mask [H,W];
+    cov_s [4,H,W] per-sample sticky any-triangle coverage from the kernel.
+
+    Returns (idx [cap] flat pixel indices, live [cap] bool,
+    sec_id [cap] int32 secondary winner (own id where none),
+    n_sec [cap] f32 in 0..4 samples the secondary wins,
+    px, py [cap] pixel-center coords). Samples whose best candidate is
+    the own winner (or that no candidate covers while the scene does —
+    unknown sub-pixel sliver) stay with the primary."""
+    h, w = tri_id.shape
+    edge = detect_edges(tri_id, depth, object_id, mask)
+    idx, _count = sparse.compact_indices(edge, cap)
+    live = sparse.gather_pixels(edge, idx)
+
+    own = sparse.gather_pixels(tri_id, idx)                   # [cap]
+    cands = [own]
+    for dy, dx in NEIGHBOR_OFFSETS:
+        cands.append(sparse.gather_pixels(_shift(tri_id, dy, dx), idx))
+    cand_ids = jnp.stack(cands, axis=1)                       # [cap, 5]
+    valid_c = cand_ids >= 0
+    rec13 = records[jnp.maximum(cand_ids, 0), :13]            # [cap, 5, 13]
+
+    px = (idx % w).astype(jnp.float32) + 0.5
+    py = (idx // w).astype(jnp.float32) + 0.5
+
+    covs = cov_s.reshape(cov_s.shape[0], -1)[:, idx]          # [4, cap]
+    n_sec = jnp.zeros_like(px)
+    sec_z = jnp.full_like(px, 2.0)
+    sec_id = own
+    for s, (dx, dy) in enumerate(raster.MSAA4_OFFSETS):
+        sx = (px + dx)[:, None]
+        sy = (py + dy)[:, None]
+        b0, b1, b2, z = raster.eval_record_planes(rec13, sx, sy)
+        cover = ((b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+                 & (z >= 0) & (z <= 1) & valid_c)             # [cap, 5]
+        key = jnp.where(cover, z, 2.0)
+        best = jnp.argmin(key, axis=1)
+        bz = jnp.take_along_axis(key, best[:, None], axis=1)[:, 0]
+        bid = jnp.take_along_axis(cand_ids, best[:, None], axis=1)[:, 0]
+        is_sec = (covs[s] > 0) & (bz < 2.0) & (bid != own)
+        n_sec = n_sec + is_sec.astype(jnp.float32)
+        take = is_sec & (bz < sec_z)
+        sec_z = jnp.where(take, bz, sec_z)
+        sec_id = jnp.where(take, bid, sec_id)
+    return idx, live & (n_sec > 0), sec_id, n_sec, px, py

@@ -92,6 +92,33 @@ def transform_clip_corners(corner_positions: jnp.ndarray,
     return jnp.einsum("cij,cj->ci", m, p).reshape(t, 3, 4)
 
 
+def transform_clip_corners_morph(corner_positions: jnp.ndarray,
+                                 corner_morph_mid: jnp.ndarray,
+                                 tri_item: jnp.ndarray,
+                                 mvps: jnp.ndarray,
+                                 morph_w: jnp.ndarray) -> jnp.ndarray:
+    """transform_clip_corners with on-device continuous tessellation:
+    positions lerp toward their geomorph targets by the per-item factor
+    morph_w [N] in [0,1] (1 = full fine detail) BEFORE the clip transform
+    — the domain-shader evaluation of Tessellation.hlsl's distance-based
+    factors, done as one fused elementwise pass over the corner table.
+    The factor rides the same palette row as the matrix (one MXU lookup,
+    zero extra gathers); meshes without morph data carry mid == position,
+    so the lerp is a no-op for them regardless of the factor."""
+    from .palette import palette_lookup
+    t = tri_item.shape[0]
+    n = mvps.shape[0]
+    item3 = jnp.repeat(tri_item, 3, total_repeat_length=3 * t)
+    table = jnp.concatenate([mvps.reshape(n, 16),
+                             morph_w.astype(jnp.float32)[:, None]], axis=1)
+    rows = palette_lookup(item3, table)                       # [3T, 17]
+    m = rows[:, :16].reshape(-1, 4, 4)
+    w = rows[:, 16:17]
+    pos = corner_morph_mid + w * (corner_positions - corner_morph_mid)
+    p = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], axis=1)
+    return jnp.einsum("cij,cj->ci", m, p).reshape(t, 3, 4)
+
+
 def transform_clip_instanced(positions: jnp.ndarray, item_of_vertex: jnp.ndarray,
                              mvps: jnp.ndarray) -> jnp.ndarray:
     """positions [V,3], item_of_vertex [V] int32, mvps [N,4,4] -> clip [V,4].
@@ -1023,8 +1050,10 @@ def _make_gbuf_kernel(sample_offsets: tuple | None = None,
             id_ref[pl.ds(t, 1), :] = idbuf.astype(jnp.int32)
             gbuf_ref[t, :, :] = jnp.where(is_bg, 0.0, gvals)
             if ns:
-                cov_ref[pl.ds(t, 1), :] = jnp.mean(carry[3], axis=0,
-                                                   keepdims=True)
+                # per-sample sticky any-triangle coverage [ns, NPX]: the
+                # mean is the silhouette blend weight; the per-sample bits
+                # feed the edge resolve's exact background counting
+                cov_ref[t, :, :] = carry[3]
             return 0
 
         jax.lax.fori_loop(0, TILES_PER_BLOCK, tile_body, 0)
@@ -1055,9 +1084,10 @@ def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int,
     gbuf [GBUF_OUT, H, W]) with channels
     0-2 world normal | 3-5 world tangent | 6-7 uv | 8 material id |
     9 object id | 10 item id. Records must be packed with pack_gbuf_extra.
-    With msaa, a 4th return: coverage [H,W] in {0, .25, .., 1} (D3D 4x
-    pattern), and depth/id/attributes resolve to the min-depth covered
-    triangle across samples (DepthResolve.hlsl semantics).
+    With msaa, a 4th return: per-sample coverage [4,H,W] in {0,1} (D3D 4x
+    pattern; mean over axis 0 is the silhouette blend weight), and
+    depth/id/attributes resolve to the min-depth covered triangle across
+    samples (DepthResolve.hlsl semantics).
     zbound = (zlo [H,W], zhi [H,W]): only fragments in the open window
     (zlo, zhi) compete — the depth-peeling primitive for alpha-mask
     discard and the transparent pass.
@@ -1091,8 +1121,11 @@ def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int,
         jax.ShapeDtypeStruct((nt_pad, GBUF_OUT, NPX), jnp.float32),
     ]
     if msaa:
-        out_specs.append(out_spec2d)
-        out_shape.append(jax.ShapeDtypeStruct((nt_pad, NPX), jnp.float32))
+        ns = len(MSAA4_OFFSETS)
+        out_specs.append(pl.BlockSpec((TILES_PER_BLOCK, ns, NPX),
+                                      lambda blk, *_: (blk, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nt_pad, ns, NPX), jnp.float32))
     in_specs = [pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY)]
@@ -1138,8 +1171,12 @@ def rasterize_gbuf(binned: BinnedTriangles, width: int, height: int,
     g = g.transpose(2, 0, 3, 1, 4).reshape(GBUF_OUT, tiles_y * TILE_H,
                                            tiles_x * TILE_W)
     if msaa:
+        ns = len(MSAA4_OFFSETS)
+        c = outs[3][:nt].reshape(tiles_y, tiles_x, ns, TILE_H, TILE_W)
+        c = c.transpose(2, 0, 3, 1, 4).reshape(ns, tiles_y * TILE_H,
+                                               tiles_x * TILE_W)
         return (untile(depth), untile(tri_id), g[:, :height, :width],
-                untile(outs[3]))
+                c[:, :height, :width])
     return untile(depth), untile(tri_id), g[:, :height, :width]
 
 
@@ -1299,6 +1336,72 @@ def resolve_attributes(tri_id: jnp.ndarray, setup: TriangleSetup,
     for name, off0, d in feat_layout:
         out[name] = rows[..., off0:off0 + d]
     return out, mask
+
+
+# ===========================================================================
+# record evaluation outside the kernel (sparse / edge-resolve paths)
+# ===========================================================================
+
+def eval_record_planes(rec: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Evaluate a packed record's edge + depth planes at pixel coords.
+
+    rec [..., >=13] rows in _pack_records layout (scaled edges 0-8, depth
+    plane 9-11, id 12); px/py broadcastable pixel-center/sample coords.
+    Returns (b0, b1, b2, z): coverage iff all b_i >= 0 and 0 <= z <= 1 —
+    exactly the kernel's test, so post-kernel per-sample re-evaluation
+    agrees with in-kernel visibility."""
+    b0 = rec[..., 0] * px + rec[..., 1] * py + rec[..., 2]
+    b1 = rec[..., 3] * px + rec[..., 4] * py + rec[..., 5]
+    b2 = rec[..., 6] * px + rec[..., 7] * py + rec[..., 8]
+    z = rec[..., 9] * px + rec[..., 10] * py + rec[..., 11]
+    return b0, b1, b2, z
+
+
+def interp_record_attrs(rec: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """jnp replica of the G-buffer kernel's per-pixel resolve for compacted
+    pixel sets (the sparse edge-resolve path shades a few-% pixel list, so
+    this runs as plain vectorized ops instead of inside the kernel).
+
+    rec [N, R] gbuf-mode records (pack_gbuf_extra columns), px/py [N]
+    pixel-center coords -> dict(depth [N], wnrm/wtan [N,3], uv [N,2],
+    mat_id/object_id/item_id [N] int32). Matches _make_gbuf_kernel's
+    barycentric clamp + bf16-pair unpack bit-for-bit."""
+    b0, b1, b2, z = eval_record_planes(rec, px, py)
+    l0 = jnp.maximum(b0, 0.0)
+    l1 = jnp.maximum(b1, 0.0)
+    l2 = jnp.maximum(b2, 0.0)
+    lsum = jnp.maximum(l0 + l1 + l2, 1e-30)
+    l0, l1, l2 = l0 / lsum, l1 / lsum, l2 / lsum
+
+    def unpack(rows):                       # [N, 5] -> nrm [N,3], tan, uv
+        pw = jax.lax.bitcast_convert_type(rows[:, 0:3], jnp.uint32)
+        nrm = jax.lax.bitcast_convert_type(
+            pw & jnp.uint32(0xFFFF0000), jnp.float32) - NRM_PACK_BIAS
+        tan = jax.lax.bitcast_convert_type(pw << 16, jnp.float32)
+        return nrm, tan, rows[:, 3:5]
+
+    n0, t0, u0 = unpack(rec[:, 13:18])
+    n1, t1, u1 = unpack(rec[:, 18:23])
+    n2, t2, u2 = unpack(rec[:, 23:28])
+    w0, w1, w2 = l0[:, None], l1[:, None], l2[:, None]
+    mi = rec[:, 28].astype(jnp.int32)
+    return {
+        "depth": jnp.clip(z, 0.0, 1.0),
+        "wnrm": n0 * w0 + n1 * w1 + n2 * w2,
+        "wtan": t0 * w0 + t1 * w1 + t2 * w2,
+        "uv": u0 * w0 + u1 * w1 + u2 * w2,
+        "mat_id": mi >> 16,
+        "object_id": rec[:, 29].astype(jnp.int32),
+        "item_id": mi & 0xFFFF,
+    }
+
+
+def pack_records(setup: TriangleSetup,
+                 extra: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Public per-triangle record table [T, R] (the same packing
+    bin_triangles performs internally — under jit XLA CSEs the duplicate,
+    so callers that also bin pay nothing extra)."""
+    return _pack_records(setup, extra)
 
 
 # ===========================================================================

@@ -8,9 +8,19 @@ TPU-native structure (the same algorithmic stages, dense over the frame):
 2. generate: hemisphere occlusion integral over a spiral tap pattern with
    radius adaptive to view depth, normal-weighted like CACAO's
    "adaptive" quality preset; taps read coarser mips at larger radii
-   (CACAO's deinterleave/importance trick becomes mip selection)
-3. smart blur: edge-aware (depth-weighted) separable blur
-4. apply: multiply into the lighting's AO term (ops/shading.py `ao`)
+   (CACAO's deinterleave trick becomes mip selection)
+3. importance map + adaptive refinement: CACAO's generateImportanceMap /
+   adaptive-quality machinery (ffx_cacao_impl.cpp importance passes,
+   ffx_cacao.hlsl GenerateImportanceMap/PostprocessImportanceMap*),
+   TPU-first: a GPU varies per-pixel loop trip counts, which dense SIMD
+   cannot — instead the base pass runs everywhere, local AO contrast
+   ranks pixels, and the top slice is COMPACTED (ops/sparse.py) so the
+   extra taps run on a short flat array costing its share of the frame,
+   then scatter back.
+4. smart blur: edge-aware (depth-weighted) separable blur
+5. apply: depth-guided bilateral upsample to full res (CACAO's
+   edge-aware Apply/upscale, ffx_cacao.hlsl Apply) + multiply into the
+   lighting's AO term (ops/shading.py `ao`)
 """
 from __future__ import annotations
 
@@ -18,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ffx
+from . import sparse
 
 
 def view_depth_from_ndc(depth: jnp.ndarray, near: float, far: float) -> jnp.ndarray:
@@ -51,17 +62,93 @@ def gather_scalar_rows4(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
                                jnp.where(lane == 2, r[..., 2], r[..., 3])))
 
 
+def _occlusion_sum(taps: np.ndarray, px, py, pos_v, nrm_v, radius_px_y,
+                   zflat, zoffs, zshapes, w, h, geom) -> jnp.ndarray:
+    """Sum the spiral taps' occlusion for pixels of ANY shape.
+
+    px/py [...], pos_v/nrm_v [..., 3], radius_px_y [...] — dense images
+    pass [H,W] planes, the adaptive refinement passes compacted [CAP]
+    arrays; the tap gathers and view reconstruction are shape-blind.
+    geom = (tan_half, aspect, y_offset, full_height, radius_world)."""
+    tan_half, aspect, y_offset, full_height, radius_world = geom
+    occlusion = jnp.zeros(px.shape, jnp.float32)
+    n_mips = len(zshapes)
+    for t in range(taps.shape[0]):
+        dx = taps[t, 0] * radius_px_y
+        dy = taps[t, 1] * radius_px_y
+        sx = jnp.clip(px + dx, 0.5, w - 0.5)
+        sy = jnp.clip(py + dy, 0.5, h - 0.5)
+        # mip by tap distance (in pixels)
+        dist_px = jnp.sqrt(dx * dx + dy * dy)
+        mip = jnp.clip((jnp.log2(jnp.maximum(dist_px, 1.0)) - 3.0),
+                       0, n_mips - 1).astype(jnp.int32)
+        idx = jnp.zeros(px.shape, jnp.int32)
+        for m, (mh, mw) in enumerate(zshapes):
+            # pyramid level m sits at input scale 2^(m+1) (2x-down base)
+            ty = jnp.clip((sy / (1 << (m + 1))).astype(jnp.int32), 0, mh - 1)
+            tx = jnp.clip((sx / (1 << (m + 1))).astype(jnp.int32), 0, mw - 1)
+            idx = jnp.where(mip == m, zoffs[m] + ty * mw + tx, idx)
+        z_tap = gather_scalar_rows4(zflat, idx)
+
+        # view-space sample position (global frame rows)
+        s_ndc_x = (sx / w) * 2.0 - 1.0
+        s_ndc_y = 1.0 - ((y_offset + sy) / full_height) * 2.0
+        sv = jnp.stack([s_ndc_x * tan_half * aspect * z_tap,
+                        s_ndc_y * tan_half * z_tap,
+                        z_tap], axis=-1)
+        d = sv - pos_v
+        dist = jnp.linalg.norm(d, axis=-1)
+        d_dir = d / jnp.maximum(dist, 1e-6)[..., None]
+        # horizon-style occlusion: cosine-weighted, range-attenuated
+        cos_h = (d_dir * nrm_v).sum(-1)
+        falloff = jnp.clip(1.0 - dist / radius_world, 0.0, 1.0)
+        occlusion = occlusion + jnp.clip(cos_h - 0.1, 0.0, 1.0) * falloff
+    return occlusion
+
+
+def importance_map(ao: jnp.ndarray, block: int = 4) -> jnp.ndarray:
+    """CACAO's importance metric, TPU-dense: per-block AO contrast
+    (max - min over block x block), smoothed one step so refinement
+    regions dilate past their boundary (the PostprocessImportanceMapA/B
+    smoothing), broadcast back to per-pixel."""
+    h, w = ao.shape
+    hb, wb = h // block * block, w // block * block
+    a = ao[:hb, :wb].reshape(hb // block, block, wb // block, block)
+    imp = a.max((1, 3)) - a.min((1, 3))                  # [H/b, W/b]
+    # one 3x3 box smooth (dilate importance across block seams)
+    k = jnp.ones((3, 3), jnp.float32) / 9.0
+    imp = jnp.pad(imp, 1, mode="edge")
+    sm = jnp.zeros((hb // block, wb // block), jnp.float32)
+    for oy in range(3):
+        for ox in range(3):
+            sm = sm + imp[oy:oy + hb // block, ox:ox + wb // block] * k[oy, ox]
+    imp_full = jnp.repeat(jnp.repeat(sm, block, 0), block, 1)
+    if (hb, wb) != (h, w):
+        imp_full = jnp.pad(imp_full, ((0, h - hb), (0, w - wb)), mode="edge")
+    return imp_full
+
+
 def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
          radius_world: float = 1.2, num_taps: int = 12,
          intensity: float = 1.0, power: float = 1.5,
          skip_blur: bool = False,
          y_offset: jnp.ndarray | int = 0,
-         full_height: int | None = None) -> jnp.ndarray:
+         full_height: int | None = None,
+         adaptive_taps: int = 0,
+         importance_threshold: float = 0.04,
+         adaptive_frac: int = 4) -> jnp.ndarray:
     """-> AO [H, W] in [0, 1] (1 = unoccluded).
 
     depth: z_ndc [H,W]; normals: world normals [H,W,3];
     view_proj_info: dict(near, far, fov_y, view [4,4]) — the per-view data
     CACAO gets from its constants.
+
+    adaptive_taps > 0 enables CACAO's adaptive quality: pixels whose
+    base-pass AO contrast exceeds importance_threshold (at most 1 in
+    adaptive_frac of the frame, compacted) integrate that many EXTRA
+    spiral taps; elsewhere the base result stands. The importance map +
+    per-pixel variable work of ffx_cacao_impl.cpp's adaptive preset, as
+    compaction instead of divergent loops.
 
     For screen-band sharding (multi-chip sp axis): `depth` is a band slab
     whose first row is global row `y_offset` of a `full_height`-tall frame
@@ -106,47 +193,44 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
     for zm in zmips:
         zflat_parts.append(zm.reshape(-1))
         zoffs.append(off)
+        zshapes.append((zm.shape[0], zm.shape[1]))
         off += zflat_parts[-1].shape[0]
     zflat = jnp.concatenate(zflat_parts)
 
-    taps = _spiral_taps(num_taps)
-    occlusion = jnp.zeros_like(zv)
-    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    geom = (tan_half, aspect, y_offset, full_height, radius_world)
+    px = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5, (h, w))
+    py = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5, (h, w))
 
-    for t in range(num_taps):
-        dx = taps[t, 0] * radius_px_y
-        dy = taps[t, 1] * radius_px_y
-        sx = jnp.clip(px + dx, 0.5, w - 0.5)
-        sy = jnp.clip(py + dy, 0.5, h - 0.5)
-        # mip by tap distance (in pixels)
-        dist_px = jnp.sqrt(dx * dx + dy * dy)
-        mip = jnp.clip((jnp.log2(jnp.maximum(dist_px, 1.0)) - 3.0),
-                       0, len(zmips) - 1).astype(jnp.int32)
-        idx = jnp.zeros(zv.shape, jnp.int32)
-        for m, zm in enumerate(zmips):
-            # pyramid level m sits at input scale 2^(m+1) (2x-down base)
-            mh, mw = zm.shape[0], zm.shape[1]
-            ty = jnp.clip((sy / (1 << (m + 1))).astype(jnp.int32), 0, mh - 1)
-            tx = jnp.clip((sx / (1 << (m + 1))).astype(jnp.int32), 0, mw - 1)
-            idx = jnp.where(mip == m, zoffs[m] + ty * mw + tx, idx)
-        z_tap = gather_scalar_rows4(zflat, idx)
+    occlusion = _occlusion_sum(_spiral_taps(num_taps), px, py, pos_v,
+                               nrm_v, radius_px_y, zflat, zoffs, zshapes,
+                               w, h, geom)
+    n_taps = jnp.full((h, w), jnp.float32(num_taps))
 
-        # view-space sample position (global frame rows)
-        s_ndc_x = (sx / w) * 2.0 - 1.0
-        s_ndc_y = 1.0 - ((y_offset + sy) / full_height) * 2.0
-        sv = jnp.stack([s_ndc_x * tan_half * aspect * z_tap,
-                        s_ndc_y * tan_half * z_tap,
-                        z_tap], axis=-1)
-        d = sv - pos_v
-        dist = jnp.linalg.norm(d, axis=-1)
-        d_dir = d / jnp.maximum(dist, 1e-6)[..., None]
-        # horizon-style occlusion: cosine-weighted, range-attenuated
-        cos_h = (d_dir * nrm_v).sum(-1)
-        falloff = jnp.clip(1.0 - dist / radius_world, 0.0, 1.0)
-        occlusion = occlusion + jnp.clip(cos_h - 0.1, 0.0, 1.0) * falloff
+    if adaptive_taps > 0:
+        ao0 = 1.0 - jnp.clip(occlusion / num_taps * 2.0 * intensity, 0, 1)
+        imp = importance_map(ao0)
+        cap = -(-max(512, (h * w) // adaptive_frac) // 8) * 8
+        idx, count = sparse.compact_indices(imp > importance_threshold, cap)
+        live = jnp.arange(cap) < count
 
-    ao = 1.0 - jnp.clip(occlusion / num_taps * 2.0 * intensity, 0.0, 1.0)
+        def g(v):
+            return sparse.gather_pixels(v, idx)
+
+        # refinement taps come from an independently-seeded spiral so the
+        # base pass stays bit-identical to the non-adaptive config:
+        # unrefined pixels never shift when the threshold moves
+        occ_c = _occlusion_sum(
+            _spiral_taps(adaptive_taps, seed=31), g(px), g(py), g(pos_v),
+            g(nrm_v), g(radius_px_y), zflat, zoffs, zshapes, w, h, geom)
+        occ_new = g(occlusion) + occ_c
+        occlusion = sparse.scatter_pixels(occlusion, idx, occ_new, live)
+        n_taps = sparse.scatter_pixels(
+            n_taps, idx,
+            jnp.full((cap,), jnp.float32(num_taps + adaptive_taps)), live)
+
+    ao = 1.0 - jnp.clip(occlusion / n_taps * 2.0 * intensity, 0.0, 1.0)
     if power == 1.5:
         ao = ao * jnp.sqrt(ao)  # ao^1.5 without the transcendental pow
     else:
@@ -176,3 +260,52 @@ def _bilateral_blur(ao: jnp.ndarray, zv: jnp.ndarray,
         return acc / jnp.maximum(wacc, 1e-6)
     ao = blur_axis(ao, zv, 1)
     return blur_axis(ao, zv, 0)
+
+
+def upsample_bilateral(ao: jnp.ndarray, z_coarse: jnp.ndarray,
+                       z_fine: jnp.ndarray,
+                       depth_sigma: float = 0.05) -> jnp.ndarray:
+    """Depth-guided 2x upsample (CACAO's edge-aware Apply/upscale,
+    ffx_cacao.hlsl Apply): each fine pixel blends the 4 nearest coarse AO
+    samples with bilinear weights modulated by depth similarity, so AO
+    never bleeds across silhouettes the way nearest/bilinear upsampling
+    does. All shifted-image dense math — no gathers.
+
+    ao, z_coarse [h, w]; z_fine [H, W] with H<=2h, W<=2w (same depth
+    encoding for both, NDC or view — only |dz| relative to z matters)."""
+    h, w = ao.shape
+    fh, fw = z_fine.shape
+
+    def shift(img, dy, dx):
+        # pad + slice (index gathers can relayout the lane axis on TPU)
+        p = jnp.pad(img, ((max(-dy, 0), max(dy, 0)),
+                          (max(-dx, 0), max(dx, 0))), mode="edge")
+        return p[max(dy, 0):max(dy, 0) + h, max(dx, 0):max(dx, 0) + w]
+
+    # fine pixel (2i+oy, 2j+ox) sits between coarse rows; the second
+    # nearest coarse sample is at -1 for phase 0, +1 for phase 1.
+    # Phases assemble via reshape (strided .at[oy::2] scatters relayout
+    # the lane axis on TPU — ~11 ms at 1080p; reshape interleave is free).
+    zf = jnp.pad(z_fine, ((0, 2 * h - fh), (0, 2 * w - fw)), mode="edge")
+    zf4 = zf.reshape(h, 2, w, 2)                          # [h, oy, w, ox]
+    rows = []
+    for oy in range(2):
+        cols = []
+        for ox in range(2):
+            zf_p = zf4[:, oy, :, ox]                      # [h, w]
+            acc = jnp.zeros((h, w), jnp.float32)
+            wacc = jnp.zeros((h, w), jnp.float32)
+            for (dy, wy) in ((0, 0.75), (oy * 2 - 1, 0.25)):
+                for (dx, wx) in ((0, 0.75), (ox * 2 - 1, 0.25)):
+                    a_s = shift(ao, dy, dx)
+                    z_s = shift(z_coarse, dy, dx)
+                    wz = jnp.exp(-jnp.abs(z_s - zf_p)
+                                 / (depth_sigma
+                                    * jnp.maximum(jnp.abs(zf_p), 1e-3)))
+                    wgt = wy * wx * (wz + 1e-4)
+                    acc = acc + a_s * wgt
+                    wacc = wacc + wgt
+            cols.append(acc / jnp.maximum(wacc, 1e-6))
+        rows.append(jnp.stack(cols, axis=-1))             # [h, w, ox]
+    out = jnp.stack(rows, axis=1)                         # [h, oy, w, ox]
+    return out.reshape(2 * h, 2 * w)[:fh, :fw]

@@ -119,8 +119,11 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
     binned = raster.bin_triangles(setup, width, band_height, extra=extra)
     coverage = None
     if msaa:
-        depth, tri_id, gbuf, coverage = raster.rasterize_gbuf(
+        depth, tri_id, gbuf, cov_s = raster.rasterize_gbuf(
             binned, width, band_height, msaa=True)
+        # bands blend silhouettes by mean coverage (the per-sample edge
+        # resolve is a documented single-chip extra; see module docstring)
+        coverage = cov_s.mean(axis=0)
     else:
         depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width,
                                                     band_height)

@@ -86,6 +86,10 @@ class DeviceScene:
     corner_normals: jnp.ndarray = None    # [3Tl, 3]
     corner_tangents: jnp.ndarray = None   # [3Tl, 3]
     corner_uvs: jnp.ndarray = None        # [3Tl, 2]
+    # geomorph targets (None when nothing tessellates): the on-device
+    # continuous-tessellation morph table, lerped toward by a per-item
+    # factor each frame (Tessellation.hlsl's distance factors)
+    corner_morph_mid: jnp.ndarray = None  # [3Tl, 3]
     num_tris_live: int = field(metadata=dict(static=True), default=0)
 
 
@@ -125,8 +129,11 @@ def upload_scene(buffers, bucketize: bool = True) -> DeviceScene:
 
     # padded triangles index vertex 0 three times -> zero area -> the
     # rasterizer's setup kills them (det <= 0); no masks needed.
+    morph = getattr(buffers, "morph_mid", None)
     return DeviceScene(
         corner_positions=jnp.asarray(pos_l[idx_l]),
+        corner_morph_mid=(jnp.asarray(padv(morph, max(v, 1))[idx_l])
+                          if morph is not None else None),
         corner_normals=jnp.asarray(nrm_l[idx_l]),
         corner_tangents=jnp.asarray(tan_l[idx_l]),
         corner_uvs=jnp.asarray(uv_l[idx_l]),
@@ -268,8 +275,21 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
         # the live (unpadded) triangle count
         tl = scene.num_tris_live
         tri_item = scene.tri_item[:tl]
-        clip_c = raster.transform_clip_corners(
-            scene.corner_positions, tri_item, wvp)
+        if scene.corner_morph_mid is not None:
+            # on-device continuous tessellation: lerp vertices toward
+            # their geomorph targets by the per-item distance factor
+            # (XLA CSEs the duplicate area/AABB math with culling's)
+            wc, we = culling.world_aabbs(
+                consts.world, scene.aabb_center, scene.aabb_extent)
+            area = culling.projected_bb_area(wc, we, consts.view_proj)
+            morph_w = culling.tessellation_morph_factor(
+                lod, area, scene.item_num_lods)
+            clip_c = raster.transform_clip_corners_morph(
+                scene.corner_positions, scene.corner_morph_mid, tri_item,
+                wvp, morph_w)
+        else:
+            clip_c = raster.transform_clip_corners(
+                scene.corner_positions, tri_item, wvp)
         setup = raster.setup_triangles(clip_c, None, width, height,
                                        tri_mask=tri_mask[:tl])
         extra = raster.pack_gbuf_extra_corners(
@@ -281,6 +301,7 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
         if msaa:
             depth, tri_id, gbuf, coverage = raster.rasterize_gbuf(
                 binned, width, height, msaa=True)
+            records = raster.pack_records(setup, extra)
         else:
             depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width, height)
         attrs, mask = _attrs_from_gbuf(scene, consts, depth, tri_id, gbuf,
@@ -289,6 +310,10 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
         # callers can detect silently-dropped geometry (the debug-layer
         # discipline of Renderer.cpp:233-240; see engine.run's probe)
         attrs["overflow"] = binned.overflow
+        if msaa:
+            # per-triangle record table for the post-kernel per-sample
+            # edge resolve (XLA CSEs the duplicate packing in bin_triangles)
+            attrs["records"] = records
         if return_binned:
             return depth, tri_id, attrs, mask, coverage, binned
         return depth, tri_id, attrs, mask, coverage
@@ -795,6 +820,109 @@ def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
     return hdr
 
 
+def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
+                         env, textures, attrs: dict,
+                         tri_id: jnp.ndarray, depth: jnp.ndarray,
+                         mask: jnp.ndarray, cov_s: jnp.ndarray,
+                         ao_map, mip_jit,
+                         spot_vis, point_vis, dir_vis,
+                         width: int, height: int,
+                         aniso_taps: int, slots_used,
+                         enable_shadows: bool):
+    """Per-sample MSAA resolve at triangle-triangle edges — the missing
+    half of ResolveMSAA (DepthResolve.hlsl + SceneRendering.cpp:2060):
+    pixels whose 4 samples split between two surfaces get the SECOND
+    surface shaded too, at a few percent of a dense pass.
+
+    Per-sample visibility is re-derived post-kernel from neighbor-winner
+    candidate records (ops/msaa.py), the secondary surface's attributes
+    interpolate from its packed record (raster.interp_record_attrs), and
+    it shades through the SAME material/IBL/direct path as the primary on
+    a compacted [1, CAP] pixel list. Screen-space terms (SSAO, shadow
+    visibility) reuse the pixel's primary values — the two surfaces are
+    sub-pixel apart. Returns (w_sec [H,W] secondary sample weight,
+    sec_rgb [H,W,3] pre-weighted secondary color)."""
+    from ..ops import msaa as msaa_ops
+    from ..ops import sparse
+
+    cap = -(-max(4096, (width * height) // 32) // 8) * 8
+    object_id = attrs["ids"][..., 0].astype(jnp.int32)
+    records = attrs["records"]
+    idx, live, sec_id, n_sec, px, py = msaa_ops.resolve_secondary(
+        records, tri_id, depth, object_id, mask, cov_s, cap)
+    rec = records[jnp.maximum(sec_id, 0)]
+    a = raster.interp_record_attrs(rec, px, py)
+
+    # secondary world position: unproject its depth plane at the center
+    ndc_x = px / width * 2.0 - 1.0
+    ndc_y = 1.0 - py / height * 2.0
+    clip = jnp.stack([ndc_x, ndc_y, a["depth"], jnp.ones_like(px)], axis=-1)
+    wp = clip @ consts.inv_view_proj.T
+    wpos = wp[:, :3] / jnp.where(jnp.abs(wp[:, 3:4]) > 1e-12,
+                                 wp[:, 3:4], 1e-12)
+
+    wn = a["wnrm"]
+    wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-9)
+    mrow = palette.palette_lookup(a["mat_id"][None], scene.materials)
+    ids = jnp.stack([a["object_id"].astype(jnp.float32),
+                     a["item_id"].astype(jnp.float32)], axis=-1)[None]
+    mj = sparse.gather_pixels(mip_jit, idx)[None] if mip_jit is not None \
+        else None
+    mat = material_pass(scene, sec_id[None], uv=a["uv"][None],
+                        wnrm=wn[None], wtan=a["wtan"][None],
+                        textures=textures, mrow=mrow, ids=ids,
+                        aniso_taps=aniso_taps, slots_used=slots_used,
+                        mip_jitter=mj)
+    n = mat["normal"] if mat.get("normal") is not None else wn[None]
+
+    def g(v):                                   # [H,W] -> [1, cap]
+        return sparse.gather_pixels(v, idx)[None]
+
+    def gs(v):                                  # [C,H,W] -> [C,1,cap]
+        return v.reshape(v.shape[0], -1)[:, idx][:, None, :]
+
+    env_illum = None
+    if env is not None:
+        v = consts.camera_pos - wpos
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        env_illum = ibl.environment_illumination(
+            n, v[None], mat["roughness"], mat["metalness"], mat["albedo"],
+            env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
+            hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance,
+            brdf_poly=env.brdf_poly)
+
+    ao = jnp.broadcast_to(consts.ambient_factor, (1, cap)) * mat["local_ao"]
+    if ao_map is not None:
+        ao = ao * g(ao_map)
+
+    hdr_c = shading.shade_forward(
+        world_pos=wpos[None], normal=n,
+        albedo=mat["albedo"], roughness=mat["roughness"],
+        metalness=mat["metalness"], emissive=mat["emissive"], ao=ao,
+        camera_pos=consts.camera_pos,
+        point_lights=consts.point_lights,
+        spot_lights=consts.spot_lights,
+        spot_extra=consts.spot_extra,
+        directional=consts.directional,
+        point_casters=consts.point_casters if enable_shadows else None,
+        point_shadow=gs(point_vis) if point_vis is not None else None,
+        spot_casters=consts.spot_casters if enable_shadows else None,
+        spot_caster_extra=(consts.spot_caster_extra
+                           if enable_shadows else None),
+        spot_shadow=gs(spot_vis) if spot_vis is not None else None,
+        dir_shadow=g(dir_vis) if dir_vis is not None else None,
+        env_illumination=env_illum,
+    )
+
+    w = jnp.where(live, n_sec * 0.25, 0.0)                  # [cap]
+    sec_rgb = hdr_c[0] * w[:, None]
+    w_img = sparse.scatter_pixels(
+        jnp.zeros((height, width), jnp.float32), idx, w, live)
+    rgb_img = sparse.scatter_pixels(
+        jnp.zeros((height, width, 3), jnp.float32), idx, sec_rgb, live)
+    return w_img, rgb_img
+
+
 def render_forward(scene: DeviceScene, consts: FrameConstants,
                    width: int, height: int,
                    output_display_curve: int = cs.DISPLAY_CURVE_SRGB,
@@ -819,7 +947,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    scene_transparent: DeviceScene | None = None,
                    aniso_taps: int = 0,
                    slots_used: tuple | None = None,
-                   ssao_quality: str = "medium"):
+                   ssao_quality: str = "medium",
+                   msaa_edge_resolve: bool = True):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> transparents -> tonemap. Returns a dict with
     ldr [H,W,3], depth [H,W], tri_id [H,W], object_id [H,W], and
@@ -888,7 +1017,9 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             if k in mat and k in mat2:
                 mat[k] = mrg(mat[k], mat2[k])
         if coverage is not None:
-            coverage = jnp.where(fail, ok2.astype(coverage.dtype), coverage)
+            # per-sample [4,H,W] (gbuf path) or scalar [H,W] coverage
+            f = fail[None] if coverage.ndim == 3 else fail
+            coverage = jnp.where(f, ok2.astype(coverage.dtype), coverage)
 
     ao_map = None
     if enable_ssao:
@@ -899,18 +1030,22 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         # resolution and tap count set the cost.
         info = {"near": consts.proj_params[0], "far": consts.proj_params[1],
                 "fov_y": consts.proj_params[2], "view": consts.view_matrix}
+        # presets follow CACAO's quality ladder (AmbientOcclusion.h:78-81):
+        # low = quarter res / 8 taps; medium/high = half res with the
+        # ADAPTIVE machinery — a lean dense base pass + importance-ranked
+        # compacted refinement (ffx_cacao's importance map / adaptive
+        # preset, built as compaction; see ops/ssao.py). Upsampling is
+        # depth-guided bilateral, CACAO's edge-aware Apply.
+        d_h, n_h = pool2(depth), pool2(n)
         if ssao_quality == "low":
-            base_d, base_n = pool2(pool2(depth)), pool2(pool2(n))
-            taps, times = 8, 2
-        elif ssao_quality == "high":
-            base_d, base_n = pool2(depth), pool2(n)
-            taps, times = 16, 1
+            d_q = pool2(d_h)
+            ao_map = ssao_ops.ssao(d_q, pool2(n_h), info, num_taps=8)
+            ao_map = ssao_ops.upsample_bilateral(ao_map, d_q, d_h)
         else:
-            base_d, base_n = pool2(depth), pool2(n)
-            taps, times = 12, 1
-        ao_map = ssao_ops.ssao(base_d, base_n, info, num_taps=taps)
-        for _ in range(times):
-            ao_map = jnp.repeat(jnp.repeat(ao_map, 2, axis=0), 2, axis=1)
+            taps, extra = (12, 8) if ssao_quality == "high" else (8, 6)
+            ao_map = ssao_ops.ssao(d_h, n_h, info, num_taps=taps,
+                                   adaptive_taps=extra)
+        ao_map = ssao_ops.upsample_bilateral(ao_map, d_h, depth)
         ao_map = ao_map[:height, :width]
 
     motion = None
@@ -981,10 +1116,25 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
     else:
         background = jnp.broadcast_to(consts.clear_color, hdr.shape)
     if coverage is not None:
-        # MSAA resolve: coverage-weighted blend against the background
-        # (the silhouette antialiasing of ResolveMSAA)
-        hdr = hdr * coverage[..., None] + background * (1.0 - coverage[..., None])
-        hdr = jnp.where((mask | (coverage > 0))[..., None], hdr, background)
+        # MSAA resolve (ResolveMSAA, DepthResolve.hlsl): per-sample
+        # weights. covm = covered sample fraction handles silhouettes vs
+        # background; the sparse edge pass splits covered samples between
+        # the primary and a shaded secondary surface at triangle-triangle
+        # edges (per-sample counts are exact for the 2-surface case).
+        covm = coverage.mean(axis=0) if coverage.ndim == 3 else coverage
+        if (msaa_edge_resolve and coverage.ndim == 3
+                and "records" in attrs):
+            w_sec, sec_rgb = _msaa_edge_secondary(
+                scene, consts, env, textures, attrs, tri_id, depth, mask,
+                coverage, ao_map, mip_jit, spot_vis, point_vis, dir_vis,
+                width, height, aniso_taps, slots_used, enable_shadows)
+            w_pri = jnp.maximum(covm - w_sec, 0.0)
+            hdr = (hdr * w_pri[..., None] + sec_rgb
+                   + background * (1.0 - covm)[..., None])
+        else:
+            hdr = (hdr * covm[..., None]
+                   + background * (1.0 - covm[..., None]))
+        hdr = jnp.where((mask | (covm > 0))[..., None], hdr, background)
     else:
         hdr = jnp.where(mask[..., None], hdr, background)
 

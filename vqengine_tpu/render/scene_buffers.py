@@ -53,6 +53,9 @@ class SceneBuffers:
     aabb_center: np.ndarray | None = None  # [N, 3]
     aabb_extent: np.ndarray | None = None  # [N, 3]
     material_names: list[str] = field(default_factory=list)  # [M] (editor)
+    # per-vertex geomorph targets (GeometryLOD.morph_mid); None when no
+    # mesh in the scene tessellates — the renderer then skips the morph
+    morph_mid: np.ndarray | None = None    # [V, 3]
 
     @property
     def num_items(self) -> int:
@@ -76,7 +79,8 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
     """Merge every item's mesh (all LOD levels when all_lods) into single
     SoA buffers. Per-frame LOD selection masks triangles by tri_lod."""
     pos_l, nrm_l, tan_l, uv_l, iov_l, idx_l = [], [], [], [], [], []
-    tri_item_l, tri_lod_l = [], []
+    tri_item_l, tri_lod_l, morph_l = [], [], []
+    any_morph = False
     item_mat = np.zeros(len(items), dtype=np.int32)
     item_obj = np.zeros(len(items), dtype=np.int32)
     item_nlod = np.ones(len(items), dtype=np.int32)
@@ -88,6 +92,11 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
         item_nlod[i] = len(lods)
         for li, lod in enumerate(lods):
             pos_l.append(lod.positions)
+            if lod.morph_mid is not None:
+                any_morph = True
+                morph_l.append(lod.morph_mid)
+            else:
+                morph_l.append(lod.positions)   # identity: never morphs
             nrm_l.append(lod.normals)
             tan_l.append(lod.tangents)
             uv_l.append(lod.uvs)
@@ -112,6 +121,8 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
                             material_names=[m.name for m in materials])
 
     return SceneBuffers(
+        morph_mid=(np.concatenate(morph_l).astype(np.float32)
+                   if any_morph else None),
         positions=np.concatenate(pos_l),
         normals=np.concatenate(nrm_l),
         tangents=np.concatenate(tan_l),
@@ -159,6 +170,7 @@ def split_transparent(buffers: SceneBuffers
             aabb_center=buffers.aabb_center,
             aabb_extent=buffers.aabb_extent,
             material_names=buffers.material_names,
+            morph_mid=buffers.morph_mid,     # vertex-indexed: shared
         )
 
     return subset(~tri_t), subset(tri_t)

@@ -22,12 +22,20 @@ import numpy as np
 
 @dataclass
 class GeometryLOD:
-    """One LOD level: SoA vertex data + triangle indices."""
+    """One LOD level: SoA vertex data + triangle indices.
+
+    morph_mid (optional, [V, 3]): per-vertex geomorph targets — the
+    midpoint of the vertex's coarser-level parents. The renderer lerps
+    positions toward these on device by a continuous per-item factor,
+    giving the reference's distance-continuous tessellation
+    (Tessellation.hlsl adaptive factors) without per-frame re-upload;
+    None means the vertex never morphs."""
     positions: np.ndarray  # [V, 3] f32
     normals: np.ndarray    # [V, 3] f32
     tangents: np.ndarray   # [V, 3] f32
     uvs: np.ndarray        # [V, 2] f32
     indices: np.ndarray    # [T, 3] i32
+    morph_mid: np.ndarray | None = None  # [V, 3] f32 geomorph targets
 
     @property
     def num_vertices(self) -> int:
@@ -318,6 +326,51 @@ def grid(width: float = 1.0, depth: float = 1.0, num_verts_x: int = 2, num_verts
         for i in range(max(1, num_lods))
     ]
     return Mesh("SimpleGrid", lods)
+
+
+def grid_exact_halving(width: float, depth: float, cells: int = 64,
+                       num_lods: int = 3) -> Mesh:
+    """Grid whose LOD chain halves CELL counts exactly ((2^k)+1 vertices
+    per side: 65 -> 33 -> 17 ...): each level's even-vertex subset lands
+    exactly on the next-coarser level's vertices — the property CDLOD
+    geomorphing needs so a fully morphed level k equals level k+1 and LOD
+    switches are invisible (the continuous tess factors of
+    Tessellation.hlsl:1-120, quantized levels + morph instead of fractional
+    HS factors)."""
+    assert cells & (cells - 1) == 0, "cells must be a power of two"
+    lods = [_grid_lod(width, depth,
+                      max(cells >> i, 1) + 1, max(cells >> i, 1) + 1)
+            for i in range(max(1, num_lods))]
+    return Mesh("GridExactHalving", lods)
+
+
+def grid_geomorph_mids(positions: np.ndarray, nx: int, ny: int) -> np.ndarray:
+    """Per-vertex geomorph targets for a row-major (ny, nx) grid — the
+    domain-shader morph table: even-even vertices are their own target
+    (they exist on the coarser level); odd-column vertices morph to the
+    midpoint of their horizontal neighbors, odd-row to vertical neighbors,
+    odd-odd to the triangulation diagonal's midpoint (the grid triangulates
+    (v00,v01,v11),(v00,v11,v10), so the NW-SE diagonal is the real coarser
+    edge). Call AFTER displacement so targets sit on the displaced coarse
+    surface."""
+    p = positions[: ny * nx].reshape(ny, nx, 3)
+    mid = p.copy()
+    rr = np.arange(ny)
+    cc = np.arange(nx)
+    odd_r = (rr % 2 == 1)[:, None]
+    odd_c = (cc % 2 == 1)[None, :]
+    left = p[:, np.clip(cc - 1, 0, nx - 1)]
+    right = p[:, np.clip(cc + 1, 0, nx - 1)]
+    up = p[np.clip(rr - 1, 0, ny - 1)]
+    down = p[np.clip(rr + 1, 0, ny - 1)]
+    nw = p[np.clip(rr - 1, 0, ny - 1)][:, np.clip(cc - 1, 0, nx - 1)]
+    se = p[np.clip(rr + 1, 0, ny - 1)][:, np.clip(cc + 1, 0, nx - 1)]
+    mid = np.where((odd_c & ~odd_r)[..., None], 0.5 * (left + right), mid)
+    mid = np.where((odd_r & ~odd_c)[..., None], 0.5 * (up + down), mid)
+    mid = np.where((odd_r & odd_c)[..., None], 0.5 * (nw + se), mid)
+    out = positions.copy()
+    out[: ny * nx] = mid.reshape(-1, 3)
+    return out.astype(np.float32)
 
 
 def fullscreen_quad() -> Mesh:

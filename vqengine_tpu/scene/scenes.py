@@ -250,12 +250,20 @@ def _add_skirt(lod, drop: float):
     quads = np.stack([a, b, b2, a, b2, a2], axis=1).reshape(-1, 3)
     quads_back = quads[:, ::-1]               # double-sided: winding-proof
     from .mesh import GeometryLOD
+    morph = None
+    if lod.morph_mid is not None:
+        # skirt copies morph in lockstep with their border vertex (same
+        # drop) so no crack opens between the edge and its skirt mid-morph
+        mdup = lod.morph_mid[ring].copy()
+        mdup[:, 1] -= drop
+        morph = np.concatenate([lod.morph_mid, mdup]).astype(np.float32)
     return GeometryLOD(
         positions=np.concatenate([lod.positions, dup]).astype(np.float32),
         normals=np.concatenate([lod.normals, lod.normals[ring]]).astype(np.float32),
         tangents=np.concatenate([lod.tangents, lod.tangents[ring]]).astype(np.float32),
         uvs=np.concatenate([lod.uvs, lod.uvs[ring]]).astype(np.float32),
-        indices=np.concatenate([lod.indices, quads, quads_back]).astype(np.int32))
+        indices=np.concatenate([lod.indices, quads, quads_back]).astype(np.int32),
+        morph_mid=morph)
 
 
 _HEIGHTMAP_CACHE: dict = {}
@@ -294,16 +302,28 @@ def build_terrain_patch(px: int, pz: int, patches: int = 6,
     from . import mesh as meshmod
     hm = _cached_heightmap(res)
     psize = size / patches
-    pres = max(res // patches + 1, 8)
-    base = meshmod.grid(psize, psize, pres, pres, num_lods=num_lods)
+    # power-of-two cell counts so LOD levels halve EXACTLY: the even-vertex
+    # subset of level l IS level l+1's grid, which makes the geomorph
+    # target of a fully morphed level equal the next level bit-for-bit
+    cells = 64
+    while cells > 8 and cells > res // patches:
+        cells //= 2
+    base = meshmod.grid_exact_halving(psize, psize, cells=cells,
+                                      num_lods=num_lods)
     x_off = (px + 0.5) / patches * size - size / 2
     z_off = (pz + 0.5) / patches * size - size / 2
-    cell = psize / (pres - 1)
+    cell = psize / cells
     new_lods = []
-    for lod in base.lods:
+    for li, lod in enumerate(base.lods):
         lod.positions[:, 0] += x_off
         lod.positions[:, 2] += z_off
         _displace_by_heightmap(lod, hm, size, height)
+        # geomorph targets from the DISPLACED grid (the on-device
+        # continuous-tessellation morph table; coarsest level never morphs)
+        n_side = max(cells >> li, 1) + 1
+        if li < len(base.lods) - 1:
+            lod.morph_mid = meshmod.grid_geomorph_mids(
+                lod.positions, n_side, n_side)
         new_lods.append(_add_skirt(lod, drop=max(3.0 * cell, 0.04 * height)))
     base.lods = new_lods
     base.name = f"TerrainPatch[{px}][{pz}]"
