@@ -104,3 +104,50 @@ class TestRadialConversion:
         assert radial[0, 0] > center
         np.testing.assert_allclose(radial[0, 0] / center,
                                    np.sqrt(1 + 2 * (31.5 / 32) ** 2), rtol=0.05)
+
+
+class TestEsmVsPcfError:
+    """Quantify the visibility error of the production ESM path (blurred
+    exponential map, pooled to half/quarter resolution like
+    graph.render_shadow_maps) against full-resolution 5x5 PCF ground
+    truth (Lighting.hlsl:177-272) — the number that justifies ESM as the
+    default shadow filter."""
+
+    def test_pooled_esm_visibility_error_bounded(self):
+        pos, iov, world, idx = scene_occluder_and_ground()
+        l = Light(type=ELightType.DIRECTIONAL, casts_shadows=True,
+                  viewport_x=16, viewport_y=16, distance_from_origin=50,
+                  shadow_near=0.1, shadow_far=100, depth_bias=0.003)
+        vp = jnp.asarray(l.view_projection())
+        dmap = shadow.render_shadow_depth(pos, iov, world, vp, idx, 512)
+
+        # receivers: a grid of ground points spanning lit, shadowed, and
+        # penumbra regions under the floating occluder
+        g = np.linspace(-6.0, 6.0, 49, dtype=np.float32)
+        gx, gz = np.meshgrid(g, g)
+        wpos = jnp.asarray(
+            np.stack([gx, np.zeros_like(gx), gz], axis=-1))
+        ndotl = jnp.ones(wpos.shape[:2], jnp.float32)
+
+        pcf = np.asarray(shadow.shadow_test_pcf(
+            wpos, ndotl, vp, dmap, l.depth_bias, slope_scaled=False))
+        # production config: prefilter + pool x1 (spot/dir budget,
+        # graph.render_shadow_maps: 1024->512 etc.)
+        esm_map = shadow.prefilter_esm(dmap, pool=1)
+        esm = np.asarray(shadow.shadow_test_esm(
+            wpos, vp, esm_map, l.depth_bias))
+
+        err = np.abs(esm - pcf)
+        # hard shadow/lit regions must agree nearly exactly; the blurred
+        # penumbra band may disagree (ESM is softer by design), so the
+        # MEAN error stays small while the max may approach 1 on the
+        # penumbra's edge pixels. Measured with ESM_TEST_SHARPNESS = 2:
+        # mean 0.005, lit 0.0, shadowed 0.011 (was 0.106 unsharpened),
+        # label agreement 99.96%.
+        assert err.mean() < 0.01, f"mean |ESM-PCF| = {err.mean():.4f}"
+        lit = pcf > 0.95
+        shadowed = pcf < 0.05
+        assert err[lit].mean() < 0.005
+        assert err[shadowed].mean() < 0.03
+        agree = ((esm > 0.5) == (pcf > 0.5)).mean()
+        assert agree > 0.99, f"hard-label agreement {agree:.3f}"

@@ -136,3 +136,42 @@ class TestComposite:
             jnp.full((8, 8, 3), 0.9), jnp.broadcast_to(jnp.asarray([0., 1., 0.]), (8, 8, 3)),
             jnp.broadcast_to(jnp.asarray([0., 1., 0.]), (8, 8, 3))))
         assert out_metal.mean() > out_rough.mean() + 0.5
+
+
+class TestRayCompaction:
+    """SSSR's ClassifyTiles + indirect dispatch as TPU compaction: the
+    compacted march must reproduce the dense march exactly on every ray
+    it classifies as active, and only skip rays whose composite weight is
+    zero anyway."""
+
+    def test_compacted_matches_dense_on_active(self):
+        color, depth, normals, view, info, is_floor = floor_and_wall_scene()
+        dense_r, dense_c = ssr.trace_reflections(color, depth, normals,
+                                                 view, info)
+        comp_r, comp_c = ssr.trace_reflections(color, depth, normals,
+                                               view, info, ray_frac=2)
+        dense_c, comp_c = np.asarray(dense_c), np.asarray(comp_c)
+        dense_r, comp_r = np.asarray(dense_r), np.asarray(comp_r)
+        active = comp_c > 0
+        assert active.any()
+        np.testing.assert_allclose(comp_c[active], dense_c[active],
+                                   atol=1e-6)
+        np.testing.assert_allclose(comp_r[active], dense_r[active],
+                                   atol=1e-6)
+        # skipped rays: either dense also found nothing, or the ray faces
+        # the camera / is background (composite weight would be ~0)
+        skipped_but_dense_hit = (~active) & (dense_c > 1e-3)
+        assert not skipped_but_dense_hit.any(), (
+            f"{skipped_but_dense_hit.sum()} contributing rays were skipped")
+
+    def test_ray_weight_prunes(self):
+        color, depth, normals, view, info, is_floor = floor_and_wall_scene()
+        # weight 0 on the top half: those rays must not march
+        wgt = jnp.asarray(np.where(np.arange(64)[:, None] < 32, 0.0,
+                                   1.0) * np.ones((64, 64)),
+                          jnp.float32)
+        r, c = ssr.trace_reflections(color, depth, normals, view, info,
+                                     ray_frac=2, ray_weight=wgt)
+        c = np.asarray(c)
+        assert (c[:32] == 0).all()
+        assert (c[32:] > 0).any()

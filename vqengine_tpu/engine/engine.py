@@ -723,18 +723,18 @@ class VQEngineTPU:
         frame_path = out_dir / f"{self.scene_name}_frame{self.num_ticks:04d}.png"
         write_png(frame_path, img)
         log.info(f"wrote {frame_path}")
-        if self.gfx.bHDR:
-            # HDR10 output path: the swapchain-format analog — also dump an
-            # ST2084-encoded frame (SwapChain.h:76-99 color-space handling)
-            cam = self.cameras[self.active_camera]
-            consts = self.renderer.build_frame_constants(
-                self.scene_buffers, cam, self.lights)
-            hdr_out = self.renderer.render(
-                consts, self.settings.Width, self.settings.Height,
-                hdr10=True, env=self.environment,
-                textures=self.texture_arrays)
+        if self.gfx.bHDR and last.hdr is not None:
+            # HDR10 output path: the swapchain-format analog — re-encode
+            # the LAST frame's pre-tonemap image to ST2084 (SwapChain.h:
+            # 76-99 color spaces). Re-encoding the kept scene-referred
+            # buffer replaces the full re-render this used to cost.
+            import jax as _jax
+            from ..ops import colorspace as _cs
+            from ..ops import postprocess as _pp
+            enc = _jax.jit(lambda h: _pp.tonemap(
+                h, _cs.DISPLAY_CURVE_ST2084, apply_gamma=True))
             hdr_path = out_dir / f"{self.scene_name}_hdr10.png"
-            write_png(hdr_path, np.asarray(hdr_out.ldr))
+            write_png(hdr_path, np.asarray(enc(last.hdr)))
             log.info(f"wrote {hdr_path} (ST2084/PQ encoded)")
         self.state = EAppState.EXITING
         return 0

@@ -52,7 +52,9 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
                       num_steps: int = 14, refine_steps: int = 0,
                       max_distance: float = 60.0,
                       thickness: float = 0.6,
-                      jitter: bool = True):
+                      jitter: bool = True,
+                      ray_weight: jnp.ndarray | None = None,
+                      ray_frac: int | None = None):
     """-> (reflection color [H,W,3], confidence [H,W]).
 
     Hi-Z DDA march (the FFX-SSSR intersect traversal, ffx_sssr.h
@@ -67,8 +69,19 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     exact level-0 solve replaces binary refinement). jitter offsets each
     ray's start by per-pixel blue noise (SSSR's blue-noise phase).
 
+    ray_frac enables RAY COMPACTION — the TPU-native counterpart of
+    SSSR's tile classification + indirect dispatch
+    (ScreenSpaceReflections.h:104-171 ClassifyTiles/PrepareIndirectArgs):
+    only rays that can contribute march (valid surface, not reflecting
+    into the camera, and ray_weight > 1e-3 when given — the composite's
+    gloss weight zeroes roughness >= 0.707 pixels entirely), compacted to
+    a [H*W/ray_frac] flat list so every DDA-step gather costs its share
+    of the frame instead of 100%. Rays past the capacity fall back to
+    conf 0 (no reflection) in raster order. None = dense (every pixel).
+
     scene_color: lit HDR before reflections (the intersect source);
-    depth: z_ndc; normals: world space.
+    depth: z_ndc; normals: world space; ray_weight: optional [H,W]
+    composite weight upper bound used only for classification.
     """
     del refine_steps
     h, w = depth.shape
@@ -101,6 +114,9 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     dims = [(zm.shape[0], zm.shape[1]) for zm in zmips]
 
     valid_px = depth < 1.0
+    facing = jnp.clip(r[..., 2] * 4.0 + 0.5, 0.0, 1.0)
+    jn_img = jnp.asarray(_blue_noise(h, w)) if jitter \
+        else jnp.full((h, w), 0.5)
 
     def project(p):
         """view pos -> (u, v in [0,1] y-down, 1/z)."""
@@ -109,110 +125,136 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
         v = 0.5 - (p[..., 1] / (z * tan_half)) * 0.5
         return u, v, 1.0 / z
 
-    # screen-space segment: clip the view-space endpoint against z = near
-    # so the projection stays in front of the camera
-    z0 = pos_v[..., 2]
-    rz = r[..., 2]
-    t_clip = jnp.where(rz < -1e-6, (near - z0) / jnp.where(
-        rz < -1e-6, rz, -1.0), max_distance)
-    t1 = jnp.clip(t_clip, 1e-3, max_distance)
-    p1 = pos_v + r * t1[..., None]
-    u0, v0, w0 = project(pos_v)
-    u1, v1, w1 = project(p1)
-    du, dv, dw = u1 - u0, v1 - v0, w1 - w0
+    def march(pos_r, r_r, valid_r, facing_r, jn_r):
+        """The DDA over rays of ANY shape — dense images pass [H,W]
+        planes, the compacted path passes flat [CAP] arrays (every
+        per-step cell gather then costs the active-ray share)."""
+        shape = pos_r.shape[:-1]
+        # screen-space segment: clip the view-space endpoint against
+        # z = near so the projection stays in front of the camera
+        z0 = pos_r[..., 2]
+        rz = r_r[..., 2]
+        t_clip = jnp.where(rz < -1e-6, (near - z0) / jnp.where(
+            rz < -1e-6, rz, -1.0), max_distance)
+        t1 = jnp.clip(t_clip, 1e-3, max_distance)
+        p1 = pos_r + r_r * t1[..., None]
+        u0, v0, w0 = project(pos_r)
+        u1, v1, w1 = project(p1)
+        du, dv, dw = u1 - u0, v1 - v0, w1 - w0
 
-    # s_end: where the segment leaves the [0,1]^2 screen box (or s=1)
-    big = jnp.float32(4.0)
+        # s_end: where the segment leaves the [0,1]^2 screen box (or s=1)
+        big = jnp.float32(4.0)
 
-    def exit_s(o, d):
-        d_safe = jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
-        sa = (0.0 - o) / d_safe
-        sb = (1.0 - o) / d_safe
-        return jnp.where(jnp.abs(d) > 1e-9, jnp.maximum(sa, sb), big)
+        def exit_s(o, d):
+            d_safe = jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
+            sa = (0.0 - o) / d_safe
+            sb = (1.0 - o) / d_safe
+            return jnp.where(jnp.abs(d) > 1e-9, jnp.maximum(sa, sb), big)
 
-    s_end = jnp.minimum(jnp.minimum(exit_s(u0, du), exit_s(v0, dv)),
-                        jnp.float32(1.0))
+        s_end = jnp.minimum(jnp.minimum(exit_s(u0, du), exit_s(v0, dv)),
+                            jnp.float32(1.0))
 
-    du_s = jnp.where(jnp.abs(du) > 1e-9, du, 1e-9)
-    dv_s = jnp.where(jnp.abs(dv) > 1e-9, dv, 1e-9)
-    stepx = (du >= 0).astype(jnp.float32)
-    stepy = (dv >= 0).astype(jnp.float32)
+        du_s = jnp.where(jnp.abs(du) > 1e-9, du, 1e-9)
+        dv_s = jnp.where(jnp.abs(dv) > 1e-9, dv, 1e-9)
+        stepx = (du >= 0).astype(jnp.float32)
+        stepy = (dv >= 0).astype(jnp.float32)
 
-    # start just past the ray's own pixel, phase-jittered by blue noise
-    base_h, base_w = dims[0]
-    s_pix = 1.0 / jnp.maximum(
-        jnp.maximum(jnp.abs(du) * base_w, jnp.abs(dv) * base_h), 1e-6)
-    jn = jnp.asarray(_blue_noise(h, w)) if jitter else 0.5
-    s = s_pix * (0.55 + 0.9 * jn)
+        # start just past the ray's own pixel, phase-jittered by noise
+        base_h, base_w = dims[0]
+        s_pix = 1.0 / jnp.maximum(
+            jnp.maximum(jnp.abs(du) * base_w, jnp.abs(dv) * base_h), 1e-6)
+        s = s_pix * (0.55 + 0.9 * jn_r)
 
-    lvl = jnp.zeros((h, w), jnp.int32)
-    s_hit = jnp.full((h, w), -1.0)
-    done = s >= s_end
-    eps = 1e-5
+        lvl = jnp.zeros(shape, jnp.int32)
+        s_hit = jnp.full(shape, -1.0)
+        done = s >= s_end
+        eps = 1e-5
 
-    for _ in range(num_steps):
-        ux = u0 + s * du
-        uy = v0 + s * dv
-        # per-pixel dynamic level: cell index, exit boundary, and the
-        # flattened-pyramid fetch index via static-level where-chains
-        idx = jnp.zeros((h, w), jnp.int32)
-        bx = jnp.zeros((h, w), jnp.float32)
-        by = jnp.zeros((h, w), jnp.float32)
-        for m, (mh, mw) in enumerate(dims):
-            cx = jnp.clip(jnp.floor(ux * mw), 0.0, mw - 1.0)
-            cy = jnp.clip(jnp.floor(uy * mh), 0.0, mh - 1.0)
-            hitm = lvl == m
-            idx = jnp.where(hitm,
-                            zoffs[m] + (cy * mw + cx).astype(jnp.int32),
-                            idx)
-            bx = jnp.where(hitm, (cx + stepx) / mw, bx)
-            by = jnp.where(hitm, (cy + stepy) / mh, by)
-        z_cell = gather_scalar_rows4(zflat, idx)
+        for _ in range(num_steps):
+            ux = u0 + s * du
+            uy = v0 + s * dv
+            # per-ray dynamic level: cell index, exit boundary, and the
+            # flattened-pyramid fetch index via static-level where-chains
+            idx = jnp.zeros(shape, jnp.int32)
+            bx = jnp.zeros(shape, jnp.float32)
+            by = jnp.zeros(shape, jnp.float32)
+            for m, (mh, mw) in enumerate(dims):
+                cx = jnp.clip(jnp.floor(ux * mw), 0.0, mw - 1.0)
+                cy = jnp.clip(jnp.floor(uy * mh), 0.0, mh - 1.0)
+                hitm = lvl == m
+                idx = jnp.where(hitm,
+                                zoffs[m] + (cy * mw + cx).astype(jnp.int32),
+                                idx)
+                bx = jnp.where(hitm, (cx + stepx) / mw, bx)
+                by = jnp.where(hitm, (cy + stepy) / mh, by)
+            z_cell = gather_scalar_rows4(zflat, idx)
 
-        s_exit = jnp.minimum((bx - u0) / du_s, (by - v0) / dv_s) + eps
-        s_exit = jnp.maximum(s_exit, s + eps)      # always progress
-        s_stop = jnp.minimum(s_exit, s_end)
+            s_exit = jnp.minimum((bx - u0) / du_s, (by - v0) / dv_s) + eps
+            s_exit = jnp.maximum(s_exit, s + eps)      # always progress
+            s_stop = jnp.minimum(s_exit, s_end)
 
-        w_cur = w0 + s * dw
-        w_stop = w0 + s_stop * dw
-        z_cur = 1.0 / jnp.maximum(w_cur, 1e-6)
-        z_stop = 1.0 / jnp.maximum(w_stop, 1e-6)
-        z_far = jnp.maximum(z_cur, z_stop)
+            w_cur = w0 + s * dw
+            w_stop = w0 + s_stop * dw
+            z_cur = 1.0 / jnp.maximum(w_cur, 1e-6)
+            z_stop = 1.0 / jnp.maximum(w_stop, 1e-6)
+            z_far = jnp.maximum(z_cur, z_stop)
 
-        crossing = z_far >= z_cell
-        at0 = lvl == 0
-        behind = z_cur > z_cell + thickness * (1.0 + 0.04 * z_cell)
-        hit_now = crossing & at0 & ~behind & ~done
-        # exact level-0 intersection parameter: w(s*) = 1/z_cell
-        s_star = (1.0 / jnp.maximum(z_cell, 1e-4) - w0) / jnp.where(
-            jnp.abs(dw) > 1e-9, dw, 1e-9)
-        s_star = jnp.clip(s_star, s, s_stop)
-        s_hit = jnp.where(hit_now, s_star, s_hit)
-        done = done | hit_now
+            crossing = z_far >= z_cell
+            at0 = lvl == 0
+            behind = z_cur > z_cell + thickness * (1.0 + 0.04 * z_cell)
+            hit_now = crossing & at0 & ~behind & ~done
+            # exact level-0 intersection parameter: w(s*) = 1/z_cell
+            s_star = (1.0 / jnp.maximum(z_cell, 1e-4) - w0) / jnp.where(
+                jnp.abs(dw) > 1e-9, dw, 1e-9)
+            s_star = jnp.clip(s_star, s, s_stop)
+            s_hit = jnp.where(hit_now, s_star, s_hit)
+            done = done | hit_now
 
-        descend = crossing & ~at0 & ~done
-        advance = (~crossing | (at0 & behind)) & ~done
-        lvl = jnp.where(descend, lvl - 1,
-                        jnp.where(advance, jnp.minimum(lvl + 1, nlev - 1),
-                                  lvl))
-        s = jnp.where(advance, s_stop, s)
-        done = done | (s >= s_end)
+            descend = crossing & ~at0 & ~done
+            advance = (~crossing | (at0 & behind)) & ~done
+            lvl = jnp.where(descend, lvl - 1,
+                            jnp.where(advance,
+                                      jnp.minimum(lvl + 1, nlev - 1),
+                                      lvl))
+            s = jnp.where(advance, s_stop, s)
+            done = done | (s >= s_end)
 
-    hit = s_hit > 0
-    s_f = jnp.where(hit, s_hit, s_end)
-    u = u0 + s_f * du
-    v = v0 + s_f * dv
-    ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    refl = scene_color.reshape(-1, 3)[ty * w + tx]
+        hit = s_hit > 0
+        s_f = jnp.where(hit, s_hit, s_end)
+        u = u0 + s_f * du
+        v = v0 + s_f * dv
+        ty = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        tx = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        refl = scene_color.reshape(-1, 3)[ty * w + tx]
 
-    # confidence: hit found, facing the camera plane, fade at screen edges
-    edge = (jnp.minimum(u, 1 - u).clip(0, 0.1) * 10.0
-            * jnp.minimum(v, 1 - v).clip(0, 0.1) * 10.0)
-    conf = jnp.where(hit & valid_px, edge, 0.0)
-    # reject rays reflecting toward the camera (negative z never intersects
-    # reliably in screen space)
-    conf = conf * jnp.clip(r[..., 2] * 4.0 + 0.5, 0.0, 1.0)
+        # confidence: hit found, facing the camera, fade at screen edges;
+        # rays reflecting toward the camera (negative z) never intersect
+        # reliably in screen space
+        edge = (jnp.minimum(u, 1 - u).clip(0, 0.1) * 10.0
+                * jnp.minimum(v, 1 - v).clip(0, 0.1) * 10.0)
+        conf = jnp.where(hit & valid_r, edge, 0.0) * facing_r
+        return refl, conf
+
+    if ray_frac is None:
+        return march(pos_v, r, valid_px, facing, jn_img)
+
+    # ray compaction (SSSR ClassifyTiles + indirect dispatch, TPU-style)
+    from . import sparse
+    active = valid_px & (facing > 0.0)
+    if ray_weight is not None:
+        active = active & (ray_weight > 1e-3)
+    cap = -(-max(1024, (h * w) // ray_frac) // 8) * 8
+    idx, count = sparse.compact_indices(active, cap)
+    live = (jnp.arange(cap) < count) & sparse.gather_pixels(active, idx)
+    refl_c, conf_c = march(sparse.gather_pixels(pos_v, idx),
+                           sparse.gather_pixels(r, idx),
+                           live,
+                           sparse.gather_pixels(facing, idx),
+                           sparse.gather_pixels(jn_img, idx))
+    refl = sparse.scatter_pixels(jnp.zeros((h, w, 3), scene_color.dtype),
+                                 idx, refl_c, live)
+    conf = sparse.scatter_pixels(jnp.zeros((h, w), jnp.float32),
+                                 idx, conf_c, live)
     return refl, conf
 
 

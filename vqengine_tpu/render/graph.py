@@ -1146,9 +1146,16 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         # pyramid gather); DNSR's prefilter + temporal resolve run at half
         # resolution, recovering edge stability, and the composite happens
         # at full resolution with the Fresnel weight.
+        # ray classification (SSSR ClassifyTiles, as compaction): only
+        # pixels the composite can weight above zero march — gloss
+        # (apply_reflections) zeroes roughness >= 0.707 outright
+        gloss = jnp.clip(
+            1.0 - mat["roughness"] * mat["roughness"] * 2.0, 0.0, 1.0)
+        wq = pool2(pool2(jnp.where(mask, gloss, 0.0)))
         refl_q, conf_q = ssr_ops.trace_reflections(
             pool2(pool2(hdr)), pool2(pool2(depth)), pool2(pool2(n)),
-            consts.view_matrix, consts.proj_params)
+            consts.view_matrix, consts.proj_params,
+            ray_weight=wq, ray_frac=2)
         hh, hw = pool2(depth).shape[:2]
         refl_h = jnp.repeat(jnp.repeat(refl_q, 2, 0), 2, 1)[:hh, :hw]
         conf_h = jnp.repeat(jnp.repeat(conf_q, 2, 0), 2, 1)[:hh, :hw]
@@ -1185,7 +1192,10 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             and output_display_curve != cs.DISPLAY_CURVE_ST2084):
         ldr = ffx.fsr1(ldr, out_height, out_width)
 
-    out = {"ldr": ldr, "depth": depth, "tri_id": tri_id,
+    # the pre-tonemap scene-referred image rides along so callers can
+    # re-encode to another display curve (e.g. the exit-time HDR10 dump)
+    # without re-rendering the frame (SwapChain.h:76-99 color spaces)
+    out = {"ldr": ldr, "hdr": hdr, "depth": depth, "tri_id": tri_id,
            "object_id": jnp.where(mask, mat["object_id"], -1)}
     if "overflow" in attrs:
         out["overflow"] = attrs["overflow"]

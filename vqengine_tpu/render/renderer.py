@@ -48,6 +48,7 @@ class FrameOutput:
     motion: np.ndarray | None = None
     ssr_history: np.ndarray | None = None
     overflow: np.ndarray | None = None  # [3] dropped (pairs, row pairs, globals)
+    hdr: np.ndarray | None = None    # pre-tonemap scene-referred [H, W, 3]
 
 
 class VQRendererTPU:
@@ -280,4 +281,5 @@ class VQRendererTPU:
                            object_id=out.get("object_id"),
                            ao=out.get("ao"), motion=out.get("motion"),
                            ssr_history=out.get("ssr_history"),
-                           overflow=out.get("overflow"))
+                           overflow=out.get("overflow"),
+                           hdr=out.get("hdr"))
