@@ -116,6 +116,10 @@ class VQEngineTPU:
         self.magnifier_on = False
         self.magnifier_center = (0.5, 0.5)
         self.selected_object = -1
+        # VQUI windows (VQUI.h:36-66): 0 closed, 1..4 = F1..F4 panel
+        self.ui_panel = 0
+        self._ui_cursor = 0
+        self._shadow_filter_cached = None  # filter the cached maps used
 
         from .events import BufferedEventQueue
         from .input import Input
@@ -390,9 +394,13 @@ class VQEngineTPU:
         casters = [l for l in self.lights if l.enabled and l.casts_shadows]
         static_ok = (self.scene_update_hook is None and casters and
                      all(l.mobility != EMobility.DYNAMIC for l in casters))
+        if self._shadow_filter_cached not in (None, self.gfx.ShadowFilter):
+            self._static_shadow_maps = None   # filter changed (F3 toggle)
         if static_ok and self._static_shadow_maps is None:
             t0 = time.perf_counter()
-            self._static_shadow_maps = self.renderer.precompute_shadow_maps(consts)
+            self._static_shadow_maps = self.renderer.precompute_shadow_maps(
+                consts, filter_mode=self.gfx.ShadowFilter)
+            self._shadow_filter_cached = self.gfx.ShadowFilter
             log.info(f"static shadow maps cached in "
                      f"{time.perf_counter()-t0:.2f}s ({len(casters)} casters)")
         import numpy as _np
@@ -408,19 +416,41 @@ class VQEngineTPU:
             enable_ssr=bool(self.gfx.Reflections),
             ssr_history=self._ssr_history,
             render_scale=self.gfx.RenderScale,
-            shadow_maps=self._static_shadow_maps)
+            shadow_maps=self._static_shadow_maps,
+            shadow_filter=self.gfx.ShadowFilter,
+            ssao_quality=self.gfx.SSAOQuality)
         self._ssr_history = self._last_output.ssr_history
         self._apply_debug_views()
         return self._last_output
 
+    def _build_ui_panel(self):
+        """Construct the open VQUI window against live engine state,
+        restoring the persistent cursor (panels rebuild per frame like
+        immediate-mode UI; the cursor is the only retained state)."""
+        from ..render import ui
+        builders = {1: ui.build_controls_panel,
+                    2: lambda: ui.build_profiler_panel(self),
+                    3: lambda: ui.build_settings_panel(self),
+                    4: lambda: ui.build_editor_panel(self)}
+        b = builders.get(self.ui_panel)
+        if b is None:
+            return None
+        panel = b()
+        panel.cursor = self._ui_cursor
+        if panel.cursor not in panel.interactive_rows():
+            rows = panel.interactive_rows()
+            panel.cursor = rows[0] if rows else 0
+        return panel
+
     def _apply_debug_views(self) -> None:
         """Engine-side debug view chain on the finished frame: draw-mode
         visualization (Visualization.hlsl CS), selected-object outline
-        (OutlinePass) and the magnifier lens (MagnifierPass)."""
+        (OutlinePass), the magnifier lens (MagnifierPass) and the VQUI
+        panel composite (UIPass)."""
         out = self._last_output
         if out is None or out.ldr is None:
             return
-        if not (self.draw_mode or self.magnifier_on
+        if not (self.draw_mode or self.magnifier_on or self.ui_panel
                 or self.selected_object >= 0):
             return
         import dataclasses
@@ -439,8 +469,13 @@ class VQEngineTPU:
                               self.selected_object)
         if self.magnifier_on:
             ldr = viz.magnifier(ldr, self.magnifier_center)
-        self._last_output = dataclasses.replace(
-            out, ldr=_np.asarray(ldr))
+        ldr_np = _np.asarray(ldr)
+        if self.ui_panel:
+            from ..render import ui
+            panel = self._build_ui_panel()
+            if panel is not None:
+                ldr_np = ui.draw_panel(ldr_np, panel)
+        self._last_output = dataclasses.replace(out, ldr=ldr_np)
 
     def pick(self, x: int, y: int) -> int:
         """Mouse-picking readback (the reference's ObjectID pass + async
@@ -529,6 +564,35 @@ class VQEngineTPU:
             log.info(f"draw mode {self.draw_mode}")
         if inp.is_key_triggered("m"):
             self.magnifier_on = not self.magnifier_on
+        # VQUI windows (VQUI.h:36-66): F1 controls, F2 profiler,
+        # F3 graphics settings, F4 editor; arrows navigate, left/right/
+        # enter change the focused row — edits write through to live
+        # engine state (the ImGui widget -> engine write path)
+        for i in range(1, 5):
+            if inp.is_key_triggered(f"f{i}"):
+                self.ui_panel = 0 if self.ui_panel == i else i
+                self._ui_cursor = 0
+        if self.ui_panel:
+            panel = self._build_ui_panel()
+            if panel is not None:
+                if inp.is_key_triggered("up"):
+                    panel.move_cursor(-1)
+                if inp.is_key_triggered("down"):
+                    panel.move_cursor(1)
+                direction = 0
+                if inp.is_key_triggered("left"):
+                    direction = -1
+                if inp.is_key_triggered("right") or inp.is_key_triggered("enter"):
+                    direction = 1
+                if direction:
+                    before = (self.gfx.RenderScale, self.gfx.Reflections,
+                              self.gfx.bMotionVectors)
+                    panel.adjust(direction)
+                    if before != (self.gfx.RenderScale,
+                                  self.gfx.Reflections,
+                                  self.gfx.bMotionVectors):
+                        self._ssr_history = None  # shape/config changed
+                self._ui_cursor = panel.cursor
 
     # ------------------------------------------------------------------
     # editor mutation API (the VQUI F4 editor's material/light/object
@@ -542,6 +606,36 @@ class VQEngineTPU:
         "uv_offset": (10, 2), "roughness": (12, 1), "metalness": (13, 1),
         "displacement": (14, 1), "normal_map_mip_bias": (16, 1),
     }
+
+    def editor_material_of_object(self, object_id: int) -> str | None:
+        """Material name of the item with the given object id (the F4
+        editor's selection -> material panel binding)."""
+        bufs = self.scene_buffers
+        if bufs is None or object_id < 0:
+            return None
+        import numpy as _np
+        hits = _np.nonzero(_np.asarray(bufs.item_object) == object_id)[0]
+        if hits.size == 0:
+            return None
+        mid = int(bufs.item_material[hits[0]])
+        if 0 <= mid < len(bufs.material_names):
+            return bufs.material_names[mid]
+        return None
+
+    def editor_get_material(self, name: str, key: str):
+        """Read a packed material parameter by name (the editor panel's
+        display path; inverse of editor_set_material)."""
+        bufs = self.scene_buffers
+        if bufs is None or name not in bufs.material_names:
+            return None
+        span = self._MATERIAL_COLS.get(key)
+        if span is None:
+            return None
+        row = bufs.material_names.index(name)
+        off, width = span
+        import numpy as _np
+        vals = _np.asarray(bufs.materials)[row, off:off + width]
+        return vals if width > 1 else float(vals[0])
 
     def editor_set_material(self, name: str, **params) -> bool:
         """Mutate packed material parameters by name and hot-swap the

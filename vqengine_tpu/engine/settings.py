@@ -33,6 +33,8 @@ class FGraphicsSettings:
     bMotionVectors: bool = True
     bDrawLightBounds: bool = True       # light gizmo meshes (Unlit.hlsl)
     bDrawBoundingBoxes: bool = False    # wireframe AABBs (F-key toggle)
+    ShadowFilter: str = "esm"           # esm | pcf (Lighting.hlsl PCF path)
+    SSAOQuality: str = "medium"         # low | medium | high (CACAO presets)
 
 
 @dataclass
@@ -65,6 +67,7 @@ ENGINE_KEYS = {"Width", "Height", "DisplayMode", "PreferredDisplay", "StartupSce
 GRAPHICS_KEYS = {
     "bVsync", "bUseTripleBuffering", "bAntiAliasing", "RenderScale",
     "MaxFrameRate", "bHDR", "Reflections", "EnvironmentMapResolution",
+    "ShadowFilter", "SSAOQuality",
 }
 
 

@@ -93,7 +93,8 @@ class VQRendererTPU:
                        enable_alpha_mask: bool = False,
                        has_transparent: bool = False,
                        aniso_taps: int = 0,
-                       slots_used: tuple | None = None):
+                       slots_used: tuple | None = None,
+                       ssao_quality: str = "medium"):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
@@ -103,7 +104,7 @@ class VQRendererTPU:
                has_env, enable_ssao, enable_motion, has_textures, msaa,
                enable_ssr, has_ssr_history, render_scale, cas_sharpness,
                shadow_filter, has_shadow_maps, enable_alpha_mask,
-               has_transparent, aniso_taps, slots_used)
+               has_transparent, aniso_taps, slots_used, ssao_quality)
         fn = self._render_fns.get(key)
         if fn is None:
             rw = max(64, int(width * render_scale)) if render_scale != 1.0 else width
@@ -118,7 +119,8 @@ class VQRendererTPU:
                           enable_motion_vectors=enable_motion, msaa=msaa,
                           enable_ssr=enable_ssr,
                           enable_alpha_mask=enable_alpha_mask,
-                          aniso_taps=aniso_taps, slots_used=slots_used)
+                          aniso_taps=aniso_taps, slots_used=slots_used,
+                          ssao_quality=ssao_quality)
 
             def wrapped(scene, scene_t, consts, env, textures, ssr_history,
                         shadow_maps):
@@ -246,7 +248,8 @@ class VQRendererTPU:
                cas_sharpness: float | None = None,
                shadow_maps: dict | None = None,
                aniso_taps: int = 0,
-               shadow_filter: str = "esm") -> FrameOutput:
+               shadow_filter: str = "esm",
+               ssao_quality: str = "medium") -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
         scene_t = getattr(self, "_scene_t", None)
@@ -267,7 +270,8 @@ class VQRendererTPU:
                                  has_transparent=scene_t is not None,
                                  aniso_taps=aniso_taps,
                                  slots_used=getattr(self, "_slots_used",
-                                                    None))
+                                                    None),
+                                 ssao_quality=ssao_quality)
         t0 = time.perf_counter()
         out = fn(self._scene, scene_t, consts, env, textures, ssr_history,
                  shadow_maps)
