@@ -193,3 +193,26 @@ class TestEditor:
         img2 = np.asarray(e.tick().ldr)
         assert np.abs(img2 - img1).max() > 0.02  # object moved off-frame
         assert not e.editor_set_object_transform("no-such-item")
+
+
+class TestRenderContexts:
+    """Secondary render contexts — WindowRenderContext.h:44-75 (per-window
+    swapchain + resolution) as named headless outputs."""
+
+    def test_second_context_renders_own_resolution(self):
+        e = make_engine()
+        e.start_loading_scene("HelloCube")
+        e.create_render_context("debug", 48, 48, hdr10=False)
+        e.tick()
+        out = e.context_output("debug")
+        assert out is not None
+        ldr = np.asarray(out.ldr)
+        assert ldr.shape == (48, 48, 3)
+        assert np.isfinite(ldr).all()
+        # main output unaffected
+        main = np.asarray(e._last_output.ldr)
+        assert main.shape[0] == 64 and main.shape[1] == 96
+        e.destroy_render_context("debug")
+        e.tick()
+        # context gone: output no longer updated
+        assert e.context_output("debug") is None

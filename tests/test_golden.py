@@ -153,6 +153,17 @@ def test_golden(name):
     golden = read_png(golden_path).astype(np.float32)[:, :, :3] / 255.0
     score = ssim(img, golden)
     assert score >= SSIM_THRESHOLD, f"{name}: SSIM {score:.4f} < {SSIM_THRESHOLD}"
+    # localized damage global SSIM can absorb (a vanished object, one
+    # corrupted tile) must also fail: bound the worst 16x16 block's mean
+    # error and the global mean (PNG quantization noise floor ~0.004)
+    err = np.abs(img - golden).mean(axis=-1)
+    h, w = err.shape
+    hb, wb = h // 16 * 16, w // 16 * 16
+    blocks = err[:hb, :wb].reshape(hb // 16, 16, wb // 16, 16).mean((1, 3))
+    assert err.mean() < 0.01, f"{name}: global MAE {err.mean():.4f}"
+    assert blocks.max() < 0.08, (
+        f"{name}: worst 16x16 block MAE {blocks.max():.4f} "
+        f"at {np.unravel_index(blocks.argmax(), blocks.shape)}")
 
 
 def regen():

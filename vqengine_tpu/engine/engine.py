@@ -423,6 +423,53 @@ class VQEngineTPU:
         self._apply_debug_views()
         return self._last_output
 
+    # ------------------------------------------------------------------
+    # secondary render contexts (WindowRenderContext.h:44-75: per-window
+    # swapchain + present queue + display resolution; Renderer.cpp:735
+    # InitializeRenderContext). Headless counterpart: named outputs with
+    # their own resolution, camera, and display curve — each context gets
+    # its own jit-specialized graph (its "swapchain format") and renders
+    # after the main view each tick; `run` dumps them alongside the main
+    # frames (the debug-window present).
+    # ------------------------------------------------------------------
+
+    def create_render_context(self, name: str, width: int, height: int,
+                              camera_index: int = 0,
+                              hdr10: bool = False) -> None:
+        if not hasattr(self, "_render_contexts"):
+            self._render_contexts = {}
+        self._render_contexts[name] = {
+            "width": int(width), "height": int(height),
+            "camera": int(camera_index), "hdr10": bool(hdr10),
+            "last": None}
+
+    def destroy_render_context(self, name: str) -> None:
+        getattr(self, "_render_contexts", {}).pop(name, None)
+
+    def context_output(self, name: str):
+        ctx = getattr(self, "_render_contexts", {}).get(name)
+        return None if ctx is None else ctx["last"]
+
+    def _render_extra_contexts(self) -> None:
+        ctxs = getattr(self, "_render_contexts", None)
+        if not ctxs or self.scene_buffers is None:
+            return
+        from ..scene.camera import Camera
+        for name, ctx in ctxs.items():
+            cam_i = min(ctx["camera"], len(self.cameras) - 1)
+            src = self.cameras[cam_i]
+            # per-context aspect: same pose/lens, this window's projection
+            cam = Camera(src.params, aspect=ctx["width"] / ctx["height"])
+            cam.position = src.position.copy()
+            cam.pitch, cam.yaw = src.pitch, src.yaw
+            consts = self.renderer.build_frame_constants(
+                self.scene_buffers, cam, self.lights)
+            ctx["last"] = self.renderer.render(
+                consts, ctx["width"], ctx["height"], hdr10=ctx["hdr10"],
+                env=self.environment, textures=self.texture_arrays,
+                enable_ssao=False, msaa=False, enable_ssr=False,
+                shadow_maps=self._static_shadow_maps)
+
     def _build_ui_panel(self):
         """Construct the open VQUI window against live engine state,
         restoring the persistent cursor (panels rebuild per frame like
@@ -732,6 +779,7 @@ class VQEngineTPU:
         if self.scene_update_hook is not None:
             self.scene_update_hook(self, dt)
         out = self.render_frame(readback=False)
+        self._render_extra_contexts()
         self.input.post_update()
         self.num_ticks += 1
         # frame-rate limiter (Settings.h:47, VQEngine_Update.cpp:343-368)
@@ -817,6 +865,13 @@ class VQEngineTPU:
         frame_path = out_dir / f"{self.scene_name}_frame{self.num_ticks:04d}.png"
         write_png(frame_path, img)
         log.info(f"wrote {frame_path}")
+        # secondary render contexts present to their own files (the
+        # debug window's swapchain present)
+        for cname, ctx in getattr(self, "_render_contexts", {}).items():
+            if ctx["last"] is not None:
+                p = out_dir / f"{self.scene_name}_{cname}.png"
+                write_png(p, np.asarray(ctx["last"].ldr))
+                log.info(f"wrote {p} (render context '{cname}')")
         if self.gfx.bHDR and last.hdr is not None:
             # HDR10 output path: the swapchain-format analog — re-encode
             # the LAST frame's pre-tonemap image to ST2084 (SwapChain.h:
