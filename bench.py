@@ -189,7 +189,7 @@ def main() -> None:
             out = graph.render_forward(
                 scene, consts_i, width=width, height=height,
                 enable_shadows=True, enable_ssao=True, enable_ssr=True,
-                msaa=True, textures=textures, aniso_taps=2,
+                msaa=True, textures=textures, aniso_taps=8,
                 slots_used=slots_used, enable_motion_vectors=True,
                 ssr_history=hist,
                 env=env, shadow_maps=shadow_maps)
@@ -227,7 +227,7 @@ def main() -> None:
     n_tris = int(buffers.indices.shape[0])
     print(json.dumps({
         "metric": f"sponza_stress_1080p_ms ({n_tris} tris, fwd PBR + MSAA4x "
-                  f"edge-resolve + 512^2 textured aniso + 5+5+1 shadows ESM "
+                  f"edge-resolve + 512^2 textured aniso8 + 5+5+1 shadows ESM "
                   f"+ adaptive SSAO + IBL + SSR temporal, "
                   f"{len(lights)} lights)",
         "value": round(ms, 3),

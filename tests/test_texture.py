@@ -213,3 +213,51 @@ class TestCombinedAux:
         xy = tex.unpack_normal_map_xy(jnp.asarray(n_ts[..., :2] * 0.5 + 0.5),
                                       wn, wt)
         np.testing.assert_allclose(np.asarray(full), np.asarray(xy), atol=1e-5)
+
+
+class TestAdaptiveAniso:
+    """The AnisoSampler's economics as compaction: one dense trilinear
+    tap + the full ellipse walk only on compacted high-anisotropy pixels
+    (ForwardLighting.hlsl:81 AnisoSampler / MaxAnisotropy=16)."""
+
+    def _grazing_setup(self):
+        import numpy as np
+        from vqengine_tpu.ops import texture as tex
+        from vqengine_tpu.scene.texture_manager import (checkerboard,
+                                                        generate_mips)
+        mips_np = generate_mips(checkerboard(64, 8))
+        mips = tex.pack_texture_quads(
+            [m[None] for m in mips_np])
+        h, w = 32, 48
+        # floor-like uv: strong v-gradient growth toward the top rows
+        ys = (np.arange(h, dtype=np.float32) + 1.0)[:, None]
+        xs = np.arange(w, dtype=np.float32)[None, :]
+        u = xs / w * 4.0 + 0 * ys
+        v = 40.0 / ys                     # compresses fast near row 0
+        uv = np.stack(np.broadcast_arrays(u, v), axis=-1).astype(np.float32)
+        tid = np.zeros((h, w), np.int32)
+        import jax.numpy as jnp
+        return mips, jnp.asarray(tid), jnp.asarray(uv)
+
+    def test_adaptive_matches_dense_on_aniso_pixels(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from vqengine_tpu.ops import texture as tex
+        mips, tid, uv = self._grazing_setup()
+        dense = np.asarray(tex.sample_texture_array_aniso(
+            mips, tid, uv, num_taps=4))
+        # frac=1: capacity covers every pixel, so active rays must agree
+        # EXACTLY; smaller fracs gracefully truncate to the clamped tap
+        adap = np.asarray(tex.sample_texture_array_aniso(
+            mips, tid, uv, num_taps=4, adaptive_frac=1))
+        _, _, ratio = tex.uv_mip_level_aniso(
+            uv, tex.tex_base_size(mips), tex.tex_num_levels(mips) - 1,
+            max_aniso=8.0)
+        ratio = np.asarray(ratio)
+        hi = ratio > 1.3
+        assert hi.any() and (~hi).any(), "test scene must mix both regimes"
+        # exact agreement where the ellipse walk ran
+        np.testing.assert_allclose(adap[hi], dense[hi], atol=1e-6)
+        # isotropic pixels: single clamped tap stays close to the dense
+        # multi-tap result (same footprint, fewer samples)
+        assert np.abs(adap[~hi] - dense[~hi]).mean() < 0.06

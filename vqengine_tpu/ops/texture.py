@@ -308,22 +308,13 @@ def sample_texture_array(mips, tex_id: jnp.ndarray,
     return c0 * (1.0 - w) + c1 * w
 
 
-def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
-                               uv: jnp.ndarray, num_taps: int = 2,
-                               max_aniso: float = 4.0,
-                               jitter: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Anisotropic sample (the AnisoSampler, ForwardLighting.hlsl:81):
-    num_taps trilinear taps along the major-footprint axis, weighted
-    uniformly, with LOD chosen from the minor axis so grazing-angle
-    surfaces keep detail instead of over-blurring. Cost = num_taps x
-    trilinear."""
-    lod, major, ratio = uv_mip_level_aniso(
-        uv, tex_base_size(mips), tex_num_levels(mips) - 1,
-        max_aniso=max_aniso)
-    # taps at fractions (-1/2 .. 1/2) * min(ratio, taps)/ratio of the major
-    # axis; clamp LOD up when taps can't cover the full ellipse
+def _aniso_taps(mips, tex_id, uv, major, ratio, lod_minor, num_taps,
+                jitter):
+    """num_taps trilinear taps along the major-footprint axis, uniform
+    weights; LOD clamps up when the taps can't cover the full ellipse.
+    Shape-blind: dense images or compacted flat arrays."""
     span = jnp.minimum(ratio, float(num_taps))
-    lod = lod + jnp.log2(jnp.maximum(ratio / span, 1.0))
+    lod = lod_minor + jnp.log2(jnp.maximum(ratio / span, 1.0))
     lod = jnp.clip(lod, 0.0, tex_num_levels(mips) - 1)
     acc = None
     for i in range(num_taps):
@@ -334,6 +325,58 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
         c = sample_texture_array(mips, tex_id, uv_i, lod=lod, jitter=jit_i)
         acc = c if acc is None else acc + c
     return acc / num_taps
+
+
+def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
+                               uv: jnp.ndarray, num_taps: int = 2,
+                               max_aniso: float = 8.0,
+                               jitter: jnp.ndarray | None = None,
+                               adaptive_frac: int | None = None
+                               ) -> jnp.ndarray:
+    """Anisotropic sample (the AnisoSampler, ForwardLighting.hlsl:81 with
+    MaxAnisotropy): trilinear taps along the major-footprint axis, with
+    LOD from the minor axis so grazing-angle surfaces keep detail.
+
+    adaptive_frac enables the hardware sampler's economics on TPU, where
+    texture cost is fetch-count-bound: anisotropy only exceeds ~1.3 on a
+    minority of pixels (grazing floors), so ONE dense aniso-corrected
+    trilinear tap covers the isotropic majority and the high-ratio pixels
+    are COMPACTED (ops/sparse.py, at most 1 in adaptive_frac of the
+    frame) for the full num_taps ellipse walk — num_taps=8 then costs
+    ~2 dense taps instead of 8. Pixels past the capacity keep the
+    aniso-clamped single tap (over-blurred, never aliased). None = dense
+    num_taps everywhere."""
+    lod, major, ratio = uv_mip_level_aniso(
+        uv, tex_base_size(mips), tex_num_levels(mips) - 1,
+        max_aniso=max_aniso)
+    if adaptive_frac is None:
+        return _aniso_taps(mips, tex_id, uv, major, ratio, lod, num_taps,
+                           jitter)
+
+    from . import sparse
+    # dense base: single trilinear at the isotropically-clamped LOD
+    # (exact for ratio ~ 1; over-blurred at grazing angles)
+    max_lod = tex_num_levels(mips) - 1
+    lod1 = jnp.clip(lod + jnp.log2(jnp.maximum(ratio, 1.0)), 0.0, max_lod)
+    base = sample_texture_array(mips, tex_id, uv, lod=lod1, jitter=jitter)
+
+    active = ratio > 1.3
+    n = int(np.prod(ratio.shape))
+    cap = -(-max(512, n // adaptive_frac) // 8) * 8
+    idx, count = sparse.compact_indices(active, cap)
+    live = (jnp.arange(cap) < count) & active.reshape(-1)[idx]
+
+    def g(v):
+        return v.reshape((-1,) + v.shape[ratio.ndim:])[idx]
+
+    out_c = _aniso_taps(mips, g(tex_id), g(uv), g(major), g(ratio),
+                        g(lod), num_taps,
+                        None if jitter is None else g(jitter))
+    nc = base.shape[-1]
+    flat = base.reshape(-1, nc)
+    dest = jnp.where(live, idx, n)
+    flat = flat.at[dest].set(out_c, mode="drop")
+    return flat.reshape(base.shape)
 
 
 def unpack_normal_map_xy(sampled_xy: jnp.ndarray, world_normal: jnp.ndarray,

@@ -440,11 +440,13 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
     if used(0):
         if aniso_taps > 1:
             # diffuse samples anisotropically like the reference's
-            # AnisoSampler on the albedo slot (grazing-angle floors); other
-            # slots stay trilinear
+            # AnisoSampler on the albedo slot (grazing-angle floors);
+            # other slots stay trilinear. Adaptive: the multi-tap ellipse
+            # walk runs only on compacted high-anisotropy pixels, so the
+            # dense cost is ~1 tap regardless of aniso_taps.
             diffuse_s = tex_ops.sample_texture_array_aniso(
                 textures, slot_id(0), uv_t, num_taps=aniso_taps,
-                jitter=mip_jitter)
+                jitter=mip_jitter, adaptive_frac=4)
         else:
             diffuse_s = sample(0)
         out["albedo"] = jnp.where(
