@@ -141,13 +141,22 @@ def main() -> None:
     timed("fwd full(+ssr)", lambda c: fwd(
         c, enable_shadows=True, shadow_maps=shadow_maps,
         enable_ssao=True, enable_ssr=True))
+    timed("fwd full+msaa(no edge)", lambda c: fwd(
+        c, enable_shadows=True, shadow_maps=shadow_maps,
+        enable_ssao=True, enable_ssr=True, msaa=True,
+        msaa_edge_resolve=False))
     timed("fwd full+msaa", lambda c: fwd(
         c, enable_shadows=True, shadow_maps=shadow_maps,
         enable_ssao=True, enable_ssr=True, msaa=True))
-    timed("fwd full+msaa+tex", lambda c: fwd(
+    timed("fwd full+msaa+tex2", lambda c: fwd(
         c, enable_shadows=True, shadow_maps=shadow_maps,
         enable_ssao=True, enable_ssr=True, msaa=True,
         textures=textures, aniso_taps=2, slots_used=slots_used))
+    timed("fwd BENCH(tex aniso8+mv)", lambda c: fwd(
+        c, enable_shadows=True, shadow_maps=shadow_maps,
+        enable_ssao=True, enable_ssr=True, msaa=True,
+        textures=textures, aniso_taps=8, slots_used=slots_used,
+        enable_motion_vectors=True))
 
 
 if __name__ == "__main__":
