@@ -57,13 +57,29 @@ def main() -> None:
         return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves
                    if hasattr(x, "astype"))
 
-    def timed(name, frame_fn):
-        @jax.jit
-        def run_n(consts_batch):
-            def step(carry, consts_i):
-                return carry + frame_fn(consts_i), None
-            tot, _ = jax.lax.scan(step, jnp.float32(0.0), consts_batch)
-            return tot
+    def timed(name, frame_fn, carry_hist=False):
+        if carry_hist:
+            # BENCH-matching row: ssr_history threads through the scan so
+            # the DNSR temporal resolve AND the motion-vector path are live
+            # (ADVICE r3: without the carry, XLA DCE'd both).
+            hist0 = jnp.zeros((height // 2, width // 2, 4), jnp.float32)
+
+            @jax.jit
+            def run_n(consts_batch):
+                def step(carry, consts_i):
+                    acc, hist = carry
+                    c, hist = frame_fn(consts_i, hist)
+                    return (acc + c, hist), None
+                (tot, _), _ = jax.lax.scan(
+                    step, (jnp.float32(0.0), hist0), consts_batch)
+                return tot
+        else:
+            @jax.jit
+            def run_n(consts_batch):
+                def step(carry, consts_i):
+                    return carry + frame_fn(consts_i), None
+                tot, _ = jax.lax.scan(step, jnp.float32(0.0), consts_batch)
+                return tot
 
         @jax.jit
         def nop(t):
@@ -152,11 +168,17 @@ def main() -> None:
         c, enable_shadows=True, shadow_maps=shadow_maps,
         enable_ssao=True, enable_ssr=True, msaa=True,
         textures=textures, aniso_taps=2, slots_used=slots_used))
-    timed("fwd BENCH(tex aniso8+mv)", lambda c: fwd(
-        c, enable_shadows=True, shadow_maps=shadow_maps,
+    def fwd_hist(consts, hist, **kw):
+        out = graph.render_forward(
+            scene, consts, width=width, height=height, env=env,
+            ssr_history=hist, **kw)
+        return checksum((out["ldr"], out["depth"])), out["ssr_history"]
+
+    timed("fwd BENCH(tex aniso8+mv+hist)", lambda c, h: fwd_hist(
+        c, h, enable_shadows=True, shadow_maps=shadow_maps,
         enable_ssao=True, enable_ssr=True, msaa=True,
         textures=textures, aniso_taps=8, slots_used=slots_used,
-        enable_motion_vectors=True))
+        enable_motion_vectors=True), carry_hist=True)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,8 @@ from ..utils import log
 from ..utils.image_io import write_png
 from .cli import parse_command_line
 from .settings import (FStartupParameters, load_engine_settings,
-                       load_environment_map_presets, load_scene_mapping)
+                       load_environment_map_presets,
+                       load_hdr_display_profiles, load_scene_mapping)
 
 
 class EAppState(enum.Enum):
@@ -87,9 +88,15 @@ class VQEngineTPU:
 
         self.scene_mapping = {}
         self.env_presets = {}
+        self.hdr_profiles = {}
         for d in reversed(self.data_dirs):  # earlier dirs win
             self.scene_mapping.update(load_scene_mapping(d))
             self.env_presets.update(load_environment_map_presets(d))
+            self.hdr_profiles.update(load_hdr_display_profiles(d))
+        # environment MaxCLL (nits) of the active env preset; with the
+        # display profile it sets the HDR10 encode brightness the way the
+        # reference's SetHDRMetaData does (SwapChain.h:76-99)
+        self._env_max_cll = 0.0
         self.builtin_meshes = build_builtin_meshes()
         from ..scene.texture_manager import TextureManager
         self.texture_manager = TextureManager()
@@ -314,6 +321,15 @@ class VQEngineTPU:
                  f"env={'yes' if self.environment is not None else 'no'})")
         self.state = EAppState.SIMULATING
 
+    def hdr_display_brightness(self, default: float = 200.0) -> float:
+        """ST2084 reference brightness (nits) = display profile
+        MaxBrightness clamped by the environment's MaxCLL (see
+        settings.hdr_reference_brightness)."""
+        from .settings import hdr_reference_brightness
+        return hdr_reference_brightness(
+            self.hdr_profiles, self.settings.HDRProfile,
+            self._env_max_cll, default)
+
     def _decode_environment(self, rep):
         """Host-side env-map decode: preset -> HDRI file -> equirect array
         (missing files fall back to a procedural sky). None = scene wants
@@ -325,8 +341,11 @@ class VQEngineTPU:
             return None
         equirect = None
         path = rep.env_map_path
+        preset = {}
         if rep.env_map_preset and rep.env_map_preset in self.env_presets:
-            path = self.env_presets[rep.env_map_preset].get("Path", "")
+            preset = self.env_presets[rep.env_map_preset]
+            path = preset.get("Path", "")
+        self._env_max_cll = float(preset.get("MaxCLL", 0.0))
         if path:
             for base in [d.parent for d in self.data_dirs] + [Path(".")]:
                 p = Path(base) / path
@@ -338,9 +357,24 @@ class VQEngineTPU:
                     except Exception as e:  # noqa: BLE001
                         log.warning(f"HDRI load failed for {p}: {e}")
         if equirect is None:
-            log.warning(f"environment '{rep.env_map_preset or path}' not "
-                        f"found; using procedural sky")
-            equirect = procedural_sky_equirect(512, 256)
+            # procedural presets (Data/EnvironmentMaps.ini SunPitch/SunYaw)
+            # parameterize the sky instead of naming a file
+            kw = {}
+            if "SunPitch" in preset or "SunYaw" in preset:
+                import math
+                pitch = math.radians(float(preset.get("SunPitch", 45.0)))
+                yaw = math.radians(float(preset.get("SunYaw", 30.0)))
+                kw["sun_dir"] = (math.cos(pitch) * math.sin(yaw),
+                                 math.sin(pitch),
+                                 math.cos(pitch) * math.cos(yaw))
+                if "Turbidity" in preset:
+                    # hazier sky: dimmer disc, brighter horizon
+                    t = float(preset["Turbidity"])
+                    kw["sun_intensity"] = 50.0 / max(t / 2.5, 1.0)
+            else:
+                log.warning(f"environment '{rep.env_map_preset or path}' "
+                            f"not found; using procedural sky")
+            equirect = procedural_sky_equirect(512, 256, **kw)
         # cap source resolution (8K HDRIs are overkill for 128px cubemaps)
         max_w = 2048
         if equirect.shape[1] > max_w:
@@ -877,13 +911,20 @@ class VQEngineTPU:
             # the LAST frame's pre-tonemap image to ST2084 (SwapChain.h:
             # 76-99 color spaces). Re-encoding the kept scene-referred
             # buffer replaces the full re-render this used to cost.
+            # Brightness comes from the selected display profile clamped
+            # by the environment's MaxCLL — the values the reference feeds
+            # into swapchain HDR metadata (SetHDRMetaData, SwapChain.h).
             import jax as _jax
             from ..ops import colorspace as _cs
             from ..ops import postprocess as _pp
+            brightness = self.hdr_display_brightness()
             enc = _jax.jit(lambda h: _pp.tonemap(
-                h, _cs.DISPLAY_CURVE_ST2084, apply_gamma=True))
+                h, _cs.DISPLAY_CURVE_ST2084, apply_gamma=True,
+                display_reference_brightness=brightness))
             hdr_path = out_dir / f"{self.scene_name}_hdr10.png"
             write_png(hdr_path, np.asarray(enc(last.hdr)))
-            log.info(f"wrote {hdr_path} (ST2084/PQ encoded)")
+            log.info(f"wrote {hdr_path} (ST2084/PQ @ {brightness:.0f} nits, "
+                     f"profile '{self.settings.HDRProfile}', "
+                     f"MaxCLL {self._env_max_cll:.0f})")
         self.state = EAppState.EXITING
         return 0

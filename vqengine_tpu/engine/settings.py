@@ -51,6 +51,10 @@ class FEngineSettings:
     LogFilePath: str = "vqengine_tpu.log"
     SceneName: str = ""                 # -Scene override by name
     OutputDir: str = "out"              # where headless frames are dumped
+    # HDR display profile name (Data/HDRDisplayProfiles.ini section) that
+    # drives the ST2084 output encode — the reference passes the matched
+    # monitor's profile into SetHDRMetaData (SwapChain.h:76-99)
+    HDRProfile: str = "Reference1000"
 
 
 @dataclass
@@ -108,6 +112,7 @@ def load_engine_settings(
         if "DisplayMode" in e: eng.DisplayMode = e["DisplayMode"]
         if "PreferredDisplay" in e: eng.PreferredDisplay = int(e["PreferredDisplay"])
         if "Scene" in e: eng.StartupScene = int(e["Scene"])
+        if "HDRProfile" in e: eng.HDRProfile = e["HDRProfile"]
 
     if startup is not None:
         for k, v in startup.overrides.items():
@@ -135,6 +140,20 @@ def load_environment_map_presets(data_dir: str | Path) -> dict[str, dict[str, st
     if not p.is_file():
         return {}
     return {k: dict(v) for k, v in parse_ini(p).items() if k}
+
+
+def hdr_reference_brightness(profiles: dict[str, dict[str, float]],
+                             profile_name: str, max_cll: float = 0.0,
+                             default: float = 200.0) -> float:
+    """ST2084 encode reference brightness (nits): the selected display
+    profile's MaxBrightness clamped by the content's MaxCLL — the same
+    two values the reference feeds into swapchain HDR metadata
+    (SwapChain.h:76-99; Data/HDRDisplayProfiles.ini + EnvironmentMaps.ini)."""
+    prof = profiles.get(profile_name, {})
+    brightness = float(prof.get("MaxBrightness", default))
+    if max_cll > 0:
+        brightness = min(brightness, max_cll)
+    return brightness
 
 
 def load_hdr_display_profiles(data_dir: str | Path) -> dict[str, dict[str, float]]:
