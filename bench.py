@@ -196,20 +196,28 @@ def main() -> None:
             acc = acc + out["ldr"].sum() + out["depth"].sum()
             oflow = jnp.maximum(oflow, out["overflow"].max())
             return ((acc, out["ssr_history"], oflow),
-                    (out["tri_id"] >= 0).mean())
-        (total, _, oflow), cover = jax.lax.scan(
+                    ((out["tri_id"] >= 0).mean(),
+                     out.get("saturation", {})))
+        (total, _, oflow), (cover, sat) = jax.lax.scan(
             frame, (jnp.float32(0.0), hist0, jnp.int32(0)), consts_batch)
-        return total, cover, oflow
+        return total, cover, oflow, sat
 
     @jax.jit
     def nop(t):
         return t + 1
 
-    tot, cover, oflow = run_n(scene, consts_batch, env, shadow_maps, textures)
+    tot, cover, oflow, sat = run_n(scene, consts_batch, env, shadow_maps,
+                                   textures)
     coverage = float(np.asarray(cover).mean())
     assert coverage > 0.5, f"stress frame mostly empty (coverage={coverage})"
     assert int(np.asarray(oflow)) == 0, \
         f"raster bin overflow in bench scene: {int(np.asarray(oflow))} pairs dropped"
+    # adaptive-path capacity contract: demand/cap <= 1 for every
+    # compaction across all frames (VERDICT r3 #4 — no silent degradation)
+    sat_max = {k: round(float(np.asarray(v).max()), 3)
+               for k, v in sat.items()}
+    for k, v in sat_max.items():
+        assert v <= 1.0, f"adaptive cap saturated: {k} demand = {v}x cap"
     _ = np.asarray(nop(jnp.zeros(4)))
 
     t0 = time.perf_counter()
@@ -219,12 +227,50 @@ def main() -> None:
     floor = (time.perf_counter() - t0) / reps
 
     t0 = time.perf_counter()
-    tot, cover, oflow = run_n(scene, consts_batch, env, shadow_maps, textures)
+    tot, cover, oflow, sat = run_n(scene, consts_batch, env, shadow_maps,
+                                   textures)
     _ = np.asarray(tot)
     total = time.perf_counter() - t0 - floor
 
     ms = float(max(total, 1e-6) / n * 1e3)
     n_tris = int(buffers.indices.shape[0])
+
+    # per-stage ladder (VERDICT r3 #10): cumulative-config deltas ride in
+    # the bench JSON so a perf regression is attributable from
+    # BENCH_rN.json alone. VQE_BENCH_STAGES=0 skips (3 extra compiles;
+    # the persistent XLA cache makes warm runs cheap).
+    stages = {}
+    import os
+    if os.environ.get("VQE_BENCH_STAGES", "1") != "0":
+        def timed_cfg(**kw):
+            @jax.jit
+            def ladder(scene, consts_batch, env, shadow_maps, textures):
+                def frame(carry, consts_i):
+                    out = graph.render_forward(
+                        scene, consts_i, width=width, height=height,
+                        env=env, **kw)
+                    return carry + out["ldr"].sum() + out["depth"].sum(), ()
+                tot, _ = jax.lax.scan(frame, jnp.float32(0.0), consts_batch)
+                return tot
+            _ = np.asarray(ladder(scene, consts_batch, env, shadow_maps,
+                                  textures))
+            t0 = time.perf_counter()
+            _ = np.asarray(ladder(scene, consts_batch, env, shadow_maps,
+                                  textures))
+            return (time.perf_counter() - t0 - floor) / n * 1e3
+
+        t_geo = timed_cfg(enable_shadows=False, enable_ssao=False,
+                          enable_ssr=False)
+        t_shadow = timed_cfg(enable_shadows=True, shadow_maps=shadow_maps,
+                             enable_ssao=False, enable_ssr=False)
+        t_ss = timed_cfg(enable_shadows=True, shadow_maps=shadow_maps,
+                         enable_ssao=True, enable_ssr=True)
+        stages = {
+            "geom_shade_ibl_sky": round(t_geo, 1),
+            "+shadows": round(t_shadow - t_geo, 1),
+            "+ssao_ssr": round(t_ss - t_shadow, 1),
+            "+msaa_tex_aniso8_temporal_mv": round(ms - t_ss, 1),
+        }
     print(json.dumps({
         "metric": f"sponza_stress_1080p_ms ({n_tris} tris, fwd PBR + MSAA4x "
                   f"edge-resolve + 512^2 textured aniso8 + 5+5+1 shadows ESM "
@@ -233,6 +279,8 @@ def main() -> None:
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(16.6 / ms, 3),
+        "saturation": sat_max,
+        "stages": stages,
     }))
 
 

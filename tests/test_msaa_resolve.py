@@ -66,7 +66,7 @@ def _scene_and_consts(items, materials):
 class TestSparse:
     def test_compact_roundtrip(self):
         mask = jnp.zeros((8, 16), bool).at[2, 3].set(True).at[5, 7].set(True)
-        idx, count = sparse.compact_indices(mask, 8)
+        idx, count, _demand = sparse.compact_indices(mask, 8)
         assert int(count) == 2
         flat = sorted(np.asarray(idx[:2]).tolist())
         assert flat == [2 * 16 + 3, 5 * 16 + 7]
@@ -81,7 +81,7 @@ class TestSparse:
 
     def test_dead_lanes_never_clobber_pixel_zero(self):
         mask = jnp.zeros((4, 4), bool).at[3, 3].set(True)
-        idx, count = sparse.compact_indices(mask, 8)
+        idx, count, _demand = sparse.compact_indices(mask, 8)
         out = sparse.scatter_pixels(jnp.zeros((4, 4)), idx,
                                     jnp.full((8,), 7.0),
                                     jnp.arange(8) < count)

@@ -183,3 +183,104 @@ class TestShardedFullPipeline:
             # differ only near band seams; interiors match tightly
             assert diff.mean() < 3e-3, diff.mean()
             assert np.quantile(diff, 0.99) < 0.05, np.quantile(diff, 0.99)
+
+    def test_parity_msaa_edge_resolve_aniso(self, mesh8):
+        # r4: the per-sample edge resolve + adaptive aniso now run in the
+        # band renderer (1-row halo for seam-exact edge detection)
+        scene, consts, env, shadow_maps, textures, slots_used = \
+            self._full_setup()
+        ref = [np.asarray(graph.render_forward(
+            scene, c, W, H, env=env, shadow_maps=shadow_maps,
+            textures=textures, slots_used=slots_used, msaa=True,
+            aniso_taps=4)["ldr"]) for c in consts]
+        batch = multichip.stack_frame_constants(consts)
+        ldr, _ = multichip.render_forward_sharded(
+            mesh8, scene, batch, W, H, env=env, shadow_maps=shadow_maps,
+            textures=textures, slots_used=slots_used, msaa=True,
+            aniso_taps=4)
+        ldr = np.asarray(ldr)
+        for i in range(2):
+            diff = np.abs(ldr[i] - ref[i]).max(-1)
+            # same invariance caveat as the coverage test: fp-epsilon
+            # coverage ties at band-shifted tile coords can flip a sample
+            bad = diff > 1e-3
+            assert bad.mean() <= 1.5e-3, bad.mean()
+            assert diff.max() < 0.3, diff.max()
+
+    def test_parity_ssr_temporal_motion(self, mesh8):
+        # r4: DNSR temporal history (band-sharded, all_gathered for the
+        # reprojection) + motion vectors match the single-chip resolve
+        import jax.numpy as jnp
+        scene, consts, env, shadow_maps, textures, slots_used = \
+            self._full_setup()
+        kw = dict(env=env, shadow_maps=shadow_maps, textures=textures,
+                  slots_used=slots_used, enable_ssr=True,
+                  enable_motion_vectors=True)
+        h0 = jnp.zeros((H // 2, W // 2, 4), jnp.float32)
+        ref = []
+        for c in consts:
+            o1 = graph.render_forward(scene, c, W, H, ssr_history=h0, **kw)
+            o2 = graph.render_forward(scene, c, W, H,
+                                      ssr_history=o1["ssr_history"], **kw)
+            ref.append(np.asarray(o2["ldr"]))
+        batch = multichip.stack_frame_constants(consts)
+        bh0 = jnp.zeros((2, H // 2, W // 2, 4), jnp.float32)
+        _, _, h1 = multichip.render_forward_sharded(
+            mesh8, scene, batch, W, H, ssr_history=bh0, **kw)
+        ldr2, _, h2 = multichip.render_forward_sharded(
+            mesh8, scene, batch, W, H, ssr_history=h1, **kw)
+        ldr2 = np.asarray(ldr2)
+        for i in range(2):
+            diff = np.abs(ldr2[i] - ref[i])
+            assert diff.mean() < 3e-3, diff.mean()
+            assert np.quantile(diff, 0.99) < 0.05, np.quantile(diff, 0.99)
+
+    def test_parity_alpha_and_transparents(self, mesh8):
+        # r4: alpha-mask peel + depth-peeled transparents in the bands
+        import jax.numpy as jnp
+        from vqengine_tpu.render.scene_buffers import split_transparent
+        from vqengine_tpu.scene.texture_manager import (checkerboard,
+                                                        generate_mips)
+        from vqengine_tpu.ops.texture import pack_texture_quads
+
+        m_opaque = Material(name="op")
+        m_opaque.textures = {"diffuse": 0, "alpha_mask": 1}
+        m_glass = Material(name="glass")
+        m_glass.alpha = 0.4
+        items = [
+            DrawItem("cube", meshmod.cube(), m3.Transform(), 0, 0),
+            DrawItem("pane", meshmod.quad(1.5),
+                     m3.Transform(position=np.array([0.5, 0.5, -1.5],
+                                                    np.float32)), 1, 1),
+            DrawItem("floor", meshmod.quad(6.0),
+                     m3.Transform(position=np.array([0, -1.0, 0],
+                                                    np.float32),
+                                  rotation=m3.quat_from_euler_xyz_degrees(
+                                      90, 0, 0)), 0, 0),
+        ]
+        buffers = build_scene_buffers(items, [m_opaque, m_glass])
+        op, tr = split_transparent(buffers)
+        scene = graph.upload_scene(op, bucketize=False)
+        scene_t = (graph.upload_scene(tr, bucketize=False)
+                   if tr is not None else None)
+        assert scene_t is not None
+        slots_used = graph.slots_used_of(buffers.materials)
+        diffuse = generate_mips(checkerboard(16, 4))
+        # alpha-mask map: half the texels cut out
+        am = checkerboard(16, 2, (1, 1, 1), (0, 0, 0))
+        amm = generate_mips(am)
+        textures = pack_texture_quads(
+            [np.stack([d, a]) for d, a in zip(diffuse, amm)])
+        consts = [consts_for(buffers, camera()),
+                  consts_for(buffers, camera(eye=(1.0, 1.2, -4.5)))]
+        kw = dict(textures=textures, slots_used=slots_used,
+                  enable_alpha_mask=True)
+        ref = [np.asarray(graph.render_forward(
+            scene, c, W, H, scene_transparent=scene_t, **kw)["ldr"])
+            for c in consts]
+        batch = multichip.stack_frame_constants(consts)
+        ldr, _ = multichip.render_forward_sharded(
+            mesh8, scene, batch, W, H, scene_transparent=scene_t, **kw)
+        ldr = np.asarray(ldr)
+        for i in range(2):
+            np.testing.assert_allclose(ldr[i], ref[i], atol=3e-4)

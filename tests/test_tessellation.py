@@ -116,3 +116,159 @@ class TestGeomorph:
             # targets stay near the surface (within a couple of cells)
             d = np.abs(lod.morph_mid - lod.positions).max()
             assert d < 30.0
+
+
+class TestPatchPipeline:
+    """Quad-patch tessellation (ops/tessellation.py) — the HS/DS
+    counterpart (Tessellation.hlsl:1-675): fractional-odd continuity,
+    crack-free shared edges, per-patch frustum cull, and factor-1
+    equality with the untessellated control mesh."""
+
+    def test_frac_odd_endpoints_and_uniform_top(self):
+        from vqengine_tpu.ops import tessellation as tess
+        m = tess.MAX_SEGS
+        u = jnp.asarray(np.arange(m + 1) / m, jnp.float32)
+        # factor 1: everything snaps to the endpoints
+        p1 = np.asarray(tess.frac_odd_snap(u, jnp.asarray(1.0)))
+        assert set(np.unique(p1)) <= {0.0, 1.0}
+        # factor == max: exactly the uniform template
+        pm = np.asarray(tess.frac_odd_snap(u, jnp.asarray(float(m))))
+        np.testing.assert_allclose(pm, np.arange(m + 1) / m, atol=1e-6)
+
+    def test_frac_odd_continuous_in_factor(self):
+        from vqengine_tpu.ops import tessellation as tess
+        m = tess.MAX_SEGS
+        u = jnp.asarray(np.arange(m + 1) / m, jnp.float32)
+        fs = np.linspace(1.0, float(m), 121)
+        prev = None
+        for f in fs:
+            p = np.asarray(tess.frac_odd_snap(u, jnp.asarray(f)))
+            assert (np.diff(p) >= -1e-6).all(), "must stay monotone"
+            if prev is not None:
+                # continuity: small factor steps move vertices slightly
+                assert np.abs(p - prev).max() < 0.08, (f, p, prev)
+            prev = p
+
+    def test_shared_edge_factors_crack_free(self):
+        """Two patches sharing an edge compute identical boundary vertex
+        positions for ANY camera: factors come from the shared midpoint."""
+        from vqengine_tpu.ops import tessellation as tess
+        corners = np.asarray([
+            # patch A: x in [0,1]; patch B: x in [1,2]; shared edge x=1
+            [[0, 0, 0], [1, 0, 0], [0, 0, 1], [1, 0, 1]],
+            [[1, 0, 0], [2, 0, 0], [1, 0, 1], [2, 0, 1]],
+        ], np.float32)
+        normals = np.broadcast_to(
+            np.asarray([0, 1, 0], np.float32), corners.shape).copy()
+        uvs = corners[..., (0, 2)].copy()
+        params, tri_idx = tess.build_patch_template()
+        world = jnp.eye(4)[None]
+        planes = jnp.asarray(np.tile(
+            np.asarray([[0, 0, 0, 1e9]], np.float32), (6, 1)))
+        cam = jnp.asarray([0.3, 2.0, 0.2])  # asymmetric on purpose
+        cp, cn, ct, cu, ti, live = tess.amplify(
+            jnp.asarray(corners), jnp.asarray(normals), jnp.asarray(uvs),
+            jnp.zeros(2, jnp.int32), world, cam, planes,
+            jnp.asarray(params), jnp.asarray(tri_idx), tess_scale=3.0)
+        cp = np.asarray(cp)
+        t = tri_idx.shape[0]
+        a = cp[: 3 * t].reshape(-1, 3)
+        b = cp[3 * t: 6 * t].reshape(-1, 3)
+        edge_a = a[np.abs(a[:, 0] - 1.0) < 1e-6]
+        edge_b = b[np.abs(b[:, 0] - 1.0) < 1e-6]
+        assert len(edge_a) and len(edge_b)
+        za = np.unique(np.round(edge_a[:, 2], 5))
+        zb = np.unique(np.round(edge_b[:, 2], 5))
+        np.testing.assert_array_equal(za, zb)
+
+    def test_cull_drops_outside_patches(self):
+        from vqengine_tpu.ops import tessellation as tess
+        # plane x >= 0 (normal +x): patch B sits entirely at x < -1
+        planes = np.zeros((6, 4), np.float32)
+        planes[:, 3] = 1e9
+        planes[0] = [1, 0, 0, 0]
+        corners = np.asarray([
+            [[0, 0, 0], [1, 0, 0], [0, 0, 1], [1, 0, 1]],
+            [[-3, 0, 0], [-2, 0, 0], [-3, 0, 1], [-2, 0, 1]],
+        ], np.float32)
+        live = np.asarray(tess.cull_patches(
+            jnp.asarray(corners), jnp.asarray(planes)))
+        assert live[0] and not live[1]
+
+    def _render(self, mesh, w=160, h=96, eye=(0.0, 2.5, -3.0)):
+        from vqengine_tpu.render import graph
+        from vqengine_tpu.render.renderer import VQRendererTPU
+        from vqengine_tpu.render.scene_buffers import (DrawItem,
+                                                       build_scene_buffers)
+        from vqengine_tpu.scene.camera import Camera, FCameraParameters
+        from vqengine_tpu.scene.light import ELightType, Light
+        from vqengine_tpu.scene.material import Material
+        from vqengine_tpu.utils import math3d as m3
+        items = [DrawItem("t", mesh, m3.Transform(), 0, 0)]
+        buffers = build_scene_buffers(items, [Material(name="m")])
+        scene = graph.upload_scene(buffers, bucketize=False)
+        p = FCameraParameters()
+        p.position = np.array(eye, np.float32)
+        p.pitch_deg = 35.0
+        p.near_z, p.far_z = 0.1, 100.0
+        cam = Camera(p, aspect=w / h)
+        consts = VQRendererTPU().build_frame_constants(
+            buffers, cam, [Light(type=ELightType.DIRECTIONAL,
+                                 brightness=1.5)])
+        out = graph.render_forward(scene, consts, w, h)
+        return np.asarray(out["ldr"]), np.asarray(out["depth"])
+
+    def test_factor1_matches_untessellated_exactly(self):
+        """tess_scale -> 0 forces factor 1 everywhere: the amplified
+        patches must reproduce the control mesh bit-for-bit (geometry AND
+        shading for the undisplaced patch; geometry for the displaced one,
+        whose amplified normals come from the displaced-surface finite
+        differences rather than the control LOD's flat per-vertex
+        normals)."""
+        from vqengine_tpu.scene import mesh as meshmod
+        patched = meshmod.patch_grid(4.0, 4.0, 3, 3, tess_scale=1e-4)
+        control = meshmod.Mesh("flat", [patched.lods[0]])  # same geometry
+        ldr_p, dep_p = self._render(patched)
+        ldr_c, dep_c = self._render(control)
+        np.testing.assert_allclose(dep_p, dep_c, atol=1e-6)
+        np.testing.assert_allclose(ldr_p, ldr_c, atol=2e-3)
+
+    def test_factor1_displaced_geometry_matches(self):
+        """Displaced factor-1 amplification lands on the control LOD's
+        vertices exactly (both sample the heightmap bilinearly)."""
+        from vqengine_tpu.scene import mesh as meshmod
+        rng = np.random.default_rng(7)
+        hm = rng.random((32, 32)).astype(np.float32)
+        patched = meshmod.patch_grid(4.0, 4.0, 3, 3, heightmap=hm,
+                                     disp_scale=0.8, tess_scale=1e-4)
+        control = meshmod.Mesh("flat", [patched.lods[0]])  # same geometry
+        _, dep_p = self._render(patched)
+        _, dep_c = self._render(control)
+        np.testing.assert_allclose(dep_p, dep_c, atol=1e-6)
+
+    def test_refinement_adds_geometry_with_distance_factors(self):
+        """Closer camera / larger tess_scale -> more live triangles and a
+        surface that tracks the heightmap more closely."""
+        from vqengine_tpu.scene import mesh as meshmod
+        # a single bump in the middle
+        hm = np.zeros((33, 33), np.float32)
+        hm[12:21, 12:21] = 1.0
+        coarse = meshmod.patch_grid(4.0, 4.0, 2, 2, heightmap=hm,
+                                    disp_scale=0.8, tess_scale=1e-4)
+        fine = meshmod.patch_grid(4.0, 4.0, 2, 2, heightmap=hm,
+                                  disp_scale=0.8, tess_scale=40.0)
+        # ground truth: a dense factor-1 control grid (16x16 patches
+        # sample the 33^2 heightmap well) — refinement must move the
+        # rendered surface TOWARD it
+        dense = meshmod.patch_grid(4.0, 4.0, 16, 16, heightmap=hm,
+                                   disp_scale=0.8, tess_scale=1e-4)
+        _, dep_c = self._render(coarse)
+        _, dep_f = self._render(fine)
+        _, dep_gt = self._render(dense)
+        # the coarse control grid undersamples the bump: refinement must
+        # change the image...
+        assert np.abs(dep_f - dep_c).max() > 1e-3
+        # ...and land closer to the densely-sampled ground truth
+        err_c = np.abs(dep_c - dep_gt).mean()
+        err_f = np.abs(dep_f - dep_gt).mean()
+        assert err_f < err_c * 0.5, (err_f, err_c)

@@ -870,6 +870,20 @@ class VQEngineTPU:
                                 f"{self.num_ticks}: dropped (fine, row, "
                                 f"global) pairs = {ov.tolist()}")
                             return 3
+                    # adaptive-path capacity probe: demand/cap > 1 means
+                    # quality silently degraded past a compaction cap —
+                    # warn loudly (same contract as bin overflow; the
+                    # fallbacks are defined and never alias, so warn
+                    # rather than abort)
+                    if last.saturation:
+                        for k, v in last.saturation.items():
+                            frac = float(np.asarray(v))
+                            if frac > 1.0:
+                                log.warning(
+                                    f"adaptive cap saturated at frame "
+                                    f"{self.num_ticks}: {k} demand = "
+                                    f"{frac:.2f}x capacity (quality "
+                                    f"degraded on the overflow pixels)")
         except Exception as e:  # noqa: BLE001
             log.error(f"frame {self.num_ticks} failed: {e}")
             raise

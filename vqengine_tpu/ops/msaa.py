@@ -78,11 +78,18 @@ def detect_edges(tri_id: jnp.ndarray, depth: jnp.ndarray,
 def resolve_secondary(records: jnp.ndarray, tri_id: jnp.ndarray,
                       depth: jnp.ndarray, object_id: jnp.ndarray,
                       mask: jnp.ndarray, cov_s: jnp.ndarray,
-                      cap: int):
+                      cap: int, pad: int = 0,
+                      telemetry: dict | None = None):
     """Per-sample visibility at edge pixels.
 
     records [T,R] packed gbuf records; tri_id/depth/object_id/mask [H,W];
     cov_s [4,H,W] per-sample sticky any-triangle coverage from the kernel.
+
+    pad > 0: tri_id/depth/object_id/mask carry `pad` halo rows top+bottom
+    (the multichip band renderer's ppermute exchange) so edge detection and
+    neighbor candidates at band seams see the adjacent band exactly like
+    the single-chip frame; cov_s and the returned indices stay interior
+    ([4,H,W] / flat into H*W).
 
     Returns (idx [cap] flat pixel indices, live [cap] bool,
     sec_id [cap] int32 secondary winner (own id where none),
@@ -90,15 +97,21 @@ def resolve_secondary(records: jnp.ndarray, tri_id: jnp.ndarray,
     px, py [cap] pixel-center coords). Samples whose best candidate is
     the own winner (or that no candidate covers while the scene does —
     unknown sub-pixel sliver) stay with the primary."""
-    h, w = tri_id.shape
-    edge = detect_edges(tri_id, depth, object_id, mask)
-    idx, _count = sparse.compact_indices(edge, cap)
+    def interior(img):
+        return img[pad:img.shape[0] - pad] if pad else img
+
+    h, w = interior(tri_id).shape
+    edge = interior(detect_edges(tri_id, depth, object_id, mask))
+    idx, _count, demand = sparse.compact_indices(edge, cap)
+    if telemetry is not None:
+        telemetry["msaa_edges"] = demand.astype(jnp.float32) / cap
     live = sparse.gather_pixels(edge, idx)
 
-    own = sparse.gather_pixels(tri_id, idx)                   # [cap]
+    own = sparse.gather_pixels(interior(tri_id), idx)         # [cap]
     cands = [own]
     for dy, dx in NEIGHBOR_OFFSETS:
-        cands.append(sparse.gather_pixels(_shift(tri_id, dy, dx), idx))
+        cands.append(sparse.gather_pixels(
+            interior(_shift(tri_id, dy, dx)), idx))
     cand_ids = jnp.stack(cands, axis=1)                       # [cap, 5]
     valid_c = cand_ids >= 0
     rec13 = records[jnp.maximum(cand_ids, 0), :13]            # [cap, 5, 13]

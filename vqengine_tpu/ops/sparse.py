@@ -27,18 +27,21 @@ import jax.numpy as jnp
 
 def compact_indices(mask: jnp.ndarray, cap: int):
     """mask [H, W] (or any shape) -> (idx [cap] int32 flat indices of True
-    elements in raster order, count scalar). Slots past `count` hold index
-    0 (callers must mask results by lane < count). Overflow truncates;
-    count is clamped to cap so callers can detect saturation via
-    count == cap."""
+    elements in raster order, count scalar clamped to cap, demand scalar =
+    TRUE count before clamping). Slots past `count` hold index 0 (callers
+    must mask results by lane < count). Overflow truncates; demand > cap
+    detects saturation — surface it (ops get a `telemetry` dict) so the
+    degraded-quality fallback is never silent (the loud-failure contract
+    raster binning has; a GPU never silently drops fragments)."""
     flat = mask.reshape(-1)
     n = flat.shape[0]
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1          # rank of each True
-    count = jnp.minimum(pos[-1] + 1, cap)
+    demand = pos[-1] + 1
+    count = jnp.minimum(demand, cap)
     dest = jnp.where(flat, pos, cap)                      # False -> dropped
     idx = jnp.zeros((cap,), jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop")
-    return idx, count
+    return idx, count, demand
 
 
 def gather_pixels(img: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -136,7 +136,8 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
          full_height: int | None = None,
          adaptive_taps: int = 0,
          importance_threshold: float = 0.04,
-         adaptive_frac: int = 4) -> jnp.ndarray:
+         adaptive_frac: int = 4,
+         telemetry: dict | None = None) -> jnp.ndarray:
     """-> AO [H, W] in [0, 1] (1 = unoccluded).
 
     depth: z_ndc [H,W]; normals: world normals [H,W,3];
@@ -212,7 +213,10 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
         ao0 = 1.0 - jnp.clip(occlusion / num_taps * 2.0 * intensity, 0, 1)
         imp = importance_map(ao0)
         cap = -(-max(512, (h * w) // adaptive_frac) // 8) * 8
-        idx, count = sparse.compact_indices(imp > importance_threshold, cap)
+        idx, count, demand = sparse.compact_indices(
+            imp > importance_threshold, cap)
+        if telemetry is not None:
+            telemetry["ssao_refine"] = demand.astype(jnp.float32) / cap
         live = jnp.arange(cap) < count
 
         def g(v):

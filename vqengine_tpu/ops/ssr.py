@@ -54,7 +54,8 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
                       thickness: float = 0.6,
                       jitter: bool = True,
                       ray_weight: jnp.ndarray | None = None,
-                      ray_frac: int | None = None):
+                      ray_frac: int | None = None,
+                      telemetry: dict | None = None):
     """-> (reflection color [H,W,3], confidence [H,W]).
 
     Hi-Z DDA march (the FFX-SSSR intersect traversal, ffx_sssr.h
@@ -244,7 +245,9 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     if ray_weight is not None:
         active = active & (ray_weight > 1e-3)
     cap = -(-max(1024, (h * w) // ray_frac) // 8) * 8
-    idx, count = sparse.compact_indices(active, cap)
+    idx, count, demand = sparse.compact_indices(active, cap)
+    if telemetry is not None:
+        telemetry["ssr_rays"] = demand.astype(jnp.float32) / cap
     live = (jnp.arange(cap) < count) & sparse.gather_pixels(active, idx)
     refl_c, conf_c = march(sparse.gather_pixels(pos_v, idx),
                            sparse.gather_pixels(r, idx),
@@ -279,12 +282,42 @@ def _local_minmax3(x: jnp.ndarray):
     return lo, hi
 
 
+def _local_moments3(x: jnp.ndarray):
+    """Separable 3x3 box mean and variance of [H, W, C] (the DNSR resolve
+    pass's local statistics for variance clipping)."""
+    def box(a, axis):
+        n = a.shape[axis]
+        lead = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        tail = jax.lax.slice_in_dim(a, n - 1, n, axis=axis)
+        down = jnp.concatenate(
+            [lead, jax.lax.slice_in_dim(a, 0, n - 1, axis=axis)], axis=axis)
+        up = jnp.concatenate(
+            [jax.lax.slice_in_dim(a, 1, n, axis=axis), tail], axis=axis)
+        return (down + a + up) / 3.0
+    m1 = box(box(x, 0), 1)
+    m2 = box(box(x * x, 0), 1)
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    return m1, var
+
+
+# history channel layout (the DNSR ping-pong buffers collapsed into one
+# tensor): rgb | depth | temporal luminance mean | temporal luminance
+# second moment | accumulated sample count
+HISTORY_CHANNELS = 7
+
+
+def _luminance(rgb: jnp.ndarray) -> jnp.ndarray:
+    return (rgb * jnp.asarray([0.299, 0.587, 0.114])).sum(-1)
+
+
 def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
                         roughness: jnp.ndarray,
                         history: jnp.ndarray | None = None,
                         motion: jnp.ndarray | None = None,
                         temporal_alpha: float = 0.7,
-                        depth: jnp.ndarray | None = None):
+                        depth: jnp.ndarray | None = None,
+                        y_offset: "jnp.ndarray | int" = 0,
+                        full_height: int | None = None):
     """DNSR-style prefilter + temporal resolve
     (the reference's ffx_denoiser_reflections_* pass chain,
     ScreenSpaceReflections.h:104-171):
@@ -295,7 +328,12 @@ def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
       ghosting), gate the blend by depth disocclusion when depth history
       is available, and weight by hit confidence.
     history carries [H,W,4]: rgb + the depth it was resolved at.
-    Returns (denoised [H,W,3], new_history [H,W,4])."""
+    Returns (denoised [H,W,3], new_history [H,W,4]).
+
+    Band sharding (parallel/multichip.py): refl/conf/... are one band of
+    `full_height` rows starting at global row y_offset, while `history` is
+    the FULL-frame table (all_gathered — reprojection can cross bands);
+    the returned new_history stays band-local."""
     h, w = refl.shape[:2]
     mips = ffx.spd_mip_pyramid(refl, num_mips=4, reduce="mean")
     # pick blur level by roughness
@@ -315,16 +353,22 @@ def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
         if history.shape[-1] == 3:   # legacy rgb-only history
             history = jnp.concatenate(
                 [history, jnp.zeros_like(history[..., :1])], axis=-1)
+        hf = full_height if full_height is not None else h
         if motion is not None:
-            # reproject: history sampled at prev-frame position
-            ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+            # reproject: history sampled at prev-frame position (global
+            # frame rows — the history table spans the full frame)
+            ys = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+                  + y_offset)
             xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
             # motion is ndc delta (curr - prev); prev px = curr - motion*half
             px = xs - motion[..., 0] * (w * 0.5)
-            py = ys + motion[..., 1] * (h * 0.5)
-            ty = jnp.clip(py.astype(jnp.int32), 0, h - 1)
+            py = ys + motion[..., 1] * (hf * 0.5)
+            ty = jnp.clip(py.astype(jnp.int32), 0, hf - 1)
             tx = jnp.clip(px.astype(jnp.int32), 0, w - 1)
             hist = history.reshape(-1, history.shape[-1])[ty * w + tx]
+        elif full_height is not None:
+            hist = jax.lax.dynamic_slice_in_dim(
+                history, jnp.asarray(y_offset, jnp.int32), h, 0)
         else:
             hist = history
         hist_rgb, hist_depth = hist[..., :3], hist[..., 3]

@@ -331,7 +331,8 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
                                uv: jnp.ndarray, num_taps: int = 2,
                                max_aniso: float = 8.0,
                                jitter: jnp.ndarray | None = None,
-                               adaptive_frac: int | None = None
+                               adaptive_frac: int | None = None,
+                               telemetry: dict | None = None
                                ) -> jnp.ndarray:
     """Anisotropic sample (the AnisoSampler, ForwardLighting.hlsl:81 with
     MaxAnisotropy): trilinear taps along the major-footprint axis, with
@@ -363,7 +364,12 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
     active = ratio > 1.3
     n = int(np.prod(ratio.shape))
     cap = -(-max(512, n // adaptive_frac) // 8) * 8
-    idx, count = sparse.compact_indices(active, cap)
+    idx, count, demand = sparse.compact_indices(active, cap)
+    if telemetry is not None:
+        # saturation fraction: > 1 means pixels past the cap kept the
+        # aniso-clamped single tap (over-blurred, never aliased) — the
+        # degraded-quality contract must be LOUD (engine.run surfaces it)
+        telemetry["tex_aniso"] = demand.astype(jnp.float32) / cap
     live = (jnp.arange(cap) < count) & active.reshape(-1)[idx]
 
     def g(v):

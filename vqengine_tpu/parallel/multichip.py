@@ -22,10 +22,13 @@ Cross-band communication (all on ICI via XLA collectives):
   per-pixel tests are pointwise given the band's world positions).
 
 Feature parity with graph.render_forward: shadows (ESM, cached maps),
-SSAO, SSR + DNSR spatial prefilter, IBL (SH9 diffuse + specular pyramid +
-BRDF LUT), textured materials, MSAA 4x coverage blend, skydome, tonemap.
-(Depth-peeled transparents/alpha-mask and the temporal SSR history are
-single-chip-only for now.)
+adaptive SSAO (quality presets + bilateral upsample), SSR + DNSR
+(spatial prefilter AND the temporal history resolve — history is
+band-sharded, all_gathered for the reprojection), IBL (SH9 diffuse +
+specular pyramid + BRDF LUT), textured materials incl. adaptive aniso,
+MSAA 4x with the per-sample edge resolve (1-row halo for seam-exact
+edge detection), motion vectors, alpha-mask peel, depth-peeled
+transparents, skydome, tonemap.
 """
 from __future__ import annotations
 
@@ -88,11 +91,23 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
                  msaa: bool = False,
                  enable_ssao: bool = False,
                  enable_ssr: bool = False,
-                 ssao_halo: int = 16):
+                 ssao_halo: int = 16,
+                 aniso_taps: int = 0,
+                 msaa_edge_resolve: bool = True,
+                 enable_motion_vectors: bool = False,
+                 ssr_history: jnp.ndarray | None = None,
+                 scene_transparent: graph.DeviceScene | None = None,
+                 enable_alpha_mask: bool = False,
+                 ssao_quality: str = "medium"):
     """Render this device's horizontal band of one frame. Runs inside
     shard_map; band index comes from the 'sp' mesh axis. Mirrors
     graph.render_forward stage by stage (see module docstring for the
-    collectives that stitch band-crossing effects)."""
+    collectives that stitch band-crossing effects).
+
+    ssr_history: this band's half-res history slab [bh/2, W/2, 4]; the
+    reprojection gather can land in any band, so it all_gathers to the
+    full frame first (quarter of the frame's pixels x 16 B on ICI).
+    Returns (ldr, depth, new_history) — new_history stays band-sharded."""
     band = jax.lax.axis_index("sp")
     y0 = band * band_height
 
@@ -109,21 +124,43 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
     tri_item = scene.tri_item[:tl]
     clip_c = raster.transform_clip_corners(
         scene.corner_positions, tri_item, wvp)
+    corner_n, corner_t, corner_u = (scene.corner_normals,
+                                    scene.corner_tangents,
+                                    scene.corner_uvs)
+    tri_mask_c = tri_mask[:tl]
+    if scene.patch_corners is not None:
+        # quad-patch amplification (identical on every band: factors are
+        # camera-derived, so the sharded frame is seam-consistent)
+        from ..ops import tessellation as tess
+        cp, cn, ct, cu, ti_p, live_p = tess.amplify(
+            scene.patch_corners, scene.patch_normals, scene.patch_uvs,
+            scene.patch_item, consts.world, consts.camera_pos,
+            consts.frustum_planes, scene.patch_params,
+            scene.patch_tri_idx, scene.patch_tess_scale,
+            heightmap=scene.patch_heightmap,
+            disp_scale=scene.patch_disp_scale)
+        live_p = live_p & visible[ti_p]
+        clip_p = raster.transform_clip_corners(cp, ti_p, wvp)
+        clip_c = jnp.concatenate([clip_c, clip_p], axis=0)
+        corner_n = jnp.concatenate([corner_n, cn], axis=0)
+        corner_t = jnp.concatenate([corner_t, ct], axis=0)
+        corner_u = jnp.concatenate([corner_u, cu], axis=0)
+        tri_item = jnp.concatenate([tri_item, ti_p], axis=0)
+        tri_mask_c = jnp.concatenate([tri_mask_c, live_p], axis=0)
     setup = raster.setup_triangles(clip_c, None, width, band_height,
-                                   tri_mask=tri_mask[:tl],
+                                   tri_mask=tri_mask_c,
                                    full_height=height, y_offset=y0)
     extra = raster.pack_gbuf_extra_corners(
-        scene.corner_normals, scene.corner_tangents, scene.corner_uvs,
+        corner_n, corner_t, corner_u,
         tri_item, consts.normal_mats,
         scene.item_material[tri_item], scene.item_object[tri_item])
     binned = raster.bin_triangles(setup, width, band_height, extra=extra)
-    coverage = None
+    coverage = records = None
     if msaa:
-        depth, tri_id, gbuf, cov_s = raster.rasterize_gbuf(
-            binned, width, band_height, msaa=True)
-        # bands blend silhouettes by mean coverage (the per-sample edge
-        # resolve is a documented single-chip extra; see module docstring)
-        coverage = cov_s.mean(axis=0)
+        depth, tri_id, gbuf, coverage = raster.rasterize_gbuf(
+            binned, width, band_height, msaa=True)      # cov [4, bh, W]
+        if msaa_edge_resolve:
+            records = raster.pack_records(setup, extra)
     else:
         depth, tri_id, gbuf = raster.rasterize_gbuf(binned, width,
                                                     band_height)
@@ -158,14 +195,25 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
     mat = graph.material_pass(scene, tri_id, uv=uv, wnrm=wn, wtan=wt,
                               textures=textures, mrow=mrow, ids=ids,
                               slots_used=slots_used, lod=lod,
+                              aniso_taps=aniso_taps,
                               mip_jitter=mip_jit)
     n = mat["normal"] if mat.get("normal") is not None else wn
 
+    if enable_alpha_mask and textures is not None and "alpha" in mat:
+        depth, tri_id, mask, wpos, n, mat, coverage = \
+            graph._alpha_mask_peel(
+                scene, consts, binned, width, band_height, depth, tri_id,
+                mask, wpos, n, mat, coverage, textures, aniso_taps,
+                slots_used, mip_jit, full_height=height, y_offset=y0)
+
+    ao_map = None
     ao = jnp.broadcast_to(consts.ambient_factor, mask.shape)
     ao = ao * mat["local_ao"]
     if enable_ssao:
         # halo exchange on the half-res slabs so taps near band edges see
-        # the neighbor band's geometry (single-chip taps see the frame)
+        # the neighbor band's geometry (single-chip taps see the frame);
+        # the same CACAO-style quality presets as render_forward (the
+        # adaptive refinement compacts band-locally)
         dh = graph.pool2(depth)
         nh = graph.pool2(n)
         pad = ssao_halo
@@ -173,11 +221,15 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
         nh_p = _halo_exchange(nh, pad)
         info = {"near": consts.proj_params[0], "far": consts.proj_params[1],
                 "fov_y": consts.proj_params[2], "view": consts.view_matrix}
+        kw = {}
+        if ssao_quality in ("medium", "high"):
+            taps, extra_t = (12, 8) if ssao_quality == "high" else (8, 6)
+            kw = dict(num_taps=taps, adaptive_taps=extra_t)
         ao_half = ssao_ops.ssao(dh_p, nh_p, info,
                                 y_offset=y0 // 2 - pad,
-                                full_height=height // 2)
+                                full_height=height // 2, **kw)
         ao_half = ao_half[pad:pad + dh.shape[0]]
-        ao_map = jnp.repeat(jnp.repeat(ao_half, 2, 0), 2, 1)[
+        ao_map = ssao_ops.upsample_bilateral(ao_half, dh, depth)[
             :band_height, :width]
         ao = ao * ao_map
 
@@ -229,11 +281,36 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
     else:
         background = jnp.broadcast_to(consts.clear_color, hdr.shape)
     if coverage is not None:
-        hdr = hdr * coverage[..., None] + background * (1 - coverage[..., None])
-        hdr = jnp.where((mask | (coverage > 0))[..., None], hdr, background)
+        covm = coverage.mean(axis=0) if coverage.ndim == 3 else coverage
+        if msaa_edge_resolve and coverage.ndim == 3 and records is not None:
+            # per-sample edge resolve with a 1-row halo so edge detection
+            # and neighbor candidates at band seams see the adjacent band
+            # (the single-chip pass sees the whole frame)
+            object_id = ids[..., 0].astype(jnp.int32)
+            halo = (_halo_exchange(tri_id, 1), _halo_exchange(depth, 1),
+                    _halo_exchange(object_id, 1), _halo_exchange(mask, 1))
+            attrs_e = {"ids": ids, "records": records, "wpos": wpos}
+            w_sec, sec_rgb = graph._msaa_edge_secondary(
+                scene, consts, env, textures, attrs_e, tri_id, depth,
+                mask, coverage, ao_map, mip_jit, spot_vis, point_vis,
+                dir_vis, width, band_height, aniso_taps, slots_used,
+                enable_shadows, halo=halo, full_height=height,
+                y_offset=y0)
+            w_pri = jnp.maximum(covm - w_sec, 0.0)
+            hdr = (hdr * w_pri[..., None] + sec_rgb
+                   + background * (1.0 - covm)[..., None])
+        else:
+            hdr = (hdr * covm[..., None]
+                   + background * (1 - covm[..., None]))
+        hdr = jnp.where((mask | (covm > 0))[..., None], hdr, background)
     else:
         hdr = jnp.where(mask[..., None], hdr, background)
 
+    motion = None
+    if enable_motion_vectors:
+        motion = graph.motion_vectors(scene, consts, wpos, tri_id, mask)
+
+    new_hist = None
     if enable_ssr:
         # all_gather the quarter-res trace inputs; march the full frame's
         # rays, keep this band's slice, spatially prefilter band-local
@@ -251,8 +328,18 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
         hh, hw = graph.pool2(depth).shape[:2]
         refl_h = jnp.repeat(jnp.repeat(refl_q, 2, 0), 2, 1)[:hh, :hw]
         conf_h = jnp.repeat(jnp.repeat(conf_q, 2, 0), 2, 1)[:hh, :hw]
-        refl_dn_h, _ = ssr_ops.denoise_reflections(
-            refl_h, conf_h, graph.pool2(mat["roughness"]))
+        hist_full = None
+        if ssr_history is not None:
+            # the reprojection gather can land in any band: all_gather
+            # the half-res history (16 B x quarter of the frame on ICI)
+            hist_full = jax.lax.all_gather(ssr_history, "sp", axis=0,
+                                           tiled=True)
+        refl_dn_h, new_hist = ssr_ops.denoise_reflections(
+            refl_h, conf_h, graph.pool2(mat["roughness"]),
+            history=hist_full,
+            motion=None if motion is None else graph.pool2(motion),
+            depth=graph.pool2(depth),
+            y_offset=y0 // 2, full_height=height // 2)
         refl_dn = jnp.repeat(jnp.repeat(refl_dn_h, 2, 0), 2, 1)[
             :band_height, :width]
         conf_u = jnp.repeat(jnp.repeat(conf_h, 2, 0), 2, 1)[
@@ -264,8 +351,15 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
             mat["albedo"], n, v)
         hdr = jnp.where(mask[..., None], hdr_refl, hdr)
 
+    if (scene_transparent is not None
+            and scene_transparent.num_tris_live > 0):
+        hdr = graph.transparent_pass(
+            scene_transparent, consts, hdr, depth, width, band_height,
+            env=env, textures=textures, slots_used=slots_used,
+            full_height=height, y_offset=y0)
+
     ldr = pp.tonemap(hdr, cs.DISPLAY_CURVE_SRGB)
-    return ldr, depth
+    return ldr, depth, new_hist
 
 
 def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
@@ -278,13 +372,23 @@ def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
                            msaa: bool = False,
                            enable_ssao: bool = False,
                            enable_ssr: bool = False,
-                           ssao_halo: int = 16):
+                           ssao_halo: int = 16,
+                           aniso_taps: int = 0,
+                           msaa_edge_resolve: bool = True,
+                           enable_motion_vectors: bool = False,
+                           ssr_history: jnp.ndarray | None = None,
+                           scene_transparent: graph.DeviceScene | None = None,
+                           enable_alpha_mask: bool = False,
+                           ssao_quality: str = "medium"):
     """Render a dp-batch of frames, each sharded into sp screen bands.
 
     consts_batch: FrameConstants with a leading [dp] batch dim on every
-    field (independent views/frames). env / shadow_maps / textures are
-    replicated device-resident resources. Returns ldr [dp, H, W, 3],
-    depth [dp, H, W].
+    field (independent views/frames). env / shadow_maps / textures /
+    scene_transparent are replicated device-resident resources.
+    ssr_history [dp, H//2, W//2, 4] enables the DNSR temporal resolve
+    (band-sharded along rows; pass zeros for the first frame).
+    Returns ldr [dp, H, W, 3], depth [dp, H, W], and — when ssr_history
+    is given — new_history [dp, H//2, W//2, 4] to carry to the next frame.
     """
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
@@ -292,35 +396,50 @@ def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
     assert (height // sp) % 4 == 0, \
         f"band height {height // sp} must be a multiple of 4 (sky grid)"
     band_height = height // sp
+    carry_hist = enable_ssr and ssr_history is not None
 
-    kwargs = dict(env=env, shadow_maps=shadow_maps, textures=textures,
-                  slots_used=slots_used, msaa=msaa,
+    kwargs = dict(slots_used=slots_used, msaa=msaa,
                   enable_ssao=enable_ssao, enable_ssr=enable_ssr,
-                  ssao_halo=ssao_halo)
+                  ssao_halo=ssao_halo, aniso_taps=aniso_taps,
+                  msaa_edge_resolve=msaa_edge_resolve,
+                  enable_motion_vectors=enable_motion_vectors,
+                  enable_alpha_mask=enable_alpha_mask,
+                  ssao_quality=ssao_quality)
 
-    def shard_fn(scene, consts, env, shadow_maps, textures):
+    def shard_fn(scene, consts, env, shadow_maps, textures, scene_t, hist):
         kw = dict(kwargs)
-        kw.update(env=env, shadow_maps=shadow_maps, textures=textures)
+        kw.update(env=env, shadow_maps=shadow_maps, textures=textures,
+                  scene_transparent=scene_t)
 
-        def per_frame(consts):
+        def per_frame(consts, hist_i):
             return _render_band(scene, consts, width, height,
-                                band_height, sp, **kw)
-        ldr, depth = jax.vmap(per_frame)(consts)
+                                band_height, sp, ssr_history=hist_i, **kw)
+        if carry_hist:
+            ldr, depth, new_hist = jax.vmap(per_frame)(consts, hist)
+            return ldr, depth, new_hist
+        ldr, depth, _ = jax.vmap(lambda c: per_frame(c, None))(consts)
         return ldr, depth
 
     rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
     specs_consts = jax.tree_util.tree_map(lambda _: P("dp"), consts_batch)
+    hist_spec = jax.tree_util.tree_map(
+        lambda _: P("dp", "sp", None, None), ssr_history) \
+        if carry_hist else jax.tree_util.tree_map(lambda _: P(), ssr_history)
+    out_specs = (P("dp", "sp", None, None), P("dp", "sp", None))
+    if carry_hist:
+        out_specs = out_specs + (P("dp", "sp", None, None),)
     # jit the whole sharded step: an un-jitted shard_map dispatches
     # EAGERLY op by op (measured 9.5 min vs 54 s for the driver dryrun
     # shapes on the 1-core CPU host — each primitive compiled separately)
     fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(rep(scene), specs_consts, rep(env), rep(shadow_maps),
-                  rep(textures)),
-        out_specs=(P("dp", "sp", None, None), P("dp", "sp", None)),
+                  rep(textures), rep(scene_transparent), hist_spec),
+        out_specs=out_specs,
         check_vma=False,  # pallas_call outputs carry no vma info
     ))
-    return fn(scene, consts_batch, env, shadow_maps, textures)
+    return fn(scene, consts_batch, env, shadow_maps, textures,
+              scene_transparent, ssr_history)
 
 
 def stack_frame_constants(consts_list):

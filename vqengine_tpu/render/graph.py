@@ -91,6 +91,19 @@ class DeviceScene:
     # factor each frame (Tessellation.hlsl's distance factors)
     corner_morph_mid: jnp.ndarray = None  # [3Tl, 3]
     num_tris_live: int = field(metadata=dict(static=True), default=0)
+    # quad-patch tessellation (ops/tessellation.py amplification stage):
+    # control data + the static max-level template; the factor-1 geometry
+    # lives at rows >= num_tris_live of indices/tri_item (shadow path)
+    patch_corners: jnp.ndarray = None     # [P, 4, 3]
+    patch_normals: jnp.ndarray = None     # [P, 4, 3]
+    patch_uvs: jnp.ndarray = None         # [P, 4, 2]
+    patch_item: jnp.ndarray = None        # [P]
+    patch_heightmap: jnp.ndarray = None   # [S, S]
+    patch_params: jnp.ndarray = None      # [Vt, 2] template grid
+    patch_tri_idx: jnp.ndarray = None     # [Tt, 3] template triangles
+    patch_disp_scale: float = field(metadata=dict(static=True), default=0.0)
+    patch_tess_scale: float = field(metadata=dict(static=True),
+                                    default=100.0)
 
 
 def _bucket(n: int, minimum: int = 256) -> int:
@@ -108,12 +121,16 @@ def upload_scene(buffers, bucketize: bool = True) -> DeviceScene:
 
     v = buffers.positions.shape[0]
     t = buffers.indices.shape[0]
+    # main-view triangle count: patch items' factor-1 base triangles sit
+    # at the end of the tri arrays and render only in the shadow path
+    # (the amplifier emits their tessellated replacements per frame)
+    t_main = t if buffers.num_tris_main is None else buffers.num_tris_main
     n = max(1, len(buffers.items))
     # live-count rounded to the raster group size (corner-table length;
     # triangle-indexed buffers are padded to at least this)
-    tl = raster.cdiv(max(t, 1), raster.GROUP) * raster.GROUP
+    tl = raster.cdiv(max(t_main, 1), raster.GROUP) * raster.GROUP
     vp = _bucket(max(v, 1)) if bucketize else v
-    tp = _bucket(max(t, 1)) if bucketize else tl
+    tp = _bucket(max(t, 1)) if bucketize else max(t, tl)
 
     def padv(a, rows):
         if a.shape[0] == rows:
@@ -121,7 +138,7 @@ def upload_scene(buffers, bucketize: bool = True) -> DeviceScene:
         pad = np.zeros((rows - a.shape[0],) + a.shape[1:], dtype=a.dtype)
         return np.concatenate([a, pad], axis=0)
 
-    idx_l = padv(buffers.indices, tl).reshape(-1)         # [3Tl]
+    idx_l = padv(buffers.indices[:t_main], tl).reshape(-1)  # [3Tl]
     pos_l = padv(buffers.positions, max(v, 1))
     nrm_l = padv(buffers.normals, max(v, 1))
     tan_l = padv(buffers.tangents, max(v, 1))
@@ -130,7 +147,25 @@ def upload_scene(buffers, bucketize: bool = True) -> DeviceScene:
     # padded triangles index vertex 0 three times -> zero area -> the
     # rasterizer's setup kills them (det <= 0); no masks needed.
     morph = getattr(buffers, "morph_mid", None)
+    patch_kw = {}
+    if getattr(buffers, "patch_corners", None) is not None:
+        from ..ops import tessellation as tess
+        params, tri_idx = tess.build_patch_template()
+        patch_kw = dict(
+            patch_corners=jnp.asarray(buffers.patch_corners),
+            patch_normals=jnp.asarray(buffers.patch_normals),
+            patch_uvs=jnp.asarray(buffers.patch_uvs),
+            patch_item=jnp.asarray(buffers.patch_item),
+            patch_heightmap=(jnp.asarray(buffers.patch_heightmap)
+                             if buffers.patch_heightmap is not None
+                             else None),
+            patch_params=jnp.asarray(params),
+            patch_tri_idx=jnp.asarray(tri_idx),
+            patch_disp_scale=float(buffers.patch_disp_scale),
+            patch_tess_scale=float(buffers.patch_tess_scale),
+        )
     return DeviceScene(
+        **patch_kw,
         corner_positions=jnp.asarray(pos_l[idx_l]),
         corner_morph_mid=(jnp.asarray(padv(morph, max(v, 1))[idx_l])
                           if morph is not None else None),
@@ -231,12 +266,15 @@ def world_pos_from_depth(depth: jnp.ndarray, consts: FrameConstants,
 
 def _attrs_from_gbuf(scene: DeviceScene, consts: FrameConstants,
                      depth: jnp.ndarray, tri_id: jnp.ndarray,
-                     gbuf: jnp.ndarray, width: int, height: int):
+                     gbuf: jnp.ndarray, width: int, height: int,
+                     full_height: int | None = None,
+                     y_offset: "jnp.ndarray | int" = 0):
     """Unpack the raster kernel's G-buffer channels into the attribute dict
     shading consumes (shared by the main pass, the alpha-mask peel, and the
     transparent layers)."""
     mask = tri_id != raster.BG_ID
-    wpos = world_pos_from_depth(depth, consts, width, height)
+    wpos = world_pos_from_depth(depth, consts, width, height,
+                                full_height=full_height, y_offset=y_offset)
     return {
         "wpos": jnp.where(mask[..., None], wpos, 0.0),
         "wnrm": jnp.moveaxis(gbuf[0:3], 0, -1),
@@ -290,10 +328,34 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
         else:
             clip_c = raster.transform_clip_corners(
                 scene.corner_positions, tri_item, wvp)
+        corner_n, corner_t, corner_u = (scene.corner_normals,
+                                        scene.corner_tangents,
+                                        scene.corner_uvs)
+        tri_mask_c = tri_mask[:tl]
+        if scene.patch_corners is not None:
+            # quad-patch tessellation: amplify control patches through the
+            # static fractional-odd template (ops/tessellation.py) and
+            # append the per-frame corner tables to the static ones
+            from ..ops import tessellation as tess
+            cp, cn, ct, cu, ti_p, live_p = tess.amplify(
+                scene.patch_corners, scene.patch_normals, scene.patch_uvs,
+                scene.patch_item, consts.world, consts.camera_pos,
+                consts.frustum_planes, scene.patch_params,
+                scene.patch_tri_idx, scene.patch_tess_scale,
+                heightmap=scene.patch_heightmap,
+                disp_scale=scene.patch_disp_scale)
+            live_p = live_p & visible[ti_p]
+            clip_p = raster.transform_clip_corners(cp, ti_p, wvp)
+            clip_c = jnp.concatenate([clip_c, clip_p], axis=0)
+            corner_n = jnp.concatenate([corner_n, cn], axis=0)
+            corner_t = jnp.concatenate([corner_t, ct], axis=0)
+            corner_u = jnp.concatenate([corner_u, cu], axis=0)
+            tri_item = jnp.concatenate([tri_item, ti_p], axis=0)
+            tri_mask_c = jnp.concatenate([tri_mask_c, live_p], axis=0)
         setup = raster.setup_triangles(clip_c, None, width, height,
-                                       tri_mask=tri_mask[:tl])
+                                       tri_mask=tri_mask_c)
         extra = raster.pack_gbuf_extra_corners(
-            scene.corner_normals, scene.corner_tangents, scene.corner_uvs,
+            corner_n, corner_t, corner_u,
             tri_item, consts.normal_mats,
             scene.item_material[tri_item], scene.item_object[tri_item])
         binned = raster.bin_triangles(setup, width, height, extra=extra)
@@ -377,7 +439,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
                   aniso_taps: int = 0,
                   slots_used: tuple | None = None,
                   lod: "jnp.ndarray | None" = None,
-                  mip_jitter: "jnp.ndarray | None" = None):
+                  mip_jitter: "jnp.ndarray | None" = None,
+                  telemetry: dict | None = None):
     """Per-pixel material fetch + texture sampling — the PSMain material
     block (ForwardLighting.hlsl:226-277): per-slot Has*Map tests gate
     sampled values; albedo/emissive decode sRGB; ORM packs
@@ -446,7 +509,7 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
             # dense cost is ~1 tap regardless of aniso_taps.
             diffuse_s = tex_ops.sample_texture_array_aniso(
                 textures, slot_id(0), uv_t, num_taps=aniso_taps,
-                jitter=mip_jitter, adaptive_frac=4)
+                jitter=mip_jitter, adaptive_frac=4, telemetry=telemetry)
         else:
             diffuse_s = sample(0)
         out["albedo"] = jnp.where(
@@ -748,7 +811,9 @@ def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
                      env: EnvironmentMaps | None = None,
                      textures: tuple | None = None,
                      num_layers: int = 2,
-                     slots_used: tuple | None = None) -> jnp.ndarray:
+                     slots_used: tuple | None = None,
+                     full_height: int | None = None,
+                     y_offset: "jnp.ndarray | int" = 0) -> jnp.ndarray:
     """Blended transparents (the reference's Model.h:45-65 transparent mesh
     split, rendered after opaques with alpha blending): depth-peel
     `num_layers` transparent layers in front of the opaque depth, shade
@@ -767,7 +832,9 @@ def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
     clip_c = raster.transform_clip_corners(
         scene_t.corner_positions, tri_item, wvp)
     setup = raster.setup_triangles(clip_c, None, width, height,
-                                   tri_mask=tri_mask[:tl])
+                                   tri_mask=tri_mask[:tl],
+                                   full_height=full_height,
+                                   y_offset=y_offset)
     extra = raster.pack_gbuf_extra_corners(
         scene_t.corner_normals, scene_t.corner_tangents, scene_t.corner_uvs,
         tri_item, consts.normal_mats,
@@ -780,7 +847,9 @@ def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
         d, idb, g = raster.rasterize_gbuf(binned, width, height,
                                           zbound=(zlo, opaque_depth))
         attrs, lmask = _attrs_from_gbuf(scene_t, consts, d, idb, g,
-                                        width, height)
+                                        width, height,
+                                        full_height=full_height,
+                                        y_offset=y_offset)
         wn = attrs["wnrm"]
         wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True),
                               1e-9)
@@ -822,6 +891,90 @@ def transparent_pass(scene_t: DeviceScene, consts: FrameConstants,
     return hdr
 
 
+def _alpha_mask_peel(scene: DeviceScene, consts: FrameConstants,
+                     binned, width: int, height: int,
+                     depth, tri_id, mask, wpos, n, mat, coverage,
+                     textures, aniso_taps: int, slots_used,
+                     mip_jit, full_height: int | None = None,
+                     y_offset: "jnp.ndarray | int" = 0):
+    """Alpha-mask discard (ForwardLighting.hlsl:237-240): peel past
+    fragments whose sampled alpha fails the cutout test and re-resolve
+    those pixels on the next surface (one peel layer; the reference
+    discards per-fragment). Shared by render_forward and the multichip
+    band renderer (full_height/y_offset locate a band's rows)."""
+    fail = mask & (mat["alpha"] < 0.01)
+    zlo = jnp.where(fail, depth, 2.0)   # empty window where passing
+    d2, id2, g2 = raster.rasterize_gbuf(
+        binned, width, height,
+        zbound=(zlo, jnp.full_like(depth, 2.0)))
+    attrs2, mask2 = _attrs_from_gbuf(scene, consts, d2, id2, g2,
+                                     width, height,
+                                     full_height=full_height,
+                                     y_offset=y_offset)
+    wn2 = attrs2["wnrm"]
+    wn2 = wn2 / jnp.maximum(
+        jnp.linalg.norm(wn2, axis=-1, keepdims=True), 1e-9)
+    mat2 = material_pass(scene, id2, uv=attrs2["uv"], wnrm=wn2,
+                         wtan=attrs2["wtan"], textures=textures,
+                         mrow=attrs2["mrow"], ids=attrs2["ids"],
+                         aniso_taps=aniso_taps, slots_used=slots_used,
+                         mip_jitter=mip_jit)
+    ok2 = mask2 & (mat2.get("alpha", jnp.ones_like(d2)) >= 0.01)
+
+    def mrg(x1, x2):
+        f = fail if x1.ndim == fail.ndim else fail[..., None]
+        return jnp.where(f, x2, x1)
+
+    depth = mrg(depth, jnp.where(ok2, d2, 1.0))
+    tri_id = mrg(tri_id, jnp.where(ok2, id2, raster.BG_ID))
+    mask = jnp.where(fail, ok2, mask)
+    wpos = mrg(wpos, attrs2["wpos"])
+    n2 = mat2["normal"] if mat2.get("normal") is not None else wn2
+    n = mrg(n, n2)
+    for k in ("albedo", "emissive", "roughness", "metalness",
+              "local_ao", "object_id", "item_id", "alpha"):
+        if k in mat and k in mat2:
+            mat[k] = mrg(mat[k], mat2[k])
+    if coverage is not None:
+        # per-sample [4,H,W] (gbuf path) or scalar [H,W] coverage
+        f = fail[None] if coverage.ndim == 3 else fail
+        coverage = jnp.where(f, ok2.astype(coverage.dtype), coverage)
+    return depth, tri_id, mask, wpos, n, mat, coverage
+
+
+def motion_vectors(scene: DeviceScene, consts: FrameConstants,
+                   wpos: jnp.ndarray, tri_id: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    """NDC-space motion = curr.xy/w - prev.xy/w at the resolved surface
+    (ForwardLighting.hlsl:385-388). Previous world position approximates
+    rigid motion via prev_world @ inv(world) per-item delta matrices;
+    motion_rows compresses the per-pixel [4,4] gather to the two clip rows
+    actually used (xy/w), 6 floats/pixel instead of 16."""
+    ones = jnp.ones_like(wpos[..., :1])
+    delta = jnp.einsum("nij,njk->nik", consts.prev_world,
+                       jnp.linalg.inv(consts.world))
+    # fold prev_view_proj into the per-item delta ON THE ITEM AXIS (N
+    # matmuls, free) so the per-pixel work is one gathered [3,4] row block
+    # instead of a [4,4] gather + two 4x4 matvecs
+    pvp_delta = jnp.einsum("ij,njk->nik", consts.prev_view_proj, delta)
+    rows = pvp_delta[:, (0, 1, 3), :]                   # [N, 3, 4]
+    item = scene.tri_item[jnp.maximum(tri_id, 0)]
+    # palette one-hot MXU lookup: item tables are small, per-pixel row
+    # gathers are the cost (docs/ARCHITECTURE.md gather cost model)
+    dm = palette.palette_lookup(item, rows.reshape(-1, 12)) \
+        .reshape(item.shape + (3, 4))                   # [H,W,3,4]
+    wp4 = jnp.concatenate([wpos, ones], axis=-1)
+    prev_clip = jnp.einsum("hwij,hwj->hwi", dm, wp4)    # [H,W,3] = x,y,w
+    curr_clip = jnp.einsum("ij,hwj->hwi",
+                           consts.view_proj[(0, 1, 3), :], wp4)
+    cw = jnp.where(jnp.abs(curr_clip[..., 2:3]) > 1e-9,
+                   curr_clip[..., 2:3], 1e-9)
+    pw = jnp.where(jnp.abs(prev_clip[..., 2:3]) > 1e-9,
+                   prev_clip[..., 2:3], 1e-9)
+    motion = curr_clip[..., :2] / cw - prev_clip[..., :2] / pw
+    return jnp.where(mask[..., None], motion, 0.0)
+
+
 def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
                          env, textures, attrs: dict,
                          tri_id: jnp.ndarray, depth: jnp.ndarray,
@@ -830,7 +983,11 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
                          spot_vis, point_vis, dir_vis,
                          width: int, height: int,
                          aniso_taps: int, slots_used,
-                         enable_shadows: bool):
+                         enable_shadows: bool,
+                         halo: tuple | None = None,
+                         full_height: int | None = None,
+                         y_offset: "jnp.ndarray | int" = 0,
+                         telemetry: dict | None = None):
     """Per-sample MSAA resolve at triangle-triangle edges — the missing
     half of ResolveMSAA (DepthResolve.hlsl + SceneRendering.cpp:2060):
     pixels whose 4 samples split between two surfaces get the SECOND
@@ -843,21 +1000,30 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
     a compacted [1, CAP] pixel list. Screen-space terms (SSAO, shadow
     visibility) reuse the pixel's primary values — the two surfaces are
     sub-pixel apart. Returns (w_sec [H,W] secondary sample weight,
-    sec_rgb [H,W,3] pre-weighted secondary color)."""
+    sec_rgb [H,W,3] pre-weighted secondary color).
+
+    halo: optional (tri_id, depth, object_id, mask) with 1 halo row
+    top+bottom (the multichip band renderer) so edge detection at band
+    seams matches the single-chip frame; full_height/y_offset locate the
+    band's rows for the unprojection."""
     from ..ops import msaa as msaa_ops
     from ..ops import sparse
 
+    if full_height is None:
+        full_height = height
     cap = -(-max(4096, (width * height) // 32) // 8) * 8
     object_id = attrs["ids"][..., 0].astype(jnp.int32)
     records = attrs["records"]
+    det = halo if halo is not None else (tri_id, depth, object_id, mask)
     idx, live, sec_id, n_sec, px, py = msaa_ops.resolve_secondary(
-        records, tri_id, depth, object_id, mask, cov_s, cap)
+        records, det[0], det[1], det[2], det[3], cov_s, cap,
+        pad=1 if halo is not None else 0, telemetry=telemetry)
     rec = records[jnp.maximum(sec_id, 0)]
     a = raster.interp_record_attrs(rec, px, py)
 
     # secondary world position: unproject its depth plane at the center
     ndc_x = px / width * 2.0 - 1.0
-    ndc_y = 1.0 - py / height * 2.0
+    ndc_y = 1.0 - (py + y_offset) / full_height * 2.0
     clip = jnp.stack([ndc_x, ndc_y, a["depth"], jnp.ones_like(px)], axis=-1)
     wp = clip @ consts.inv_view_proj.T
     wpos = wp[:, :3] / jnp.where(jnp.abs(wp[:, 3:4]) > 1e-12,
@@ -870,6 +1036,9 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
                      a["item_id"].astype(jnp.float32)], axis=-1)[None]
     mj = sparse.gather_pixels(mip_jit, idx)[None] if mip_jit is not None \
         else None
+    # no telemetry into this material_pass: its aniso compaction runs on
+    # the already-capped [1, cap] edge list, which cannot saturate harder
+    # than the edge compaction itself (reported as msaa_edges)
     mat = material_pass(scene, sec_id[None], uv=a["uv"][None],
                         wnrm=wn[None], wtan=a["wtan"][None],
                         textures=textures, mrow=mrow, ids=ids,
@@ -976,52 +1145,23 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
     from ..ops import texture as tex_ops
     mip_jit = (tex_ops.mip_jitter(height, width)
                if textures is not None else None)
+    # adaptive-path capacity telemetry: every compaction reports its
+    # demand/cap fraction; riding in out["saturation"] it gets the same
+    # loud-failure treatment as raster bin overflow (engine.run)
+    tel: dict = {}
     mat = material_pass(scene, tri_id, uv=attrs["uv"], wnrm=wn, wtan=wt,
                         textures=textures,
                         mrow=attrs.get("mrow"), ids=attrs.get("ids"),
                         aniso_taps=aniso_taps, slots_used=slots_used,
-                        mip_jitter=mip_jit)
+                        mip_jitter=mip_jit, telemetry=tel)
     n = mat["normal"] if mat.get("normal") is not None else wn
 
     if alpha_test and "alpha" in mat:
-        # alpha-mask discard: peel past fragments whose sampled alpha fails
-        # the cutout test and re-resolve those pixels on the next surface
-        # (one peel layer; the reference discards per-fragment)
-        fail = mask & (mat["alpha"] < 0.01)
-        zlo = jnp.where(fail, depth, 2.0)   # empty window where passing
-        d2, id2, g2 = raster.rasterize_gbuf(
-            binned, width, height,
-            zbound=(zlo, jnp.full_like(depth, 2.0)))
-        attrs2, mask2 = _attrs_from_gbuf(scene, consts, d2, id2, g2,
-                                         width, height)
-        wn2 = attrs2["wnrm"]
-        wn2 = wn2 / jnp.maximum(
-            jnp.linalg.norm(wn2, axis=-1, keepdims=True), 1e-9)
-        mat2 = material_pass(scene, id2, uv=attrs2["uv"], wnrm=wn2,
-                             wtan=attrs2["wtan"], textures=textures,
-                             mrow=attrs2["mrow"], ids=attrs2["ids"],
-                             aniso_taps=aniso_taps, slots_used=slots_used,
-                             mip_jitter=mip_jit)
-        ok2 = mask2 & (mat2.get("alpha", jnp.ones_like(d2)) >= 0.01)
-
-        def mrg(x1, x2):
-            f = fail if x1.ndim == fail.ndim else fail[..., None]
-            return jnp.where(f, x2, x1)
-
-        depth = mrg(depth, jnp.where(ok2, d2, 1.0))
-        tri_id = mrg(tri_id, jnp.where(ok2, id2, raster.BG_ID))
-        mask = jnp.where(fail, ok2, mask)
-        attrs["wpos"] = mrg(attrs["wpos"], attrs2["wpos"])
-        n2 = mat2["normal"] if mat2.get("normal") is not None else wn2
-        n = mrg(n, n2)
-        for k in ("albedo", "emissive", "roughness", "metalness",
-                  "local_ao", "object_id", "item_id", "alpha"):
-            if k in mat and k in mat2:
-                mat[k] = mrg(mat[k], mat2[k])
-        if coverage is not None:
-            # per-sample [4,H,W] (gbuf path) or scalar [H,W] coverage
-            f = fail[None] if coverage.ndim == 3 else fail
-            coverage = jnp.where(f, ok2.astype(coverage.dtype), coverage)
+        depth, tri_id, mask, wpos2, n, mat, coverage = _alpha_mask_peel(
+            scene, consts, binned, width, height, depth, tri_id, mask,
+            attrs["wpos"], n, mat, coverage, textures, aniso_taps,
+            slots_used, mip_jit)
+        attrs["wpos"] = wpos2
 
     ao_map = None
     if enable_ssao:
@@ -1046,29 +1186,13 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         else:
             taps, extra = (12, 8) if ssao_quality == "high" else (8, 6)
             ao_map = ssao_ops.ssao(d_h, n_h, info, num_taps=taps,
-                                   adaptive_taps=extra)
+                                   adaptive_taps=extra, telemetry=tel)
         ao_map = ssao_ops.upsample_bilateral(ao_map, d_h, depth)
         ao_map = ao_map[:height, :width]
 
     motion = None
     if enable_motion_vectors:
-        # NDC-space motion = curr.xy/w - prev.xy/w at the resolved surface
-        # (ForwardLighting.hlsl:385-388)
-        ones = jnp.ones_like(attrs["wpos"][..., :1])
-        # previous world position of the surface point: approximate rigid
-        # motion via prev_world @ inv(world): per-item delta matrices
-        delta = jnp.einsum("nij,njk->nik", consts.prev_world,
-                           jnp.linalg.inv(consts.world))
-        item = scene.tri_item[jnp.maximum(tri_id, 0)]
-        dm = delta[item]                                   # [H,W,4,4]
-        wp4 = jnp.concatenate([attrs["wpos"], ones], axis=-1)
-        prev_wp = jnp.einsum("hwij,hwj->hwi", dm, wp4)
-        curr_clip = jnp.einsum("ij,hwj->hwi", consts.view_proj, wp4)
-        prev_clip = jnp.einsum("ij,hwj->hwi", consts.prev_view_proj, prev_wp)
-        cw = jnp.where(jnp.abs(curr_clip[..., 3:4]) > 1e-9, curr_clip[..., 3:4], 1e-9)
-        pw = jnp.where(jnp.abs(prev_clip[..., 3:4]) > 1e-9, prev_clip[..., 3:4], 1e-9)
-        motion = curr_clip[..., :2] / cw - prev_clip[..., :2] / pw
-        motion = jnp.where(mask[..., None], motion, 0.0)
+        motion = motion_vectors(scene, consts, attrs["wpos"], tri_id, mask)
 
     spot_vis = point_vis = dir_vis = None
     if enable_shadows:
@@ -1129,7 +1253,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             w_sec, sec_rgb = _msaa_edge_secondary(
                 scene, consts, env, textures, attrs, tri_id, depth, mask,
                 coverage, ao_map, mip_jit, spot_vis, point_vis, dir_vis,
-                width, height, aniso_taps, slots_used, enable_shadows)
+                width, height, aniso_taps, slots_used, enable_shadows,
+                telemetry=tel)
             w_pri = jnp.maximum(covm - w_sec, 0.0)
             hdr = (hdr * w_pri[..., None] + sec_rgb
                    + background * (1.0 - covm)[..., None])
@@ -1157,7 +1282,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         refl_q, conf_q = ssr_ops.trace_reflections(
             pool2(pool2(hdr)), pool2(pool2(depth)), pool2(pool2(n)),
             consts.view_matrix, consts.proj_params,
-            ray_weight=wq, ray_frac=2)
+            ray_weight=wq, ray_frac=2, telemetry=tel)
         hh, hw = pool2(depth).shape[:2]
         refl_h = jnp.repeat(jnp.repeat(refl_q, 2, 0), 2, 1)[:hh, :hw]
         conf_h = jnp.repeat(jnp.repeat(conf_q, 2, 0), 2, 1)[:hh, :hw]
@@ -1201,6 +1326,10 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
            "object_id": jnp.where(mask, mat["object_id"], -1)}
     if "overflow" in attrs:
         out["overflow"] = attrs["overflow"]
+    if tel:
+        # demand/cap per adaptive compaction; > 1.0 = quality degraded
+        # past the cap this frame (engine.run / bench.py surface it)
+        out["saturation"] = tel
     if ao_map is not None:
         out["ao"] = ao_map
     if motion is not None:

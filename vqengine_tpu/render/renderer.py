@@ -49,6 +49,7 @@ class FrameOutput:
     ssr_history: np.ndarray | None = None
     overflow: np.ndarray | None = None  # [3] dropped (pairs, row pairs, globals)
     hdr: np.ndarray | None = None    # pre-tonemap scene-referred [H, W, 3]
+    saturation: dict | None = None   # adaptive-path demand/cap fractions
 
 
 class VQRendererTPU:
@@ -286,4 +287,5 @@ class VQRendererTPU:
                            ao=out.get("ao"), motion=out.get("motion"),
                            ssr_history=out.get("ssr_history"),
                            overflow=out.get("overflow"),
-                           hdr=out.get("hdr"))
+                           hdr=out.get("hdr"),
+                           saturation=out.get("saturation"))

@@ -56,6 +56,19 @@ class SceneBuffers:
     # per-vertex geomorph targets (GeometryLOD.morph_mid); None when no
     # mesh in the scene tessellates — the renderer then skips the morph
     morph_mid: np.ndarray | None = None    # [V, 3]
+    # quad-patch tessellation control data (Mesh.patches merged across
+    # items); the per-frame amplifier (ops/tessellation.py) turns these
+    # into raster triangles. Patch items' base-LOD triangles are moved to
+    # the END of the tri-indexed arrays (rows >= num_tris_main) so the
+    # main view renders patches while shadows keep the factor-1 geometry.
+    patch_corners: np.ndarray | None = None   # [P, 4, 3]
+    patch_normals: np.ndarray | None = None   # [P, 4, 3]
+    patch_uvs: np.ndarray | None = None       # [P, 4, 2]
+    patch_item: np.ndarray | None = None      # [P] int32
+    patch_heightmap: np.ndarray | None = None  # [S, S]
+    patch_disp_scale: float = 0.0
+    patch_tess_scale: float = 100.0
+    num_tris_main: int | None = None           # None = all triangles
 
     @property
     def num_items(self) -> int:
@@ -120,6 +133,39 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
                             item_nlod, [],
                             material_names=[m.name for m in materials])
 
+    indices = np.concatenate(idx_l).astype(np.int32)
+    tri_item = np.concatenate(tri_item_l)
+    tri_lod = np.concatenate(tri_lod_l)
+
+    # merge quad-patch control data; patch items' base-LOD triangles move
+    # to the END so corner tables (main view) stop before them while the
+    # shadow path still sees the factor-1 geometry
+    pc_l, pn_l, puv_l, pitem_l = [], [], [], []
+    hm, disp, tess = None, 0.0, 100.0
+    for i, it in enumerate(items):
+        ps = getattr(it.mesh, "patches", None)
+        if ps is None:
+            continue
+        if len(pc_l) == 0:
+            tess = ps.tess_scale
+        pc_l.append(ps.corners)
+        pn_l.append(ps.normals)
+        puv_l.append(ps.uvs)
+        pitem_l.append(np.full(ps.num_patches, i, np.int32))
+        # one shared displacement field per scene (the Terrain heightmap);
+        # additional patch sets displace only if they share it
+        if ps.heightmap is not None and hm is None:
+            hm, disp, tess = ps.heightmap, ps.disp_scale, ps.tess_scale
+    num_tris_main = None
+    if pc_l:
+        is_patch_item = np.zeros(len(items), bool)
+        is_patch_item[np.unique(np.concatenate(pitem_l))] = True
+        tri_is_base = is_patch_item[tri_item]
+        order = np.argsort(tri_is_base, kind="stable")
+        indices, tri_item, tri_lod = (indices[order], tri_item[order],
+                                      tri_lod[order])
+        num_tris_main = int((~tri_is_base).sum())
+
     return SceneBuffers(
         morph_mid=(np.concatenate(morph_l).astype(np.float32)
                    if any_morph else None),
@@ -128,9 +174,9 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
         tangents=np.concatenate(tan_l),
         uvs=np.concatenate(uv_l),
         item_of_vertex=np.concatenate(iov_l),
-        indices=np.concatenate(idx_l).astype(np.int32),
-        tri_item=np.concatenate(tri_item_l),
-        tri_lod=np.concatenate(tri_lod_l),
+        indices=indices,
+        tri_item=tri_item,
+        tri_lod=tri_lod,
         materials=pack_materials(materials),
         item_material=item_mat,
         item_object=item_obj,
@@ -139,6 +185,14 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
         aabb_center=aabb_c,
         aabb_extent=aabb_e,
         material_names=[m.name for m in materials],
+        patch_corners=np.concatenate(pc_l) if pc_l else None,
+        patch_normals=np.concatenate(pn_l) if pc_l else None,
+        patch_uvs=np.concatenate(puv_l) if pc_l else None,
+        patch_item=np.concatenate(pitem_l) if pc_l else None,
+        patch_heightmap=hm,
+        patch_disp_scale=disp,
+        patch_tess_scale=tess,
+        num_tris_main=num_tris_main,
     )
 
 
@@ -154,8 +208,23 @@ def split_transparent(buffers: SceneBuffers
         return buffers, None
     tri_t = item_transparent[buffers.tri_item]               # [T]
 
-    def subset(sel: np.ndarray) -> SceneBuffers:
+    def subset(sel: np.ndarray, opaque: bool = False) -> SceneBuffers:
+        ntm = None
+        if opaque and buffers.num_tris_main is not None:
+            # patch-base tris sit at the end; they stay a suffix of the
+            # opaque subset (selection preserves order)
+            main = np.zeros(len(sel), bool)
+            main[: buffers.num_tris_main] = True
+            ntm = int((sel & main).sum())
         return SceneBuffers(
+            num_tris_main=ntm,
+            patch_corners=buffers.patch_corners if opaque else None,
+            patch_normals=buffers.patch_normals if opaque else None,
+            patch_uvs=buffers.patch_uvs if opaque else None,
+            patch_item=buffers.patch_item if opaque else None,
+            patch_heightmap=buffers.patch_heightmap if opaque else None,
+            patch_disp_scale=buffers.patch_disp_scale,
+            patch_tess_scale=buffers.patch_tess_scale,
             positions=buffers.positions, normals=buffers.normals,
             tangents=buffers.tangents, uvs=buffers.uvs,
             item_of_vertex=buffers.item_of_vertex,
@@ -173,7 +242,7 @@ def split_transparent(buffers: SceneBuffers
             morph_mid=buffers.morph_mid,     # vertex-indexed: shared
         )
 
-    return subset(~tri_t), subset(tri_t)
+    return subset(~tri_t, opaque=True), subset(tri_t)
 
 
 # ---------------------------------------------------------------------------

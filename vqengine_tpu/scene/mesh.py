@@ -54,17 +54,46 @@ class GeometryLOD:
 
 
 @dataclass
+class PatchSet:
+    """Quad-domain tessellation patches (the reference's patch meshes,
+    MeshGenerator.h PatchGrid + Tessellation.h:53-59): control-point data
+    the per-frame amplification stage (ops/tessellation.py) expands into
+    raster triangles with continuous fractional-odd factors. Corner order
+    per patch: (u,v) = (0,0), (1,0), (0,1), (1,1)."""
+    corners: np.ndarray    # [P, 4, 3] object space control points
+    normals: np.ndarray    # [P, 4, 3]
+    uvs: np.ndarray        # [P, 4, 2]
+    heightmap: np.ndarray | None = None   # [S, S] displacement field
+    disp_scale: float = 0.0               # world displacement amplitude
+    tess_scale: float = 100.0             # distance where factor halves
+
+    @property
+    def num_patches(self) -> int:
+        return int(self.corners.shape[0])
+
+
+@dataclass
 class Mesh:
-    """Multi-LOD mesh (reference Mesh.h:61-74 MeshLODData)."""
+    """Multi-LOD mesh (reference Mesh.h:61-74 MeshLODData).
+
+    patches: optional quad-patch control data — the mesh then renders
+    through the tessellation amplification stage in the main view; the
+    regular lods hold the factor-1 (control) geometry used for shadow
+    rendering and the AABB (the reference's shadow passes also tessellate;
+    the coarse-shadow approximation is documented in docs/PARITY.md)."""
     name: str
     lods: list[GeometryLOD] = field(default_factory=list)
+    patches: PatchSet | None = None
 
     @property
     def num_lods(self) -> int:
         return len(self.lods)
 
     def local_aabb(self) -> tuple[np.ndarray, np.ndarray]:
-        return self.lods[0].local_aabb()
+        c, e = self.lods[0].local_aabb()
+        if self.patches is not None and self.patches.disp_scale:
+            e = e + abs(self.patches.disp_scale)
+        return c, e
 
 
 def _make_lod(positions, normals, tangents, uvs, indices) -> GeometryLOD:
@@ -371,6 +400,80 @@ def grid_geomorph_mids(positions: np.ndarray, nx: int, ny: int) -> np.ndarray:
     out = positions.copy()
     out[: ny * nx] = mid.reshape(-1, 3)
     return out.astype(np.float32)
+
+
+def patch_grid(width: float, depth: float, patches_x: int, patches_z: int,
+               heightmap: np.ndarray | None = None,
+               disp_scale: float = 0.0,
+               tess_scale: float = 100.0,
+               name: str = "PatchGrid") -> Mesh:
+    """Quad-patch grid in the XZ plane, centered at the origin — the
+    reference's tessellated grid/terrain patch mesh (MeshGenerator.h patch
+    meshes; VQEngine_Render.cpp:277-280). Returns a Mesh whose `patches`
+    drive the per-frame amplification stage and whose single LOD holds the
+    factor-1 control geometry (displaced at the control vertices — exactly
+    what the amplifier emits at factor 1) for shadows/AABB."""
+    nx, nz = patches_x + 1, patches_z + 1
+    xs = (np.arange(nx) / patches_x - 0.5) * width
+    zs = (np.arange(nz) / patches_z - 0.5) * depth
+    gx, gz = np.meshgrid(xs, zs, indexing="xy")              # [nz, nx]
+    gpos = np.stack([gx, np.zeros_like(gx), gz], axis=-1).astype(np.float32)
+    guv = np.stack([np.broadcast_to(np.arange(nx) / patches_x, (nz, nx)),
+                    np.broadcast_to((np.arange(nz) / patches_z)[:, None],
+                                    (nz, nx))], axis=-1).astype(np.float32)
+
+    corners, uvs = [], []
+    for j in range(patches_z):
+        for i in range(patches_x):
+            # corner order (u,v) = (0,0), (1,0), (0,1), (1,1)
+            corners.append([gpos[j, i], gpos[j, i + 1],
+                            gpos[j + 1, i], gpos[j + 1, i + 1]])
+            uvs.append([guv[j, i], guv[j, i + 1],
+                        guv[j + 1, i], guv[j + 1, i + 1]])
+    corners = np.asarray(corners, np.float32)
+    uvs = np.asarray(uvs, np.float32)
+    normals = np.broadcast_to(
+        np.asarray([0, 1, 0], np.float32), corners.shape).copy()
+    ps = PatchSet(corners=corners, normals=normals, uvs=uvs,
+                  heightmap=heightmap, disp_scale=float(disp_scale),
+                  tess_scale=float(tess_scale))
+
+    # factor-1 geometry: the control grid displaced at its vertices
+    pos = gpos.reshape(-1, 3).copy()
+    uvf = guv.reshape(-1, 2)
+    if heightmap is not None and disp_scale:
+        # bilinear, exactly like ops/tessellation.displace — factor-1
+        # amplification must reproduce this geometry bit-for-bit
+        hh, wh = heightmap.shape
+        x = np.clip(uvf[:, 0] * (wh - 1), 0.0, wh - 1.0)
+        y = np.clip(uvf[:, 1] * (hh - 1), 0.0, hh - 1.0)
+        x0 = np.floor(x).astype(int)
+        y0 = np.floor(y).astype(int)
+        fx, fy = x - x0, y - y0
+        x1 = np.minimum(x0 + 1, wh - 1)
+        y1 = np.minimum(y0 + 1, hh - 1)
+        h = ((heightmap[y0, x0] * (1 - fx) + heightmap[y0, x1] * fx)
+             * (1 - fy)
+             + (heightmap[y1, x0] * (1 - fx) + heightmap[y1, x1] * fx)
+             * fy)
+        pos[:, 1] += h * disp_scale
+    tris = []
+    for j in range(patches_z):
+        for i in range(patches_x):
+            v00 = j * nx + i
+            v10 = v00 + 1
+            v01 = v00 + nx
+            v11 = v01 + 1
+            # matches build_patch_template's (i+j) even diagonal at segs=1
+            tris.append((v00, v01, v10))
+            tris.append((v10, v01, v11))
+    lod = _make_lod(pos,
+                    np.broadcast_to(np.asarray([0, 1, 0], np.float32),
+                                    pos.shape).copy(),
+                    np.broadcast_to(np.asarray([1, 0, 0], np.float32),
+                                    pos.shape).copy(),
+                    uvf.copy(), np.asarray(tris, np.int32))
+    return Mesh(name, [lod], patches=ps)
 
 
 def fullscreen_quad() -> Mesh:

@@ -331,25 +331,30 @@ def build_terrain_patch(px: int, pz: int, patches: int = 6,
 
 
 def augment_terrain(rep: FSceneRepresentation, material_lib: dict,
-                    builtin_meshes, patches: int = 6) -> None:
-    """Adaptive-tessellation terrain: a grid of patch items, each with a
-    multi-level subdivision chain selected per frame by projected size —
-    the TPU-native counterpart of the reference's HS/DS heightmap
-    tessellation (Tessellation.hlsl, TerrainScene)."""
+                    builtin_meshes, patches: int = 24,
+                    size: float = 1000.0, height: float = 60.0,
+                    tess_scale: float = 250.0) -> None:
+    """Adaptive-tessellation terrain through the QUAD-PATCH pipeline
+    (ops/tessellation.py): a patches x patches control grid whose
+    per-frame fractional-odd factors come from per-edge view distance and
+    whose displacement samples the heightmap in the amplifier — the
+    counterpart of the reference's HS/DS heightmap tessellation
+    (Tessellation.hlsl:1-675, TerrainScene). Per-patch frustum culling
+    happens before amplification (the HS zero-factor cull)."""
+    from . import mesh as meshmod
     mat = Material(name="TerrainMat")
     mat.diffuse = np.asarray([0.35, 0.3, 0.22], np.float32)
     mat.roughness = 0.9
     mat.tessellation_enabled = True
     material_lib[mat.name] = mat
-    for pz in range(patches):
-        for px in range(patches):
-            mesh_name = f"TerrainPatch[{px}][{pz}]"
-            if mesh_name not in builtin_meshes._builders:
-                builtin_meshes._builders[mesh_name] = (
-                    lambda px=px, pz=pz: build_terrain_patch(
-                        px, pz, patches=patches))
-            _add_object(rep, mesh_name, (0, -20, 0), (1, 1, 1), "TerrainMat",
-                        name=mesh_name)
+    if "TerrainPatches" not in builtin_meshes._builders:
+        builtin_meshes._builders["TerrainPatches"] = (
+            lambda: meshmod.patch_grid(
+                size, size, patches, patches,
+                heightmap=_cached_heightmap(256), disp_scale=height,
+                tess_scale=tess_scale, name="TerrainPatches"))
+    _add_object(rep, "TerrainPatches", (0, -20, 0), (1, 1, 1), "TerrainMat",
+                name="TerrainPatches")
 
 
 def augment_sponza_substitute(rep: FSceneRepresentation, material_lib: dict,
