@@ -182,7 +182,8 @@ def main() -> None:
         # SSR history carries ACROSS frames (the DNSR temporal path is
         # part of the measured config, VERDICT r2 #9); motion vectors feed
         # the reprojection like the reference's DNSR reproject pass.
-        hist0 = jnp.zeros((height // 2, width // 2, 4), jnp.float32)
+        from vqengine_tpu.ops import ssr as ssr_ops
+        hist0 = ssr_ops.init_history(height // 2, width // 2)
 
         def frame(carry, consts_i):
             acc, hist, oflow = carry

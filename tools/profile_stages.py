@@ -62,7 +62,8 @@ def main() -> None:
             # BENCH-matching row: ssr_history threads through the scan so
             # the DNSR temporal resolve AND the motion-vector path are live
             # (ADVICE r3: without the carry, XLA DCE'd both).
-            hist0 = jnp.zeros((height // 2, width // 2, 4), jnp.float32)
+            from vqengine_tpu.ops import ssr as ssr_ops
+            hist0 = ssr_ops.init_history(height // 2, width // 2)
 
             @jax.jit
             def run_n(consts_batch):

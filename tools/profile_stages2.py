@@ -55,7 +55,8 @@ def main() -> None:
 
     def timed(name, frame_fn, carry_hist=False):
         if carry_hist:
-            hist0 = jnp.zeros((height // 2, width // 2, 4), jnp.float32)
+            from vqengine_tpu.ops import ssr as ssr_ops
+            hist0 = ssr_ops.init_history(height // 2, width // 2)
 
             @jax.jit
             def run_n(consts_batch):

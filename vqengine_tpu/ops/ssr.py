@@ -310,6 +310,13 @@ def _luminance(rgb: jnp.ndarray) -> jnp.ndarray:
     return (rgb * jnp.asarray([0.299, 0.587, 0.114])).sum(-1)
 
 
+def init_history(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Zero history for a scan carry / first frame: [h, w, 7] with zero
+    sample count (nothing accumulated). h/w are the SSR half-resolution
+    (render_forward traces at half res)."""
+    return jnp.zeros((h, w, HISTORY_CHANNELS), dtype)
+
+
 def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
                         roughness: jnp.ndarray,
                         history: jnp.ndarray | None = None,
@@ -327,8 +334,13 @@ def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
       stale history outside the local distribution is rejected, killing
       ghosting), gate the blend by depth disocclusion when depth history
       is available, and weight by hit confidence.
-    history carries [H,W,4]: rgb + the depth it was resolved at.
-    Returns (denoised [H,W,3], new_history [H,W,4]).
+    history carries HISTORY_CHANNELS = 7 floats/pixel: rgb | depth it was
+    resolved at | temporal luminance mean | temporal luminance second
+    moment | accumulated sample count (the reference's separate radiance /
+    variance / sample-count ping-pong buffers collapsed into one tensor).
+    3- or 4-channel histories (older callers) zero-pad: zero sample count
+    = "no accumulated history", so they bootstrap correctly.
+    Returns (denoised [H,W,3], new_history [H,W,7]).
 
     Band sharding (parallel/multichip.py): refl/conf/... are one band of
     `full_height` rows starting at global row y_offset, while `history` is
@@ -336,23 +348,16 @@ def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
     the returned new_history stays band-local."""
     h, w = refl.shape[:2]
     mips = ffx.spd_mip_pyramid(refl, num_mips=4, reduce="mean")
-    # pick blur level by roughness
-    out = refl
-    lvl = jnp.clip((roughness * 4.0).astype(jnp.int32), 0, len(mips) - 1)
-    for m in range(1, len(mips)):
-        up = jnp.repeat(jnp.repeat(mips[m], 1 << m, axis=0), 1 << m, axis=1)
-        # odd intermediate sizes floor-divide: edge-pad back up to [h, w]
-        if up.shape[0] < h or up.shape[1] < w:
-            up = jnp.pad(up, ((0, h - up.shape[0]), (0, w - up.shape[1]),
-                              (0, 0)), mode="edge")
-        up = up[:h, :w]
-        out = jnp.where((lvl == m)[..., None], up, out)
 
     cur_depth = depth if depth is not None else jnp.zeros((h, w), refl.dtype)
+    hist = None
     if history is not None:
-        if history.shape[-1] == 3:   # legacy rgb-only history
+        c = history.shape[-1]
+        if c < HISTORY_CHANNELS:
             history = jnp.concatenate(
-                [history, jnp.zeros_like(history[..., :1])], axis=-1)
+                [history, jnp.zeros(history.shape[:-1]
+                                    + (HISTORY_CHANNELS - c,),
+                                    history.dtype)], axis=-1)
         hf = full_height if full_height is not None else h
         if motion is not None:
             # reproject: history sampled at prev-frame position (global
@@ -371,19 +376,87 @@ def denoise_reflections(refl: jnp.ndarray, conf: jnp.ndarray,
                 history, jnp.asarray(y_offset, jnp.int32), h, 0)
         else:
             hist = history
+
+    # spatial prefilter: blur level from roughness, WIDENED where the
+    # tracked temporal variance is high (the DNSR resolve's
+    # variance-guided kernel: noisy regions trade detail for stability)
+    lvl_f = roughness * 4.0
+    if hist is not None:
+        tvar = jnp.maximum(hist[..., 5] - hist[..., 4] ** 2, 0.0)
+        lvl_f = lvl_f + jnp.clip(tvar * 8.0, 0.0, 1.5)
+    out = refl
+    lvl = jnp.clip(lvl_f.astype(jnp.int32), 0, len(mips) - 1)
+    for m in range(1, len(mips)):
+        up = jnp.repeat(jnp.repeat(mips[m], 1 << m, axis=0), 1 << m, axis=1)
+        # odd intermediate sizes floor-divide: edge-pad back up to [h, w]
+        if up.shape[0] < h or up.shape[1] < w:
+            up = jnp.pad(up, ((0, h - up.shape[0]), (0, w - up.shape[1]),
+                              (0, 0)), mode="edge")
+        up = up[:h, :w]
+        out = jnp.where((lvl == m)[..., None], up, out)
+
+    lum_cur = _luminance(out)
+    if hist is not None:
         hist_rgb, hist_depth = hist[..., :3], hist[..., 3]
-        # variance clamp: history constrained to the local color bounds
-        lo, hi = _local_minmax3(out)
-        hist_rgb = jnp.clip(hist_rgb, lo, hi)
-        # disocclusion: depth mismatch collapses the history weight
-        alpha = jnp.asarray(temporal_alpha, refl.dtype)
+        hist_mu, hist_m2 = hist[..., 4], hist[..., 5]
+        hist_n = hist[..., 6]
+        # disocclusion: depth mismatch RESETS the accumulation (sample
+        # count collapses -> history weight collapses), the reference's
+        # ffx_denoiser_reflections_reproject disocclusion test
+        keep = jnp.ones((h, w), refl.dtype)
         if depth is not None:
             zdiff = jnp.abs(hist_depth - cur_depth) \
                 / jnp.maximum(jnp.abs(cur_depth), 1e-3)
-            alpha = alpha * jnp.clip(1.0 - zdiff * 8.0, 0.0, 1.0)
+            keep = jnp.clip(1.0 - zdiff * 8.0, 0.0, 1.0)
+        trust = (hist_n * keep > 0.5).astype(refl.dtype)  # moments valid
+        # only once at least one accumulated frame backs them
+        sigma = jnp.sqrt(jnp.maximum(hist_m2 - hist_mu ** 2, 0.0))
+        # temporal consistency test: the current sample is a fresh draw
+        # from the surface's reflection distribution — if it lands far
+        # outside the history's tracked mu +- 1.25 sigma, the surface
+        # changed or the reprojection grabbed the wrong surface (ghosts
+        # the depth test misses: parallax pans at constant depth) -> the
+        # accumulation resets, like a disocclusion
+        excess = jnp.maximum(
+            jnp.abs(lum_cur - hist_mu) - 1.25 * sigma - 0.05, 0.0)
+        keep = keep * jnp.where(
+            trust > 0, jnp.clip(1.0 - excess * 4.0, 0.0, 1.0), 1.0)
+        n = hist_n * keep
+        # spatial neighborhood clamp: history constrained to the local
+        # color bounds of the current frame
+        lo, hi = _local_minmax3(out)
+        hist_rgb = jnp.clip(hist_rgb, lo, hi)
+        # history self-consistency clamp (DOWN-scale only, never
+        # amplify): history radiance brighter than its own tracked
+        # distribution allows is a ghost blended in from elsewhere —
+        # e.g. a bright blob inside the WIDE spatial bounds near a
+        # specular highlight, where the min/max clamp cannot catch it
+        ghost_lum = _luminance(hist_rgb)
+        bound = hist_mu + 1.25 * sigma + 0.02
+        scale = jnp.minimum(
+            1.0, bound / jnp.maximum(ghost_lum, 1e-6))
+        hist_rgb = hist_rgb * jnp.where(trust > 0, scale, 1.0)[..., None]
+        # sample-count-ramped accumulation: weight grows n/(n+1) toward
+        # temporal_alpha as evidence accumulates (a 1-frame-old history
+        # is not trusted like a 30-frame one), scaled by hit confidence
+        n_new = jnp.minimum(n + 1.0, 32.0)
+        alpha = jnp.asarray(temporal_alpha, refl.dtype) * (n / n_new)
         alpha = (alpha * jnp.clip(conf * 2.0, 0.25, 1.0))[..., None]
         out = alpha * hist_rgb + (1.0 - alpha) * out
-    new_history = jnp.concatenate([out, cur_depth[..., None]], axis=-1)
+        # temporal luminance moments track the RESOLVED signal
+        a1 = alpha[..., 0]
+        lum_out = _luminance(out)
+        mu_new = jnp.where(trust > 0,
+                           a1 * hist_mu + (1 - a1) * lum_out, lum_out)
+        m2_new = jnp.where(trust > 0,
+                           a1 * hist_m2 + (1 - a1) * lum_out ** 2,
+                           lum_out ** 2)
+    else:
+        n_new = jnp.ones((h, w), refl.dtype)
+        mu_new, m2_new = lum_cur, lum_cur ** 2
+    new_history = jnp.concatenate(
+        [out, cur_depth[..., None], mu_new[..., None], m2_new[..., None],
+         n_new[..., None]], axis=-1)
     return out, new_history
 
 

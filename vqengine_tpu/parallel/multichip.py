@@ -104,7 +104,7 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
     graph.render_forward stage by stage (see module docstring for the
     collectives that stitch band-crossing effects).
 
-    ssr_history: this band's half-res history slab [bh/2, W/2, 4]; the
+    ssr_history: this band's half-res history slab [bh/2, W/2, 7]; the
     reprojection gather can land in any band, so it all_gathers to the
     full frame first (quarter of the frame's pixels x 16 B on ICI).
     Returns (ldr, depth, new_history) — new_history stays band-sharded."""
@@ -385,7 +385,7 @@ def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
     consts_batch: FrameConstants with a leading [dp] batch dim on every
     field (independent views/frames). env / shadow_maps / textures /
     scene_transparent are replicated device-resident resources.
-    ssr_history [dp, H//2, W//2, 4] enables the DNSR temporal resolve
+    ssr_history [dp, H//2, W//2, 7] enables the DNSR temporal resolve
     (band-sharded along rows; pass zeros for the first frame).
     Returns ldr [dp, H, W, 3], depth [dp, H, W], and — when ssr_history
     is given — new_history [dp, H//2, W//2, 4] to carry to the next frame.
