@@ -121,3 +121,99 @@ class TestAdaptive:
         assert up[:, w + 1] .min() > 0.95
         # near-side pixels adjacent to the edge stay dark
         assert up[:, w - 2].max() < 0.25
+
+
+class TestQualityLadder:
+    """CACAO preset ladder (ops/ssao.PRESETS, the ffx_cacao_impl.cpp
+    settings table's LOWEST..ADAPTIVE analog) validated against a
+    brute-force ground-truth hemisphere integral — NOT a self-golden:
+    the truth estimator samples the full-res view depth directly with
+    256 spiral taps (no mip pyramid, no blur, no compaction)."""
+
+    @staticmethod
+    def _scene(h=96, w=128):
+        """A step scene with contact occlusion at the edge."""
+        depth = np.full((h, w), ndc_depth(10.6), np.float32)
+        depth[:, : w // 2] = ndc_depth(10.0)
+        # a second, vertical step for 2d structure
+        depth[: h // 4] = ndc_depth(10.3)
+        normals = np.tile([0, 0, -1], (h, w, 1)).astype(np.float32)
+        info = make_view_info(eye=(0, 0, 0))
+        return jnp.asarray(depth), jnp.asarray(normals), info
+
+    @staticmethod
+    def _truth(depth, normals, info, radius_world=2.0, num_taps=256,
+               intensity=1.0):
+        """Brute-force reference: same occlusion estimator family as
+        ssao() (cosine-weighted, range-attenuated spiral), converged with
+        many taps against the exact full-res depth — no mips, no blur."""
+        h, w = depth.shape
+        near, far, fov_y = info["near"], info["far"], info["fov_y"]
+        view = info["view"]
+        zv = np.asarray(ssao.view_depth_from_ndc(depth, near, far))
+        tan_half = np.tan(fov_y * 0.5)
+        aspect = w / h
+        ndc_x = ((np.arange(w) + 0.5) / w * 2.0 - 1.0)[None, :]
+        ndc_y = (1.0 - (np.arange(h) + 0.5) / h * 2.0)[:, None]
+        pos = np.stack([ndc_x * tan_half * aspect * zv,
+                        ndc_y * tan_half * zv, zv], -1)
+        nv = np.einsum("ij,hwj->hwi", np.asarray(view)[:3, :3],
+                       np.asarray(normals))
+        r_px = np.clip(radius_world / (zv * tan_half * 2.0) * h, 2.0, 96.0)
+        taps = np.asarray(ssao._spiral_taps(num_taps))
+        occ = np.zeros((h, w), np.float32)
+        py, px = np.mgrid[0:h, 0:w]
+        for t in range(num_taps):
+            sx = np.clip(px + 0.5 + taps[t, 0] * r_px, 0.5, w - 0.5)
+            sy = np.clip(py + 0.5 + taps[t, 1] * r_px, 0.5, h - 0.5)
+            z_t = zv[sy.astype(int), sx.astype(int)]
+            s_ndc_x = (sx / w) * 2.0 - 1.0
+            s_ndc_y = 1.0 - (sy / h) * 2.0
+            sv = np.stack([s_ndc_x * tan_half * aspect * z_t,
+                           s_ndc_y * tan_half * z_t, z_t], -1)
+            d = sv - pos
+            dist = np.linalg.norm(d, axis=-1)
+            ddir = d / np.maximum(dist, 1e-6)[..., None]
+            cos_h = (ddir * nv).sum(-1)
+            fall = np.clip(1.0 - dist / radius_world, 0.0, 1.0)
+            occ += np.clip(cos_h - 0.1, 0.0, 1.0) * fall
+        ao = 1.0 - np.clip(occ / num_taps * 2.0 * intensity, 0.0, 1.0)
+        return ao * np.sqrt(ao)
+
+    def test_presets_monotone_and_close_to_truth(self):
+        depth, normals, info = self._scene()
+        truth = self._truth(depth, normals, info)
+        errs = {}
+        for name, (taps, extra, deint) in ssao.PRESETS.items():
+            ao = np.asarray(ssao.ssao(depth, normals, info,
+                                      radius_world=2.0, num_taps=taps,
+                                      adaptive_taps=extra,
+                                      deinterleave=deint))
+            errs[name] = float(np.abs(ao - truth).mean())
+        # quality must not regress up the ladder (small slack for noise)
+        order = ["lowest", "low", "medium", "high", "adaptive"]
+        for a, b in zip(order, order[1:]):
+            assert errs[b] <= errs[a] + 0.01, (a, errs[a], b, errs[b])
+        # and the top presets converge to the brute-force truth
+        assert errs["high"] < 0.05, errs
+        assert errs["adaptive"] < 0.04, errs
+
+    def test_deinterleave_improves_effective_sampling(self):
+        """4 phase spirals + edge-aware recombine beat the same tap
+        budget with one shared spiral on a noisy-depth scene."""
+        rng = np.random.default_rng(5)
+        h, w = 96, 128
+        zv = 10.0 + rng.uniform(0, 0.5, (h, w)).astype(np.float32)
+        depth = jnp.asarray(ndc_depth(zv).astype(np.float32))
+        normals = jnp.asarray(
+            np.tile([0, 0, -1], (h, w, 1)).astype(np.float32))
+        info = make_view_info(eye=(0, 0, 0))
+        truth = self._truth(depth, normals, info)
+        ao_mono = np.asarray(ssao.ssao(depth, normals, info,
+                                       radius_world=2.0, num_taps=8))
+        ao_deint = np.asarray(ssao.ssao(depth, normals, info,
+                                        radius_world=2.0, num_taps=8,
+                                        deinterleave=True))
+        err_mono = float(np.abs(ao_mono - truth).mean())
+        err_deint = float(np.abs(ao_deint - truth).mean())
+        assert err_deint < err_mono, (err_deint, err_mono)

@@ -68,14 +68,23 @@ def _occlusion_sum(taps: np.ndarray, px, py, pos_v, nrm_v, radius_px_y,
 
     px/py [...], pos_v/nrm_v [..., 3], radius_px_y [...] — dense images
     pass [H,W] planes, the adaptive refinement passes compacted [CAP]
-    arrays; the tap gathers and view reconstruction are shape-blind.
+    arrays, the deinterleaved generator passes [4, H/2, W/2] phase stacks
+    with taps [4, T, 2] (per-phase patterns); the tap gathers and view
+    reconstruction are shape-blind.
     geom = (tan_half, aspect, y_offset, full_height, radius_world)."""
     tan_half, aspect, y_offset, full_height, radius_world = geom
     occlusion = jnp.zeros(px.shape, jnp.float32)
     n_mips = len(zshapes)
-    for t in range(taps.shape[0]):
-        dx = taps[t, 0] * radius_px_y
-        dy = taps[t, 1] * radius_px_y
+    per_phase = taps.ndim == 3
+    for t in range(taps.shape[-2]):
+        if per_phase:
+            # [P, 1, 1] broadcasting against [P, h, w] pixel planes
+            tx_t = taps[:, t, 0].reshape((-1,) + (1,) * (px.ndim - 1))
+            ty_t = taps[:, t, 1].reshape((-1,) + (1,) * (px.ndim - 1))
+        else:
+            tx_t, ty_t = taps[t, 0], taps[t, 1]
+        dx = tx_t * radius_px_y
+        dy = ty_t * radius_px_y
         sx = jnp.clip(px + dx, 0.5, w - 0.5)
         sy = jnp.clip(py + dy, 0.5, h - 0.5)
         # mip by tap distance (in pixels)
@@ -104,6 +113,21 @@ def _occlusion_sum(taps: np.ndarray, px, py, pos_v, nrm_v, radius_px_y,
         falloff = jnp.clip(1.0 - dist / radius_world, 0.0, 1.0)
         occlusion = occlusion + jnp.clip(cos_h - 0.1, 0.0, 1.0) * falloff
     return occlusion
+
+
+# CACAO's quality ladder (ffx_cacao_impl.cpp settings presets mapped onto
+# this implementation's budgets): base spiral taps, adaptive refinement
+# taps (compacted importance-ranked pixels), and whether generation runs
+# deinterleaved (4 phase-offset quarter-res layers with INDEPENDENT tap
+# patterns, recombined edge-aware — neighbors sample disjoint spirals, so
+# the smart blur averages ~4x the effective tap count at the same cost).
+PRESETS = {
+    "lowest": (4, 0, False),
+    "low": (6, 0, False),
+    "medium": (8, 6, False),
+    "high": (12, 8, False),
+    "adaptive": (12, 12, True),
+}
 
 
 def importance_map(ao: jnp.ndarray, block: int = 4) -> jnp.ndarray:
@@ -137,6 +161,7 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
          adaptive_taps: int = 0,
          importance_threshold: float = 0.04,
          adaptive_frac: int = 4,
+         deinterleave: bool = False,
          telemetry: dict | None = None) -> jnp.ndarray:
     """-> AO [H, W] in [0, 1] (1 = unoccluded).
 
@@ -204,9 +229,37 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
     py = jnp.broadcast_to(
         jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5, (h, w))
 
-    occlusion = _occlusion_sum(_spiral_taps(num_taps), px, py, pos_v,
-                               nrm_v, radius_px_y, zflat, zoffs, zshapes,
-                               w, h, geom)
+    if deinterleave and h >= 2 and w >= 2:
+        # CACAO's deinterleaved generation: the frame splits into 4
+        # phase-offset quarter-res layers, each integrating its OWN
+        # spiral (different seed -> disjoint tap directions); the final
+        # edge-aware blur recombines neighbors, averaging ~4x the
+        # effective tap count. Band sharding note: bands have even
+        # heights and even y_offsets, so local row parity == global row
+        # parity and the phase assignment matches the single-chip frame.
+        h2, w2 = h // 2, w // 2
+
+        def d4(img):
+            x = img[: h2 * 2, : w2 * 2]
+            x = x.reshape((h2, 2, w2, 2) + img.shape[2:])
+            return jnp.stack([x[:, 0, :, 0], x[:, 0, :, 1],
+                              x[:, 1, :, 0], x[:, 1, :, 1]])
+
+        taps4 = np.stack([_spiral_taps(num_taps, seed=7 + 13 * p)
+                          for p in range(4)])               # [4, T, 2]
+        occ4 = _occlusion_sum(taps4, d4(px), d4(py), d4(pos_v),
+                              d4(nrm_v), d4(radius_px_y), zflat, zoffs,
+                              zshapes, w, h, geom)          # [4, h2, w2]
+        inter = jnp.stack([jnp.stack([occ4[0], occ4[1]], -1),
+                           jnp.stack([occ4[2], occ4[3]], -1)], 1)
+        occlusion = inter.reshape(h2 * 2, w2 * 2)
+        if (h2 * 2, w2 * 2) != (h, w):
+            occlusion = jnp.pad(occlusion, ((0, h - h2 * 2),
+                                            (0, w - w2 * 2)), mode="edge")
+    else:
+        occlusion = _occlusion_sum(_spiral_taps(num_taps), px, py, pos_v,
+                                   nrm_v, radius_px_y, zflat, zoffs,
+                                   zshapes, w, h, geom)
     n_taps = jnp.full((h, w), jnp.float32(num_taps))
 
     if adaptive_taps > 0:

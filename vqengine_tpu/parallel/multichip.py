@@ -222,9 +222,11 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
         info = {"near": consts.proj_params[0], "far": consts.proj_params[1],
                 "fov_y": consts.proj_params[2], "view": consts.view_matrix}
         kw = {}
-        if ssao_quality in ("medium", "high"):
-            taps, extra_t = (12, 8) if ssao_quality == "high" else (8, 6)
-            kw = dict(num_taps=taps, adaptive_taps=extra_t)
+        if ssao_quality != "low":
+            taps, extra_t, deint = ssao_ops.PRESETS.get(
+                ssao_quality, ssao_ops.PRESETS["medium"])
+            kw = dict(num_taps=taps, adaptive_taps=extra_t,
+                      deinterleave=deint)
         ao_half = ssao_ops.ssao(dh_p, nh_p, info,
                                 y_offset=y0 // 2 - pad,
                                 full_height=height // 2, **kw)

@@ -1184,9 +1184,11 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             ao_map = ssao_ops.ssao(d_q, pool2(n_h), info, num_taps=8)
             ao_map = ssao_ops.upsample_bilateral(ao_map, d_q, d_h)
         else:
-            taps, extra = (12, 8) if ssao_quality == "high" else (8, 6)
+            taps, extra, deint = ssao_ops.PRESETS.get(
+                ssao_quality, ssao_ops.PRESETS["medium"])
             ao_map = ssao_ops.ssao(d_h, n_h, info, num_taps=taps,
-                                   adaptive_taps=extra, telemetry=tel)
+                                   adaptive_taps=extra,
+                                   deinterleave=deint, telemetry=tel)
         ao_map = ssao_ops.upsample_bilateral(ao_map, d_h, depth)
         ao_map = ao_map[:height, :width]
 
