@@ -1179,9 +1179,12 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         # preset, built as compaction; see ops/ssao.py). Upsampling is
         # depth-guided bilateral, CACAO's edge-aware Apply.
         d_h, n_h = pool2(depth), pool2(n)
-        if ssao_quality == "low":
+        if ssao_quality in ("lowest", "low"):
+            # the two bottom presets generate at QUARTER res (CACAO's
+            # lowest-quality half-depth path) with their preset tap budget
+            taps = ssao_ops.PRESETS[ssao_quality][0]
             d_q = pool2(d_h)
-            ao_map = ssao_ops.ssao(d_q, pool2(n_h), info, num_taps=8)
+            ao_map = ssao_ops.ssao(d_q, pool2(n_h), info, num_taps=taps)
             ao_map = ssao_ops.upsample_bilateral(ao_map, d_q, d_h)
         else:
             taps, extra, deint = ssao_ops.PRESETS.get(
