@@ -114,12 +114,19 @@ def resolve_secondary(records: jnp.ndarray, tri_id: jnp.ndarray,
             interior(_shift(tri_id, dy, dx)), idx))
     cand_ids = jnp.stack(cands, axis=1)                       # [cap, 5]
     valid_c = cand_ids >= 0
-    rec13 = records[jnp.maximum(cand_ids, 0), :13]            # [cap, 5, 13]
+    # FLAT 1-D row gather only: a [cap,5]-indexed gather with a sliced
+    # minor dim misses the TPU fast gather path and can lower serialized
+    # (measured as the r3 bench regression's +843 ms/frame)
+    rec13 = records[:, :13][jnp.maximum(cand_ids, 0).reshape(-1)] \
+        .reshape(cap, cand_ids.shape[1], 13)                  # [cap, 5, 13]
 
     px = (idx % w).astype(jnp.float32) + 0.5
     py = (idx // w).astype(jnp.float32) + 0.5
 
-    covs = cov_s.reshape(cov_s.shape[0], -1)[:, idx]          # [4, cap]
+    # per-plane flat gathers (an axis-1 batched gather is NOT the fast
+    # path; see rec13 note)
+    covs = jnp.stack([cov_s[s].reshape(-1)[idx]
+                      for s in range(cov_s.shape[0])])        # [4, cap]
     n_sec = jnp.zeros_like(px)
     sec_z = jnp.full_like(px, 2.0)
     sec_id = own
@@ -130,9 +137,14 @@ def resolve_secondary(records: jnp.ndarray, tri_id: jnp.ndarray,
         cover = ((b0 >= 0) & (b1 >= 0) & (b2 >= 0)
                  & (z >= 0) & (z <= 1) & valid_c)             # [cap, 5]
         key = jnp.where(cover, z, 2.0)
+        # min + where-chain select: take_along_axis on the minor axis is
+        # a lane-dimension gather, catastrophically slow on TPU (the
+        # documented ~100 ms/call pathology, ops/shadow.py:143)
         best = jnp.argmin(key, axis=1)
-        bz = jnp.take_along_axis(key, best[:, None], axis=1)[:, 0]
-        bid = jnp.take_along_axis(cand_ids, best[:, None], axis=1)[:, 0]
+        bz = jnp.min(key, axis=1)
+        bid = cand_ids[:, 0]
+        for j in range(1, cand_ids.shape[1]):
+            bid = jnp.where(best == j, cand_ids[:, j], bid)
         is_sec = (covs[s] > 0) & (bz < 2.0) & (bid != own)
         n_sec = n_sec + is_sec.astype(jnp.float32)
         take = is_sec & (bz < sec_z)

@@ -1050,7 +1050,10 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
         return sparse.gather_pixels(v, idx)[None]
 
     def gs(v):                                  # [C,H,W] -> [C,1,cap]
-        return v.reshape(v.shape[0], -1)[:, idx][:, None, :]
+        # per-plane flat gathers: axis-1 batched gathers miss the TPU
+        # fast path (see ops/msaa.resolve_secondary)
+        return jnp.stack([v[c].reshape(-1)[idx]
+                          for c in range(v.shape[0])])[:, None, :]
 
     env_illum = None
     if env is not None:
