@@ -25,16 +25,45 @@ import jax
 import jax.numpy as jnp
 
 
-def compact_indices(mask: jnp.ndarray, cap: int):
+def compact_indices(mask: jnp.ndarray, cap: int, block: int = 1):
     """mask [H, W] (or any shape) -> (idx [cap] int32 flat indices of True
     elements in raster order, count scalar clamped to cap, demand scalar =
     TRUE count before clamping). Slots past `count` hold index 0 (callers
     must mask results by lane < count). Overflow truncates; demand > cap
     detects saturation — surface it (ops get a `telemetry` dict) so the
     degraded-quality fallback is never silent (the loud-failure contract
-    raster binning has; a GPU never silently drops fragments)."""
+    raster binning has; a GPU never silently drops fragments).
+
+    block > 1 compacts raster-order BLOCKS of `block` elements whose mask
+    is anywhere-True instead of single elements. The compaction scatter —
+    the dominant cost, ~2 ms per 284k source elements (BASELINE.md cost
+    model; it is a full-N scatter even when few are True) — shrinks by
+    `block`x: ~14 ms -> ~2 ms at 1080p with block=8. The price: lanes of
+    a live block whose own mask is False occupy slots (callers mask per
+    lane by `lane < count & mask[idx]`), so effective capacity drops by
+    the block occupancy factor (~0.4-0.8 for spatially-coherent masks —
+    edges, grazing floors). count/demand stay in ELEMENT units
+    (block-count x block) so cap sizing and saturation telemetry keep
+    their meaning. cap must be a multiple of block."""
     flat = mask.reshape(-1)
     n = flat.shape[0]
+    if block > 1:
+        assert cap % block == 0, (cap, block)
+        if n % block:
+            flat = jnp.pad(flat, (0, block - n % block))
+        nb = flat.shape[0] // block
+        capb = cap // block
+        any_blk = flat.reshape(nb, block).any(axis=1)
+        posb = jnp.cumsum(any_blk.astype(jnp.int32)) - 1
+        demand = (posb[-1] + 1) * block
+        count = jnp.minimum(demand, cap)
+        destb = jnp.where(any_blk, posb, capb)
+        bidx = jnp.zeros((capb,), jnp.int32).at[destb].set(
+            jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        idx = (bidx[:, None] * block
+               + jnp.arange(block, dtype=jnp.int32)[None, :]).reshape(-1)
+        idx = jnp.minimum(idx, n - 1)       # padded tail lanes stay in range
+        return idx, count, demand
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1          # rank of each True
     demand = pos[-1] + 1
     count = jnp.minimum(demand, cap)

@@ -266,11 +266,16 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
         ao0 = 1.0 - jnp.clip(occlusion / num_taps * 2.0 * intensity, 0, 1)
         imp = importance_map(ao0)
         cap = -(-max(512, (h * w) // adaptive_frac) // 8) * 8
-        idx, count, demand = sparse.compact_indices(
-            imp > importance_threshold, cap)
+        # block=8: important pixels cluster along AO-contrast edges, and
+        # the block mode cuts the compaction scatter (the dominant cost)
+        # 8x; the per-lane importance re-test below keeps the refined
+        # pixel SET identical to element compaction (same output image)
+        important = imp > importance_threshold
+        idx, count, demand = sparse.compact_indices(important, cap, block=8)
         if telemetry is not None:
             telemetry["ssao_refine"] = demand.astype(jnp.float32) / cap
-        live = jnp.arange(cap) < count
+        live = (jnp.arange(cap) < count) & sparse.gather_pixels(
+            important, idx)
 
         def g(v):
             return sparse.gather_pixels(v, idx)

@@ -245,7 +245,9 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     if ray_weight is not None:
         active = active & (ray_weight > 1e-3)
     cap = -(-max(1024, (h * w) // ray_frac) // 8) * 8
-    idx, count, demand = sparse.compact_indices(active, cap)
+    # block=8: glossy-classified rays cluster on reflective surfaces, and
+    # block compaction cuts the compaction scatter cost 8x (see sparse.py)
+    idx, count, demand = sparse.compact_indices(active, cap, block=8)
     if telemetry is not None:
         telemetry["ssr_rays"] = demand.astype(jnp.float32) / cap
     live = (jnp.arange(cap) < count) & sparse.gather_pixels(active, idx)

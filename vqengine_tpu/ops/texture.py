@@ -350,7 +350,11 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
     lod, major, ratio = uv_mip_level_aniso(
         uv, tex_base_size(mips), tex_num_levels(mips) - 1,
         max_aniso=max_aniso)
-    if adaptive_frac is None:
+    # the adaptive machinery costs ~1 dense tap (compaction scatter +
+    # per-field gathers + result scatter); below 3 taps just walking the
+    # ellipse densely is cheaper (r4 ladder: adaptive aniso2 cost +93
+    # ms/frame where dense 2-tap measures ~29, tools/profile_texscale.py)
+    if adaptive_frac is None or num_taps <= 2:
         return _aniso_taps(mips, tex_id, uv, major, ratio, lod, num_taps,
                            jitter)
 
@@ -364,7 +368,10 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
     active = ratio > 1.3
     n = int(np.prod(ratio.shape))
     cap = -(-max(512, n // adaptive_frac) // 8) * 8
-    idx, count, demand = sparse.compact_indices(active, cap)
+    # block=8: high-anisotropy pixels are grazing-angle floors — long
+    # raster-order runs — so blocks stay near-full and the compaction
+    # scatter (the dominant cost at 1080p) shrinks 8x
+    idx, count, demand = sparse.compact_indices(active, cap, block=8)
     if telemetry is not None:
         # saturation fraction: > 1 means pixels past the cap kept the
         # aniso-clamped single tap (over-blurred, never aliased) — the
