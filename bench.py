@@ -192,6 +192,9 @@ def main() -> None:
                 enable_shadows=True, enable_ssao=True, enable_ssr=True,
                 msaa=True, textures=textures, aniso_taps=8,
                 slots_used=slots_used, enable_motion_vectors=True,
+                # the stress scene is static (camera-only motion): the
+                # engine's animation registry would report no moved items
+                dynamic_item_ids=(),
                 ssr_history=hist,
                 env=env, shadow_maps=shadow_maps)
             acc = acc + out["ldr"].sum() + out["depth"].sum()

@@ -123,10 +123,11 @@ def main() -> None:
         c, textures=textures, aniso_taps=8, slots_used=slots_used, **base))
     timed("+motion vectors", lambda c: fwd(
         c, textures=textures, aniso_taps=8, slots_used=slots_used,
-        enable_motion_vectors=True, **base))
+        enable_motion_vectors=True, dynamic_item_ids=(), **base))
     timed("BENCH (+hist carry)", lambda c, h: fwd_hist(
         c, h, textures=textures, aniso_taps=8, slots_used=slots_used,
-        enable_motion_vectors=True, **base), carry_hist=True)
+        enable_motion_vectors=True, dynamic_item_ids=(), **base),
+        carry_hist=True)
 
 
 if __name__ == "__main__":

