@@ -221,7 +221,11 @@ def main() -> None:
     sat_max = {k: round(float(np.asarray(v).max()), 3)
                for k, v in sat.items()}
     for k, v in sat_max.items():
-        assert v <= 1.0, f"adaptive cap saturated: {k} demand = {v}x cap"
+        # *_demand keys are informational (unbudgeted demand at the base
+        # threshold; the capacity-aware threshold pick keeps the actual
+        # compaction under cap — sparse.adaptive_threshold)
+        if not k.endswith("_demand"):
+            assert v <= 1.0, f"adaptive cap saturated: {k} demand = {v}x cap"
     _ = np.asarray(nop(jnp.zeros(4)))
 
     t0 = time.perf_counter()

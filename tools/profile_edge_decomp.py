@@ -103,7 +103,7 @@ def main() -> None:
 
     # the edge path's calls are distinguishable by shape: [1, CAP] leading
     # dims vs the dense pass's [H, W]
-    cap = -(-max(4096, (width * height) // 32) // 8) * 8
+    cap = -(-max(4096, (width * height) // 16) // 8) * 8
 
     def is_edge_shape(x):
         return x.ndim >= 2 and x.shape[0] == 1 and x.shape[1] == cap

@@ -102,7 +102,7 @@ def main() -> None:
             return cs
         object_id = attrs["ids"][..., 0].astype(jnp.int32)
         records = attrs["records"]
-        cap = -(-max(4096, (width * height) // 32) // 8) * 8
+        cap = -(-max(4096, (width * height) // 16) // 8) * 8
         idx, live, sec_id, n_sec, px, py = msaa_ops.resolve_secondary(
             records, tri_id, depth, object_id, mask, cov_s, cap)
         if stage == "detect":

@@ -408,7 +408,9 @@ def _bin_one_axis(nc: jnp.ndarray, tri_cols: jnp.ndarray,
     lo_bits = bits // 2
     hi_bits = bits - lo_bits
     packed = (bin_p.astype(jnp.uint32) << 20) | t_safe.astype(jnp.uint32)
-    assert t < (1 << 20), f"too many triangles ({t}) for the packed payload"
+    # ids range [0, t-1], so exactly 2^20 triangles still fit the 20-bit
+    # field (StressTest's pow-2-padded buffer lands precisely there)
+    assert t <= (1 << 20), f"too many triangles ({t}) for the packed payload"
     packed = _radix_rank_pass(
         (bin_p & ((1 << lo_bits) - 1)).astype(jnp.int32), packed,
         1 << lo_bits)

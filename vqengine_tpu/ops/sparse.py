@@ -49,11 +49,21 @@ def compact_indices(mask: jnp.ndarray, cap: int, block: int = 1):
     n = flat.shape[0]
     if block > 1:
         assert cap % block == 0, (cap, block)
-        if n % block:
-            flat = jnp.pad(flat, (0, block - n % block))
-        nb = flat.shape[0] // block
         capb = cap // block
-        any_blk = flat.reshape(nb, block).any(axis=1)
+        if mask.ndim == 2 and mask.shape[1] % block == 0:
+            # 2-D path: [H, W/B, B] minor-axis reduce — the same shape
+            # class as pool2's measured-free reshape+reduce. Reshaping
+            # the 1-D flat mask to [N/B, B] instead RELAYOUTS (lanes ->
+            # sublanes): measured +15.6 ms/frame on the bench anchor.
+            h, w = mask.shape
+            any_blk = mask.reshape(h, w // block, block).any(axis=2) \
+                .reshape(-1)
+            nb = any_blk.shape[0]
+        else:
+            if n % block:
+                flat = jnp.pad(flat, (0, block - n % block))
+            nb = flat.shape[0] // block
+            any_blk = flat.reshape(nb, block).any(axis=1)
         posb = jnp.cumsum(any_blk.astype(jnp.int32)) - 1
         demand = (posb[-1] + 1) * block
         count = jnp.minimum(demand, cap)
@@ -71,6 +81,43 @@ def compact_indices(mask: jnp.ndarray, cap: int, block: int = 1):
     idx = jnp.zeros((cap,), jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop")
     return idx, count, demand
+
+
+def block_count(mask: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Number of anywhere-True raster-order blocks of `block` elements —
+    the demand compact_indices(…, block=block) sees. Uses the 2-D
+    minor-axis reduce (free) when the shape allows."""
+    if block == 1:
+        return mask.sum(dtype=jnp.int32)
+    if mask.ndim == 2 and mask.shape[1] % block == 0:
+        h, w = mask.shape
+        return mask.reshape(h, w // block, block).any(axis=2) \
+            .sum(dtype=jnp.int32)
+    flat = mask.reshape(-1)
+    if flat.shape[0] % block:
+        flat = jnp.pad(flat, (0, block - flat.shape[0] % block))
+    return flat.reshape(-1, block).any(axis=1).sum(dtype=jnp.int32)
+
+
+def adaptive_threshold(score: jnp.ndarray, thresholds, cap: int,
+                       block: int = 1):
+    """Pick the LOWEST threshold in the static ascending ladder whose
+    active set (score > t) fits the compaction capacity, counted in
+    `block` units — so a capacity-bound refinement pass spends its budget
+    on the WORST pixels instead of truncating in raster order (a GPU's
+    per-pixel divergent loop has no capacity; this is the TPU-native
+    equivalent of its graceful degradation). Returns (thr scalar,
+    demand_blocks at thr). If even the top threshold overflows, the top
+    one is returned and compact_indices truncates (loud via telemetry)."""
+    capb = cap // block
+    thr = jnp.float32(thresholds[-1])
+    demand = block_count(score > thresholds[-1], block)
+    for t in reversed(thresholds[:-1]):
+        c = block_count(score > t, block)
+        fits = c <= capb
+        thr = jnp.where(fits, jnp.float32(t), thr)
+        demand = jnp.where(fits, c, demand)
+    return thr, demand
 
 
 def gather_pixels(img: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -266,14 +266,23 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
         ao0 = 1.0 - jnp.clip(occlusion / num_taps * 2.0 * intensity, 0, 1)
         imp = importance_map(ao0)
         cap = -(-max(512, (h * w) // adaptive_frac) // 8) * 8
+        # capacity-aware importance threshold (ffx_cacao's importance
+        # ranking): the refinement budget goes to the HIGHEST-contrast
+        # pixels instead of truncating in raster order when a frame has
+        # more important pixels than capacity
+        thrs = tuple(importance_threshold * f
+                     for f in (1.0, 1.5, 2.2, 3.2, 4.7, 7.0, 10.0, 15.0))
+        thr, _db = sparse.adaptive_threshold(imp, thrs, cap, block=8)
         # block=8: important pixels cluster along AO-contrast edges, and
         # the block mode cuts the compaction scatter (the dominant cost)
         # 8x; the per-lane importance re-test below keeps the refined
         # pixel SET identical to element compaction (same output image)
-        important = imp > importance_threshold
+        important = imp > thr
         idx, count, demand = sparse.compact_indices(important, cap, block=8)
         if telemetry is not None:
             telemetry["ssao_refine"] = demand.astype(jnp.float32) / cap
+            telemetry["ssao_refine_demand"] = sparse.block_count(
+                imp > importance_threshold, 8).astype(jnp.float32) * 8 / cap
         live = (jnp.arange(cap) < count) & sparse.gather_pixels(
             important, idx)
 

@@ -365,18 +365,28 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
     lod1 = jnp.clip(lod + jnp.log2(jnp.maximum(ratio, 1.0)), 0.0, max_lod)
     base = sample_texture_array(mips, tex_id, uv, lod=lod1, jitter=jitter)
 
-    active = ratio > 1.3
     n = int(np.prod(ratio.shape))
     cap = -(-max(512, n // adaptive_frac) // 8) * 8
+    # capacity-aware activation threshold: the walk budget goes to the
+    # MOST anisotropic pixels (stress frames can have >2x cap of pixels
+    # past the base 1.3 ratio — raster-order truncation would walk the
+    # top of the frame and clamp the bottom). Pixels below the chosen
+    # threshold keep the aniso-clamped single tap: over-blurred, never
+    # aliased, worst-first budget spend.
+    ANISO_THRS = (1.3, 1.6, 2.0, 2.6, 3.4, 4.4, 5.6, 7.0)
+    thr, _db = sparse.adaptive_threshold(ratio, ANISO_THRS, cap, block=8)
+    active = ratio > thr
     # block=8: high-anisotropy pixels are grazing-angle floors — long
     # raster-order runs — so blocks stay near-full and the compaction
     # scatter (the dominant cost at 1080p) shrinks 8x
     idx, count, demand = sparse.compact_indices(active, cap, block=8)
     if telemetry is not None:
-        # saturation fraction: > 1 means pixels past the cap kept the
-        # aniso-clamped single tap (over-blurred, never aliased) — the
-        # degraded-quality contract must be LOUD (engine.run surfaces it)
+        # chosen-threshold saturation (<= 1 unless even the top threshold
+        # overflows — then LOUD); *_demand = the unbudgeted base-threshold
+        # demand, informational (engine telemetry, not asserted)
         telemetry["tex_aniso"] = demand.astype(jnp.float32) / cap
+        telemetry["tex_aniso_demand"] = sparse.block_count(
+            ratio > ANISO_THRS[0], 8).astype(jnp.float32) * 8 / cap
     live = (jnp.arange(cap) < count) & active.reshape(-1)[idx]
 
     def g(v):

@@ -243,6 +243,19 @@ def pool2(x: jnp.ndarray, reduce: str = "mean") -> jnp.ndarray:
     return x4.mean(axis=(1, 3))
 
 
+def up2_fit(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """2x nearest upsample of [Hq, Wq, ...] fitted to exactly (h, w):
+    odd targets (e.g. a 45-row half-res slab from a 90-row frame) get an
+    edge-replicated last row/column instead of a silent short slice that
+    breaks downstream broadcasting."""
+    y = jnp.repeat(jnp.repeat(x, 2, 0), 2, 1)[:h, :w]
+    ph, pw = h - y.shape[0], w - y.shape[1]
+    if ph > 0 or pw > 0:
+        y = jnp.pad(y, ((0, ph), (0, pw)) + ((0, 0),) * (y.ndim - 2),
+                    mode="edge")
+    return y
+
+
 def world_pos_from_depth(depth: jnp.ndarray, consts: FrameConstants,
                          width: int, height: int,
                          full_height: int | None = None,
@@ -667,7 +680,15 @@ def shadow_pass(scene: DeviceScene, consts: FrameConstants,
             return v
         for _ in range(times):
             v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
-        return v[..., : full_hw[0], : full_hw[1]]
+        v = v[..., : full_hw[0], : full_hw[1]]
+        # odd frame heights (pool2 floors): edge-replicate the short rows
+        # instead of returning a slab that breaks broadcasting downstream
+        ph = full_hw[0] - v.shape[-2]
+        pw = full_hw[1] - v.shape[-1]
+        if ph > 0 or pw > 0:
+            v = jnp.pad(v, ((0, 0),) * (v.ndim - 2) + ((0, ph), (0, pw)),
+                        mode="edge")
+        return v
 
     spot_vis = None
     if sc:
@@ -1049,7 +1070,11 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
 
     if full_height is None:
         full_height = height
-    cap = -(-max(4096, (width * height) // 32) // 8) * 8
+    # 1/16 of the frame in 8-lane blocks: block compaction holds ~half-
+    # full blocks along silhouettes (measured demand 1.61x the old 1/32
+    # element cap on the stress frame), and the per-sample work downstream
+    # is cheap (+8.7 ms total at 1080p)
+    cap = -(-max(4096, (width * height) // 16) // 8) * 8
     object_id = attrs["ids"][..., 0].astype(jnp.int32)
     records = attrs["records"]
     det = halo if halo is not None else (tri_id, depth, object_id, mask)
@@ -1335,8 +1360,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             consts.view_matrix, consts.proj_params,
             ray_weight=wq, ray_frac=2, telemetry=tel)
         hh, hw = pool2(depth).shape[:2]
-        refl_h = jnp.repeat(jnp.repeat(refl_q, 2, 0), 2, 1)[:hh, :hw]
-        conf_h = jnp.repeat(jnp.repeat(conf_q, 2, 0), 2, 1)[:hh, :hw]
+        refl_h = up2_fit(refl_q, hh, hw)
+        conf_h = up2_fit(conf_q, hh, hw)
         # denoise + temporal history at half resolution: the history
         # reprojection gather from a full-res [H,W,3] table runs on the
         # slow large-table gather path; half-res history stays small
@@ -1344,8 +1369,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
             refl_h, conf_h, pool2(mat["roughness"]), history=ssr_history,
             motion=None if motion is None else pool2(motion),
             depth=pool2(depth))
-        refl_dn = jnp.repeat(jnp.repeat(refl_dn_h, 2, 0), 2, 1)[:height, :width]
-        conf = jnp.repeat(jnp.repeat(conf_h, 2, 0), 2, 1)[:height, :width]
+        refl_dn = up2_fit(refl_dn_h, height, width)
+        conf = up2_fit(conf_h, height, width)
         v = consts.camera_pos - attrs["wpos"]
         v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
         hdr_refl = ssr_ops.apply_reflections(
