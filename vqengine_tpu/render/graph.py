@@ -520,9 +520,14 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
             # other slots stay trilinear. Adaptive: the multi-tap ellipse
             # walk runs only on compacted high-anisotropy pixels, so the
             # dense cost is ~1 tap regardless of aniso_taps.
+            # adaptive_frac=16: the ellipse-walk cost is proportional to
+            # the CAP, not the demand (r4b: frac4 +77 ms, frac8 +40,
+            # frac16 +19 at 1080p), and the capacity-aware threshold
+            # (sparse.adaptive_threshold) spends the 1/16-frame budget on
+            # the most anisotropic pixels first
             diffuse_s = tex_ops.sample_texture_array_aniso(
                 textures, slot_id(0), uv_t, num_taps=aniso_taps,
-                jitter=mip_jitter, adaptive_frac=4, telemetry=telemetry)
+                jitter=mip_jitter, adaptive_frac=16, telemetry=telemetry)
         else:
             diffuse_s = sample(0)
         out["albedo"] = jnp.where(
