@@ -272,17 +272,17 @@ def ssao(depth: jnp.ndarray, normals: jnp.ndarray, view_proj_info: dict,
         # more important pixels than capacity
         thrs = tuple(importance_threshold * f
                      for f in (1.0, 1.5, 2.2, 3.2, 4.7, 7.0, 10.0, 15.0))
-        thr, _db = sparse.adaptive_threshold(imp, thrs, cap, block=8)
-        # block=8: important pixels cluster along AO-contrast edges, and
-        # the block mode cuts the compaction scatter (the dominant cost)
-        # 8x; the per-lane importance re-test below keeps the refined
-        # pixel SET identical to element compaction (same output image)
+        thr, _db = sparse.adaptive_threshold(imp, thrs, cap)
+        # element compaction: at the half-res source (518k) the full-N
+        # scatter costs ~3.6 ms and block mode measured a NET +8/site on
+        # the anchor (r4b A/B: 157.2 vs 141.6 for ssao+ssr) — block=8
+        # only pays at 2M-element sources (msaa detect, tex aniso)
         important = imp > thr
-        idx, count, demand = sparse.compact_indices(important, cap, block=8)
+        idx, count, demand = sparse.compact_indices(important, cap)
         if telemetry is not None:
             telemetry["ssao_refine"] = demand.astype(jnp.float32) / cap
             telemetry["ssao_refine_demand"] = sparse.block_count(
-                imp > importance_threshold, 8).astype(jnp.float32) * 8 / cap
+                imp > importance_threshold, 1).astype(jnp.float32) / cap
         live = (jnp.arange(cap) < count) & sparse.gather_pixels(
             important, idx)
 

@@ -245,9 +245,10 @@ def trace_reflections(scene_color: jnp.ndarray, depth: jnp.ndarray,
     if ray_weight is not None:
         active = active & (ray_weight > 1e-3)
     cap = -(-max(1024, (h * w) // ray_frac) // 8) * 8
-    # block=8: glossy-classified rays cluster on reflective surfaces, and
-    # block compaction cuts the compaction scatter cost 8x (see sparse.py)
-    idx, count, demand = sparse.compact_indices(active, cap, block=8)
+    # element compaction: the quarter-res source's full-N scatter is
+    # ~1 ms, and block mode measured a net LOSS on the anchor (r4b A/B;
+    # block=8 only pays at 2M-element sources)
+    idx, count, demand = sparse.compact_indices(active, cap)
     if telemetry is not None:
         telemetry["ssr_rays"] = demand.astype(jnp.float32) / cap
     live = (jnp.arange(cap) < count) & sparse.gather_pixels(active, idx)
