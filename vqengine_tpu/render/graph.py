@@ -1061,7 +1061,8 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
     candidate records (ops/msaa.py), the secondary surface's attributes
     interpolate from its packed record (raster.interp_record_attrs), and
     it shades through the SAME material/IBL/direct path as the primary on
-    a compacted [1, CAP] pixel list. Screen-space terms (SSAO, shadow
+    a compacted [CAP/512, 512] pixel grid (full (8,128) VPU tiles — a
+    [1, CAP] layout runs sublane-starved). Screen-space terms (SSAO, shadow
     visibility) reuse the pixel's primary values — the two surfaces are
     sub-pixel apart. Returns (w_sec [H,W] secondary sample weight,
     sec_rgb [H,W,3] pre-weighted secondary color).
@@ -1075,11 +1076,18 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
 
     if full_height is None:
         full_height = height
-    # 1/16 of the frame in 8-lane blocks: block compaction holds ~half-
-    # full blocks along silhouettes (measured demand 1.61x the old 1/32
-    # element cap on the stress frame), and the per-sample work downstream
-    # is cheap (+8.7 ms total at 1080p)
-    cap = -(-max(4096, (width * height) // 16) // 8) * 8
+    # 1/16 of the frame, rounded to a multiple of 4096 so the compacted
+    # list reshapes to [cap/512, 512] — full (8,128) VPU tiles for the
+    # secondary shade (a [1, cap] layout runs sublane-starved). Block
+    # compaction (8-lane blocks) holds ~half-full blocks along
+    # silhouettes (measured demand 1.61x the old 1/32 element cap).
+    cap = -(-max(4096, (width * height) // 16) // 4096) * 4096
+    c2 = 512
+    r2n = cap // c2
+
+    def r2(v):                                  # [cap(,k)] -> [R2, 512(,k)]
+        return v.reshape((r2n, c2) + v.shape[1:])
+
     object_id = attrs["ids"][..., 0].astype(jnp.int32)
     records = attrs["records"]
     det = halo if halo is not None else (tri_id, depth, object_id, mask)
@@ -1099,46 +1107,47 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
 
     wn = a["wnrm"]
     wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-9)
-    mrow = palette.palette_lookup(a["mat_id"][None], scene.materials)
-    ids = jnp.stack([a["object_id"].astype(jnp.float32),
-                     a["item_id"].astype(jnp.float32)], axis=-1)[None]
-    mj = sparse.gather_pixels(mip_jit, idx)[None] if mip_jit is not None \
+    mrow = palette.palette_lookup(r2(a["mat_id"]), scene.materials)
+    ids = r2(jnp.stack([a["object_id"].astype(jnp.float32),
+                        a["item_id"].astype(jnp.float32)], axis=-1))
+    mj = r2(sparse.gather_pixels(mip_jit, idx)) if mip_jit is not None \
         else None
     # no telemetry into this material_pass: its aniso compaction runs on
-    # the already-capped [1, cap] edge list, which cannot saturate harder
-    # than the edge compaction itself (reported as msaa_edges)
-    mat = material_pass(scene, sec_id[None], uv=a["uv"][None],
-                        wnrm=wn[None], wtan=a["wtan"][None],
+    # the already-capped edge list, which cannot saturate harder than the
+    # edge compaction itself (reported as msaa_edges)
+    mat = material_pass(scene, r2(sec_id), uv=r2(a["uv"]),
+                        wnrm=r2(wn), wtan=r2(a["wtan"]),
                         textures=textures, mrow=mrow, ids=ids,
                         aniso_taps=aniso_taps, slots_used=slots_used,
                         mip_jitter=mj)
-    n = mat["normal"] if mat.get("normal") is not None else wn[None]
+    n = mat["normal"] if mat.get("normal") is not None else r2(wn)
 
-    def g(v):                                   # [H,W] -> [1, cap]
-        return sparse.gather_pixels(v, idx)[None]
+    def g(v):                                   # [H,W] -> [R2, 512]
+        return r2(sparse.gather_pixels(v, idx))
 
-    def gs(v):                                  # [C,H,W] -> [C,1,cap]
+    def gs(v):                                  # [C,H,W] -> [C,R2,512]
         # per-plane flat gathers: axis-1 batched gathers miss the TPU
         # fast path (see ops/msaa.resolve_secondary)
-        return jnp.stack([v[c].reshape(-1)[idx]
-                          for c in range(v.shape[0])])[:, None, :]
+        return jnp.stack([r2(v[c].reshape(-1)[idx])
+                          for c in range(v.shape[0])])
 
     env_illum = None
     if env is not None:
         v = consts.camera_pos - wpos
         v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
         env_illum = ibl.environment_illumination(
-            n, v[None], mat["roughness"], mat["metalness"], mat["albedo"],
+            n, r2(v), mat["roughness"], mat["metalness"], mat["albedo"],
             env.diffuse_cube, list(env.specular_mips), env.brdf_lut,
             hdri_yaw=consts.hdri_yaw, sh_irradiance=env.sh_irradiance,
             brdf_poly=env.brdf_poly)
 
-    ao = jnp.broadcast_to(consts.ambient_factor, (1, cap)) * mat["local_ao"]
+    ao = jnp.broadcast_to(consts.ambient_factor, (r2n, c2)) \
+        * mat["local_ao"]
     if ao_map is not None:
         ao = ao * g(ao_map)
 
     hdr_c = shading.shade_forward(
-        world_pos=wpos[None], normal=n,
+        world_pos=r2(wpos), normal=n,
         albedo=mat["albedo"], roughness=mat["roughness"],
         metalness=mat["metalness"], emissive=mat["emissive"], ao=ao,
         camera_pos=consts.camera_pos,
@@ -1157,7 +1166,7 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
     )
 
     w = jnp.where(live, n_sec * 0.25, 0.0)                  # [cap]
-    sec_rgb = hdr_c[0] * w[:, None]
+    sec_rgb = hdr_c.reshape(cap, 3) * w[:, None]
     w_img = sparse.scatter_pixels(
         jnp.zeros((height, width), jnp.float32), idx, w, live)
     rgb_img = sparse.scatter_pixels(
