@@ -57,13 +57,16 @@ def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 NEIGHBOR_OFFSETS = ((0, 1), (0, -1), (1, 0), (-1, 0))
 
 
-def detect_edges(tri_id: jnp.ndarray, depth: jnp.ndarray,
-                 object_id: jnp.ndarray, mask: jnp.ndarray,
-                 z_tol: float = EDGE_Z_TOL) -> jnp.ndarray:
-    """[H,W] bool: pixels whose 4 MSAA samples may split between two
-    DISTINCT surfaces. True where a 4-neighbor's winner is a different
-    triangle of a different object, or across a depth discontinuity."""
-    live = jnp.zeros(tri_id.shape, bool)
+def detect_edge_score(tri_id: jnp.ndarray, depth: jnp.ndarray,
+                      object_id: jnp.ndarray, mask: jnp.ndarray,
+                      z_tol: float = EDGE_Z_TOL) -> jnp.ndarray:
+    """[H,W] float in {0..4}: how many of a pixel's 4 neighbors hold a
+    DISTINCT surface (different triangle of a different object, or across
+    a depth discontinuity). 0 = not an edge pixel. The count is the
+    capacity-ladder score for the edge resolve: pixels where more samples
+    can split (interpenetrations, 2-sided silhouettes) outrank single-
+    neighbor silhouette fringes when the compaction budget is short."""
+    score = jnp.zeros(tri_id.shape, jnp.float32)
     for dy, dx in NEIGHBOR_OFFSETS:
         nb_id = _shift(tri_id, dy, dx)
         nb_obj = _shift(object_id, dy, dx)
@@ -71,8 +74,27 @@ def detect_edges(tri_id: jnp.ndarray, depth: jnp.ndarray,
         nb_mask = _shift(mask, dy, dx)
         differs = (nb_id != tri_id) & nb_mask & (
             (nb_obj != object_id) | (jnp.abs(nb_z - depth) > z_tol))
-        live = live | differs
-    return live & mask
+        score = score + differs.astype(jnp.float32)
+    return jnp.where(mask, score, 0.0)
+
+
+def detect_edges(tri_id: jnp.ndarray, depth: jnp.ndarray,
+                 object_id: jnp.ndarray, mask: jnp.ndarray,
+                 z_tol: float = EDGE_Z_TOL) -> jnp.ndarray:
+    """[H,W] bool: pixels whose 4 MSAA samples may split between two
+    DISTINCT surfaces (any neighbor distinct — see detect_edge_score)."""
+    return detect_edge_score(tri_id, depth, object_id, mask, z_tol) > 0.5
+
+
+# capacity ladder for the edge compaction: rung k keeps pixels with MORE
+# than k distinct neighbors; the top rung (4.0) is all-False (score <= 4
+# by construction) — a guaranteed-satisfiable "resolve nothing" floor
+# where every pixel keeps the min-depth winner at full weight (exactly
+# the msaa_edge_resolve=False look). Without it a frame with more edge
+# blocks than cap MUST truncate in raster order (the failure class
+# tests/test_capacity.py reproduces at quarter res, where silhouette
+# length/area grows vs 1080p).
+EDGE_THRS = (0.5, 1.5, 2.5, 3.5, 4.0)
 
 
 def resolve_secondary(records: jnp.ndarray, tri_id: jnp.ndarray,
@@ -101,13 +123,23 @@ def resolve_secondary(records: jnp.ndarray, tri_id: jnp.ndarray,
         return img[pad:img.shape[0] - pad] if pad else img
 
     h, w = interior(tri_id).shape
-    edge = interior(detect_edges(tri_id, depth, object_id, mask))
+    score = interior(detect_edge_score(tri_id, depth, object_id, mask))
+    # capacity-aware activation (EDGE_THRS): the resolve budget goes to
+    # the pixels with the most distinct neighbors; past-capacity frames
+    # degrade to winner-takes-all on the weakest edges instead of
+    # truncating in raster order
+    thr, _db = sparse.adaptive_threshold(score, EDGE_THRS, cap, block=8)
+    edge = score > thr
     # block=8: edge pixels run along silhouettes, so 8-lane raster blocks
     # stay ~half full while the compaction scatter (the pass's dominant
     # cost, ~14 ms at 1080p dense) shrinks 8x
     idx, count, demand = sparse.compact_indices(edge, cap, block=8)
     if telemetry is not None:
+        # chosen-rung saturation (<= 1 by the all-False top rung) +
+        # informational base-rung demand (engine telemetry, not asserted)
         telemetry["msaa_edges"] = demand.astype(jnp.float32) / cap
+        telemetry["msaa_edges_demand"] = sparse.block_count(
+            score > EDGE_THRS[0], 8).astype(jnp.float32) * 8 / cap
     live = sparse.gather_pixels(edge, idx) & (jnp.arange(cap) < count)
 
     own = sparse.gather_pixels(interior(tri_id), idx)         # [cap]

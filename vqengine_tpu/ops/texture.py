@@ -373,7 +373,15 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
     # top of the frame and clamp the bottom). Pixels below the chosen
     # threshold keep the aniso-clamped single tap: over-blurred, never
     # aliased, worst-first budget spend.
-    ANISO_THRS = (1.3, 1.6, 2.0, 2.6, 3.4, 4.4, 5.6, 7.0)
+    # top rung = max_aniso: ratio is CLAMPED to max_aniso
+    # (uv_mip_level_aniso), so `ratio > max_aniso` is all-False — a
+    # "walk nothing" rung that always fits. Without it, pixels in
+    # (7.0, max_aniso] are active at every rung and a frame with more
+    # of them than cap MUST truncate (the BENCH_r04 saturation death:
+    # demand 1.018x cap with no satisfiable threshold to retreat to).
+    # Shedding the whole walk on such frames is the graceful floor:
+    # every pixel keeps the aniso-clamped single tap.
+    ANISO_THRS = (1.3, 1.6, 2.0, 2.6, 3.4, 4.4, 5.6, 7.0, float(max_aniso))
     thr, _db = sparse.adaptive_threshold(ratio, ANISO_THRS, cap, block=8)
     active = ratio > thr
     # block=8: high-anisotropy pixels are grazing-angle floors — long

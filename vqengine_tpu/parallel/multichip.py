@@ -93,7 +93,7 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
                  enable_ssr: bool = False,
                  ssao_halo: int = 16,
                  aniso_taps: int = 0,
-                 msaa_edge_resolve: bool = True,
+                 msaa_edge_resolve: "bool | str" = True,
                  enable_motion_vectors: bool = False,
                  ssr_history: jnp.ndarray | None = None,
                  scene_transparent: graph.DeviceScene | None = None,
@@ -222,16 +222,28 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
         nh_p = _halo_exchange(nh, pad)
         info = {"near": consts.proj_params[0], "far": consts.proj_params[1],
                 "fov_y": consts.proj_params[2], "view": consts.view_matrix}
-        kw = {}
-        if ssao_quality != "low":
+        if ssao_quality in ("lowest", "low"):
+            # quarter-res generation with the preset tap budget — the
+            # same routing as render_forward's two bottom presets
+            # (single-chip parity; r4 ADVICE: 'low' was silently running
+            # half-res/12-tap here)
+            taps = ssao_ops.PRESETS[ssao_quality][0]
+            qpad = pad // 2
+            ao_q = ssao_ops.ssao(graph.pool2(dh_p), graph.pool2(nh_p),
+                                 info, y_offset=y0 // 4 - qpad,
+                                 full_height=height // 4, num_taps=taps)
+            ao_q = ao_q[qpad:qpad + dh.shape[0] // 2]
+            ao_half = ssao_ops.upsample_bilateral(ao_q, graph.pool2(dh),
+                                                  dh)
+        else:
             taps, extra_t, deint = ssao_ops.PRESETS.get(
                 ssao_quality, ssao_ops.PRESETS["medium"])
-            kw = dict(num_taps=taps, adaptive_taps=extra_t,
-                      deinterleave=deint)
-        ao_half = ssao_ops.ssao(dh_p, nh_p, info,
-                                y_offset=y0 // 2 - pad,
-                                full_height=height // 2, **kw)
-        ao_half = ao_half[pad:pad + dh.shape[0]]
+            ao_half = ssao_ops.ssao(dh_p, nh_p, info,
+                                    y_offset=y0 // 2 - pad,
+                                    full_height=height // 2,
+                                    num_taps=taps, adaptive_taps=extra_t,
+                                    deinterleave=deint)
+            ao_half = ao_half[pad:pad + dh.shape[0]]
         ao_map = ssao_ops.upsample_bilateral(ao_half, dh, depth)[
             :band_height, :width]
         ao = ao * ao_map
@@ -293,12 +305,20 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
             halo = (_halo_exchange(tri_id, 1), _halo_exchange(depth, 1),
                     _halo_exchange(object_id, 1), _halo_exchange(mask, 1))
             attrs_e = {"ids": ids, "records": records, "wpos": wpos}
-            w_sec, sec_rgb = graph._msaa_edge_secondary(
-                scene, consts, env, textures, attrs_e, tri_id, depth,
-                mask, coverage, ao_map, mip_jit, spot_vis, point_vis,
-                dir_vis, width, band_height, aniso_taps, slots_used,
-                enable_shadows, halo=halo, full_height=height,
-                y_offset=y0)
+            if msaa_edge_resolve == "shade":
+                w_sec, sec_rgb = graph._msaa_edge_secondary(
+                    scene, consts, env, textures, attrs_e, tri_id, depth,
+                    mask, coverage, ao_map, mip_jit, spot_vis, point_vis,
+                    dir_vis, width, band_height, aniso_taps, slots_used,
+                    enable_shadows, halo=halo, full_height=height,
+                    y_offset=y0)
+            else:
+                # neighbor mode: the secondary color can live in the
+                # adjacent band's seam row — exchange 1 row of shaded hdr
+                w_sec, sec_rgb = graph._msaa_edge_neighbor(
+                    attrs_e, tri_id, depth, mask, coverage, hdr,
+                    width, band_height, halo=halo,
+                    hdr_halo=_halo_exchange(hdr, 1))
             w_pri = jnp.maximum(covm - w_sec, 0.0)
             hdr = (hdr * w_pri[..., None] + sec_rgb
                    + background * (1.0 - covm)[..., None])
@@ -311,7 +331,13 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
 
     motion = None
     if enable_motion_vectors:
+        # post-peel per-pixel item ids from the material pass: correct for
+        # tessellation-amplified triangles (whose tri ids index past
+        # tri_item) and avoids re-paying the per-pixel tri_item gather —
+        # mirrors render_forward
         motion = graph.motion_vectors(scene, consts, wpos, tri_id, mask,
+                                      item_id=mat["item_id"].astype(
+                                          jnp.int32),
                                       dynamic_item_ids=dynamic_item_ids)
 
     new_hist = None
@@ -378,7 +404,7 @@ def render_forward_sharded(mesh: Mesh, scene: graph.DeviceScene,
                            enable_ssr: bool = False,
                            ssao_halo: int = 16,
                            aniso_taps: int = 0,
-                           msaa_edge_resolve: bool = True,
+                           msaa_edge_resolve: "bool | str" = True,
                            enable_motion_vectors: bool = False,
                            ssr_history: jnp.ndarray | None = None,
                            scene_transparent: graph.DeviceScene | None = None,

@@ -1039,6 +1039,62 @@ def motion_vectors(scene: DeviceScene, consts: FrameConstants,
     return jnp.where(mask[..., None], motion, 0.0)
 
 
+def _msaa_edge_neighbor(attrs: dict, tri_id: jnp.ndarray,
+                        depth: jnp.ndarray, mask: jnp.ndarray,
+                        cov_s: jnp.ndarray, hdr: jnp.ndarray,
+                        width: int, height: int,
+                        halo: tuple | None = None,
+                        hdr_halo: "jnp.ndarray | None" = None,
+                        telemetry: dict | None = None):
+    """Neighbor-color MSAA edge resolve — the cheap mode of the
+    per-sample resolve (ResolveMSAA, SceneRendering.cpp:2060).
+
+    Per-sample visibility stays EXACT (resolve_secondary re-tests the 4
+    D3D sample positions against the candidate records), but the
+    secondary surface's color comes from the 4-neighbor pixel whose
+    primary winner IS that surface — already shaded by the dense pass one
+    pixel away — instead of a sparse material/IBL/shade replay. The
+    approximation is sub-pixel: the reference's per-sample shading also
+    evaluates the secondary surface at sample positions ~1px apart.
+
+    Cost: compaction + record re-test + 2 cap-scatters + a dense
+    4-neighbor select; the entire sparse secondary shade (the +34..47
+    ms/frame item in BASELINE.md r4) is gone.
+
+    halo/hdr_halo: 1-row-padded tri_id/depth/object_id/mask and hdr slabs
+    (multichip band seams); outputs stay interior [H, W]."""
+    from ..ops import msaa as msaa_ops
+    from ..ops import sparse
+
+    cap = -(-max(4096, (width * height) // 16) // 4096) * 4096
+    object_id = attrs["ids"][..., 0].astype(jnp.int32)
+    det = halo if halo is not None else (tri_id, depth, object_id, mask)
+    idx, live, sec_id, n_sec, _px, _py = msaa_ops.resolve_secondary(
+        attrs["records"], det[0], det[1], det[2], det[3], cov_s, cap,
+        pad=1 if halo is not None else 0, telemetry=telemetry)
+    sec_img = sparse.scatter_pixels(
+        jnp.full((height, width), -1, jnp.int32), idx, sec_id, live)
+    w_img = sparse.scatter_pixels(
+        jnp.zeros((height, width), jnp.float32), idx, n_sec * 0.25, live)
+    tid_p = det[0]
+    hdr_p = hdr if hdr_halo is None else hdr_halo
+    found = jnp.zeros((height, width), bool)
+    sec_rgb = jnp.zeros((height, width, 3), hdr.dtype)
+    for dy, dx in msaa_ops.NEIGHBOR_OFFSETS:
+        nb_id = msaa_ops._shift(tid_p, dy, dx)
+        nb_hdr = msaa_ops._shift(hdr_p, dy, dx)
+        if halo is not None:
+            nb_id = nb_id[1:-1]
+            nb_hdr = nb_hdr[1:-1]
+        match = (~found) & (nb_id == sec_img)
+        sec_rgb = jnp.where(match[..., None], nb_hdr, sec_rgb)
+        found = found | match
+    # sec_img == -1 never matches (tri ids >= 0; background BG_ID < 0
+    # pixels scatter no secondary); unfound secondaries keep the primary
+    w_img = jnp.where(found, w_img, 0.0)
+    return w_img, sec_rgb * w_img[..., None]
+
+
 def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
                          env, textures, attrs: dict,
                          tri_id: jnp.ndarray, depth: jnp.ndarray,
@@ -1199,7 +1255,7 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    aniso_taps: int = 0,
                    slots_used: tuple | None = None,
                    ssao_quality: str = "medium",
-                   msaa_edge_resolve: bool = True,
+                   msaa_edge_resolve: "bool | str" = True,
                    dynamic_item_ids: tuple | None = None):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> transparents -> tonemap. Returns a dict with
@@ -1278,10 +1334,13 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
 
     motion = None
     if enable_motion_vectors:
-        ids = attrs.get("ids")
+        # post-peel item ids: _alpha_mask_peel merges mat2["item_id"], so
+        # pixels re-resolved past a discarded cutout carry the REVEALED
+        # surface's item (attrs["ids"] would keep the discarded one —
+        # wrong motion where a dynamic item sits behind a static cutout)
         motion = motion_vectors(
             scene, consts, attrs["wpos"], tri_id, mask,
-            item_id=None if ids is None else ids[..., 1].astype(jnp.int32),
+            item_id=mat["item_id"].astype(jnp.int32),
             dynamic_item_ids=dynamic_item_ids)
 
     spot_vis = point_vis = dir_vis = None
@@ -1340,11 +1399,21 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         covm = coverage.mean(axis=0) if coverage.ndim == 3 else coverage
         if (msaa_edge_resolve and coverage.ndim == 3
                 and "records" in attrs):
-            w_sec, sec_rgb = _msaa_edge_secondary(
-                scene, consts, env, textures, attrs, tri_id, depth, mask,
-                coverage, ao_map, mip_jit, spot_vis, point_vis, dir_vis,
-                width, height, aniso_taps, slots_used, enable_shadows,
-                telemetry=tel)
+            # mode: True/"neighbor" = exact per-sample visibility +
+            # neighbor-shaded secondary color (no sparse shade; default —
+            # the sparse secondary shade cost +34..47 ms/frame, BASELINE
+            # r4); "shade" = sparse re-shade of the secondary surface at
+            # this pixel (the maximum-fidelity path, kept measurable)
+            if msaa_edge_resolve == "shade":
+                w_sec, sec_rgb = _msaa_edge_secondary(
+                    scene, consts, env, textures, attrs, tri_id, depth,
+                    mask, coverage, ao_map, mip_jit, spot_vis, point_vis,
+                    dir_vis, width, height, aniso_taps, slots_used,
+                    enable_shadows, telemetry=tel)
+            else:
+                w_sec, sec_rgb = _msaa_edge_neighbor(
+                    attrs, tri_id, depth, mask, coverage, hdr,
+                    width, height, telemetry=tel)
             w_pri = jnp.maximum(covm - w_sec, 0.0)
             hdr = (hdr * w_pri[..., None] + sec_rgb
                    + background * (1.0 - covm)[..., None])
