@@ -85,8 +85,11 @@ def build_sponza_stress():
                       "normal": tex_ids["bump_n"],
                       "roughness": tex_ids["rough"]}
         material_lib[m.name] = m
-    # fuse normal+roughness into one sampled map (fetch-count economy)
+    # fuse normal+roughness into one sampled map, then pair diffuse+aux
+    # quads into single 32 B gather rows (fetch-count economy: 3 dense
+    # sampled maps -> 1 row gather per pixel)
     tm.combine_aux_maps(material_lib.values())
+    tm.combine_pair_quads(material_lib.values())
     textures = tm.build_device_arrays_packed()
     for i in range(220):
         mesh = "Sphere" if i % 2 == 0 else "Cube"

@@ -215,6 +215,78 @@ class TestCombinedAux:
         np.testing.assert_allclose(np.asarray(full), np.asarray(xy), atol=1e-5)
 
 
+class TestPairQuads:
+    """combine_pair_quads packs a material's diffuse + combined-aux quads
+    into one 32 B gather row: the material pass's two dense fetches
+    become ONE (fetch-count economy; ops/texture.pair_flat)."""
+
+    def _tm_and_mat(self):
+        from vqengine_tpu.scene.material import Material
+        from vqengine_tpu.scene.texture_manager import (
+            TextureManager, brick, noise_texture, normal_from_height)
+        tm = TextureManager(size=32)
+        d_id = tm.create_from_array("d", brick(32))
+        h = noise_texture(32, seed=5)
+        n_id = tm.create_from_array("n", normal_from_height(h, 1.5))
+        r_id = tm.create_from_array("r", noise_texture(32, base=0.5, amp=0.4))
+        mat = Material(name="m", roughness=0.9, metalness=0.3)
+        mat.textures = {"diffuse": d_id, "normal": n_id, "roughness": r_id}
+        assert tm.combine_aux_maps([mat]) == 1
+        return tm, mat, d_id
+
+    def test_pair_tap_matches_separate(self):
+        import jax.numpy as jnp
+        from vqengine_tpu.ops import texture as tex
+        tm, mat, d_id = self._tm_and_mat()
+        assert tm.combine_pair_quads([mat]) == 1
+        pt = tm.build_device_arrays_packed()
+        assert pt.pair_flat is not None
+        h, w = 16, 24
+        rng = np.random.default_rng(3)
+        uv = jnp.asarray(rng.random((h, w, 2), np.float32) * 2.0)
+        lod = jnp.asarray(rng.random((h, w), np.float32) * 4.0)
+        jit = tex.mip_jitter(h, w)
+        pid = jnp.full((h, w), mat.pair_map, jnp.int32)
+        d_pair, a_pair = tex.sample_texture_pair(pt, pid, uv, lod, jit)
+        d_sep = tex.sample_texture_array(
+            pt, jnp.full((h, w), d_id, jnp.int32), uv, lod, jitter=jit)
+        a_sep = tex.sample_texture_array(
+            pt, jnp.full((h, w), mat.combined_aux, jnp.int32), uv, lod,
+            jitter=jit)
+        np.testing.assert_allclose(np.asarray(d_pair), np.asarray(d_sep),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a_pair), np.asarray(a_sep),
+                                   atol=1e-6)
+
+    def test_pair_aniso_diffuse_matches_unpaired(self):
+        import jax.numpy as jnp
+        from vqengine_tpu.ops import texture as tex
+        tm, mat, d_id = self._tm_and_mat()
+        assert tm.combine_pair_quads([mat]) == 1
+        pt = tm.build_device_arrays_packed()
+        h, w = 32, 48
+        ys = (np.arange(h, dtype=np.float32) + 1.0)[:, None]
+        xs = np.arange(w, dtype=np.float32)[None, :]
+        uv = jnp.asarray(np.stack(np.broadcast_arrays(
+            xs / w * 4.0, 40.0 / ys), axis=-1).astype(np.float32))
+        jit = tex.mip_jitter(h, w)
+        tid = jnp.full((h, w), d_id, jnp.int32)
+        pid = jnp.full((h, w), mat.pair_map, jnp.int32)
+        d_pair, _ = tex.sample_texture_pair_aniso(
+            pt, pid, tid, uv, num_taps=4, jitter=jit, adaptive_frac=4)
+        d_sep = tex.sample_texture_array_aniso(
+            pt, tid, uv, num_taps=4, jitter=jit, adaptive_frac=4)
+        np.testing.assert_allclose(np.asarray(d_pair), np.asarray(d_sep),
+                                   atol=1e-6)
+
+    def test_mip_bias_disables_pairing(self):
+        tm, mat, _ = self._tm_and_mat()
+        mat.normal_map_mip_bias = 1.0
+        assert tm.combine_pair_quads([mat]) == 0
+        assert mat.pair_map == -1
+        assert tm.build_device_arrays_packed().pair_flat is None
+
+
 class TestAdaptiveAniso:
     """The AnisoSampler's economics as compaction: one dense trilinear
     tap + the full ellipse walk only on compacted high-anisotropy pixels

@@ -207,6 +207,13 @@ class VQEngineTPU:
             if m is not None)
         if n_combined:
             log.info(f"combined aux maps for {n_combined} materials")
+        # pair diffuse+aux quads into single 32 B gather rows (one dense
+        # fetch per pixel instead of two; ops/texture pair_flat)
+        n_paired = tm.combine_pair_quads(
+            m for m in (self.material_lib.get(n) for n in used_names)
+            if m is not None)
+        if n_paired:
+            log.info(f"paired diffuse+aux quads for {n_paired} materials")
 
     # ------------------------------------------------------------------
     def resolve_scene_file(self, name_or_index) -> Path | None:

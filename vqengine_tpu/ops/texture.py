@@ -33,10 +33,22 @@ class PackedTextures:
     """Quad-packed RGBA8 texture array (layout 2 above).
     flat[q] = [c(y0,x0), c(y0,x1), c(y1,x0), c(y1,x1)] as packed RGBA8
     int32; per level the quads lay out as [N, py, px, Qy, Qx, 4] with
-    wrap-around baked into the edge quads at pack time."""
+    wrap-around baked into the edge quads at pack time.
+
+    pair_flat (optional): PAIR-packed rows [QP, 8] — lanes 0..3 a
+    material's diffuse quad, lanes 4..7 its combined-aux quad, for each
+    (diffuse, aux) texture pair in use. Diffuse + aux share uv and (at
+    zero mip bias) the mip level, so the material pass's two dense
+    fetches collapse into ONE 32 B row gather — texture cost on TPU is
+    fetch-COUNT-bound (~7-10 ms per dense sampled map at 1080p), and a
+    32 B coherent row gather costs the same as 16 B (BASELINE.md,
+    tools/profile_gather.py). Built by
+    TextureManager.combine_pair_quads."""
     flat: jnp.ndarray                                        # [Q, 4] int32
     offs: tuple = field(metadata=dict(static=True), default=())
     sizes: tuple = field(metadata=dict(static=True), default=())
+    pair_flat: jnp.ndarray | None = None                     # [QP, 8] int32
+    pair_offs: tuple = field(metadata=dict(static=True), default=())
 
 
 def pack_texture_quads(levels: list[np.ndarray]) -> PackedTextures:
@@ -68,6 +80,179 @@ def pack_texture_quads(levels: list[np.ndarray]) -> PackedTextures:
         off += parts[-1].shape[0]
     return PackedTextures(flat=jnp.asarray(np.concatenate(parts)),
                           offs=tuple(offs), sizes=tuple(sizes))
+
+
+def pack_texture_pairs(levels: list[np.ndarray], pairs: list[tuple],
+                       packed: PackedTextures) -> PackedTextures:
+    """Augment `packed` with PAIR-packed rows for each (diffuse_id,
+    aux_id) pair: one [QP, 8] row per 2x2 footprint holding both quads.
+    ids of -1 take a neutral image (diffuse white; aux = flat normal,
+    unit roughness/metalness multipliers) so the has()-masking in the
+    material pass stays the only gate."""
+    parts, offs = [], []
+    off = 0
+    for lvl in levels:
+        n, s = lvl.shape[0], lvl.shape[1]
+        q = (s + 1) // 2
+        lvl = np.asarray(lvl, np.float32)
+        neutral_d = np.ones((1, s, s, 4), np.float32)
+        neutral_a = np.empty((1, s, s, 4), np.float32)
+        neutral_a[..., 0:2] = 0.5
+        neutral_a[..., 2:4] = 1.0
+        src = np.concatenate([lvl, neutral_d, neutral_a], axis=0)
+        d_sel = np.asarray([p[0] if p[0] >= 0 else n for p in pairs])
+        a_sel = np.asarray([p[1] if p[1] >= 0 else n + 1 for p in pairs])
+        u8 = np.clip(np.rint(src * 255.0), 0, 255).astype(np.uint32)
+        pk = (u8[..., 0] | (u8[..., 1] << 8)
+              | (u8[..., 2] << 16) | (u8[..., 3] << 24))       # [N+2, s, s]
+        dq = pk[d_sel]
+        aq = pk[a_sel]
+        quad = np.zeros((len(pairs), 2, 2, q, q, 8), np.uint32)
+        base = np.arange(q) * 2
+        for py in range(2):
+            y0 = (base + py) % s
+            y1 = (base + py + 1) % s
+            for px in range(2):
+                x0 = (base + px) % s
+                x1 = (base + px + 1) % s
+                for lane, img in ((0, dq), (4, aq)):
+                    quad[:, py, px, :, :, lane + 0] = img[:, y0][:, :, x0]
+                    quad[:, py, px, :, :, lane + 1] = img[:, y0][:, :, x1]
+                    quad[:, py, px, :, :, lane + 2] = img[:, y1][:, :, x0]
+                    quad[:, py, px, :, :, lane + 3] = img[:, y1][:, :, x1]
+        parts.append(quad.reshape(-1, 8).view(np.int32))
+        offs.append(off)
+        off += parts[-1].shape[0]
+    return PackedTextures(flat=packed.flat, offs=packed.offs,
+                          sizes=packed.sizes,
+                          pair_flat=jnp.asarray(np.concatenate(parts)),
+                          pair_offs=tuple(offs))
+
+
+def _bilerp_rgba8(w: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
+                  lane0: int) -> jnp.ndarray:
+    """Bilinear blend of 4 packed-RGBA8 lanes [..., lane0:lane0+4]."""
+    def rgba(v):
+        return jnp.stack([(v & 0xFF).astype(jnp.float32),
+                          ((v >> 8) & 0xFF).astype(jnp.float32),
+                          ((v >> 16) & 0xFF).astype(jnp.float32),
+                          (v >> 24).astype(jnp.float32)], axis=-1) / 255.0
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = (rgba(w[..., lane0 + 0]) * (1 - fx)
+           + rgba(w[..., lane0 + 1]) * fx)
+    bot = (rgba(w[..., lane0 + 2]) * (1 - fx)
+           + rgba(w[..., lane0 + 3]) * fx)
+    return top * (1 - fy) + bot * fy
+
+
+def _packed_pair_tap(pt: PackedTextures, pair_id: jnp.ndarray,
+                     uv: jnp.ndarray, lodi: jnp.ndarray):
+    """One bilinear tap of a (diffuse, aux) pair: ONE 32 B row gather ->
+    (diffuse rgba, aux rgba)."""
+    shape = uv.shape[:-1]
+    idx = jnp.zeros(shape, jnp.int32)
+    fx = jnp.zeros(shape, jnp.float32)
+    fy = jnp.zeros(shape, jnp.float32)
+    t = jnp.maximum(pair_id, 0)
+    for m, s in enumerate(pt.sizes):
+        q = (s + 1) // 2
+        x = uv[..., 0] * s - 0.5
+        y = uv[..., 1] * s - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        x0i = jnp.mod(x0.astype(jnp.int32), s)
+        y0i = jnp.mod(y0.astype(jnp.int32), s)
+        px, qx = x0i & 1, x0i >> 1
+        py, qy = y0i & 1, y0i >> 1
+        cand = pt.pair_offs[m] + (((t * 2 + py) * 2 + px) * q + qy) * q + qx
+        hit = lodi == m
+        idx = jnp.where(hit, cand, idx)
+        fx = jnp.where(hit, x - x0, fx)
+        fy = jnp.where(hit, y - y0, fy)
+    rows = pt.pair_flat[idx]                    # [..., 8] ONE row gather
+    w = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+    return _bilerp_rgba8(w, fx, fy, 0), _bilerp_rgba8(w, fx, fy, 4)
+
+
+def sample_texture_pair_aniso(pt: PackedTextures, pair_id: jnp.ndarray,
+                              diffuse_id: jnp.ndarray, uv: jnp.ndarray,
+                              num_taps: int = 8, max_aniso: float = 8.0,
+                              jitter: jnp.ndarray | None = None,
+                              adaptive_frac: int | None = 16,
+                              telemetry: dict | None = None):
+    """Anisotropic (diffuse, aux) sample from the pair-packed table:
+    ONE dense 32 B row gather covers the diffuse base tap AND the
+    combined-aux tap (they share uv; at zero mip bias the aux mip equals
+    the aniso-clamped diffuse mip — log2(rho_major * size) — to the
+    texel). High-anisotropy pixels then refine the DIFFUSE channel with
+    the compacted ellipse walk of sample_texture_array_aniso (aux maps
+    are low-frequency; the walk doesn't pay for them, matching the
+    unpaired path). Returns (diffuse rgba, aux rgba)."""
+    lod_m, major, ratio = uv_mip_level_aniso(
+        uv, tex_base_size(pt), tex_num_levels(pt) - 1, max_aniso=max_aniso)
+    max_lod = tex_num_levels(pt) - 1
+    lod1 = jnp.clip(lod_m + jnp.log2(jnp.maximum(ratio, 1.0)), 0.0, max_lod)
+    if jitter is not None:
+        lodi = jnp.clip(jnp.floor(lod1 + jitter).astype(jnp.int32),
+                        0, max_lod)
+        diffuse, aux = _packed_pair_tap(pt, pair_id, uv, lodi)
+    else:
+        l0 = jnp.clip(jnp.floor(lod1).astype(jnp.int32), 0, max_lod)
+        l1 = jnp.minimum(l0 + 1, max_lod)
+        wgt = jnp.clip(lod1 - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+        d0, a0 = _packed_pair_tap(pt, pair_id, uv, l0)
+        d1, a1 = _packed_pair_tap(pt, pair_id, uv, l1)
+        diffuse = d0 * (1 - wgt) + d1 * wgt
+        aux = a0 * (1 - wgt) + a1 * wgt
+    if num_taps <= 1 or adaptive_frac is None:
+        return diffuse, aux
+
+    from . import sparse
+    n = int(np.prod(ratio.shape))
+    cap = -(-max(512, n // adaptive_frac) // 8) * 8
+    ANISO_THRS = (1.3, 1.6, 2.0, 2.6, 3.4, 4.4, 5.6, 7.0, float(max_aniso))
+    thr, _db = sparse.adaptive_threshold(ratio, ANISO_THRS, cap, block=8)
+    active = ratio > thr
+    idx, count, demand = sparse.compact_indices(active, cap, block=8)
+    if telemetry is not None:
+        telemetry["tex_aniso"] = demand.astype(jnp.float32) / cap
+        telemetry["tex_aniso_demand"] = sparse.block_count(
+            ratio > ANISO_THRS[0], 8).astype(jnp.float32) * 8 / cap
+    live = (jnp.arange(cap) < count) & active.reshape(-1)[idx]
+
+    def g(v):
+        return v.reshape((-1,) + v.shape[ratio.ndim:])[idx]
+
+    out_c = _aniso_taps(pt, g(diffuse_id), g(uv), g(major), g(ratio),
+                        g(lod_m), num_taps,
+                        None if jitter is None else g(jitter))
+    nc = diffuse.shape[-1]
+    flat = diffuse.reshape(-1, nc)
+    dest = jnp.where(live, idx, n)
+    flat = flat.at[dest].set(out_c, mode="drop")
+    return flat.reshape(diffuse.shape), aux
+
+
+def sample_texture_pair(pt: PackedTextures, pair_id: jnp.ndarray,
+                        uv: jnp.ndarray, lod: jnp.ndarray,
+                        jitter: jnp.ndarray | None = None):
+    """Trilinear (diffuse, aux) pair sample at a precomputed isotropic
+    lod — the aniso_taps<=1 counterpart of sample_texture_pair_aniso.
+    Stochastic single tap with jitter (1 row gather), else 2-tap mip
+    blend."""
+    max_lod = len(pt.sizes) - 1
+    if jitter is not None:
+        lodi = jnp.clip(jnp.floor(lod + jitter).astype(jnp.int32),
+                        0, max_lod)
+        return _packed_pair_tap(pt, pair_id, uv, lodi)
+    l0 = jnp.clip(jnp.floor(lod).astype(jnp.int32), 0, max_lod)
+    l1 = jnp.minimum(l0 + 1, max_lod)
+    w = jnp.clip(lod - l0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    d0, a0 = _packed_pair_tap(pt, pair_id, uv, l0)
+    d1, a1 = _packed_pair_tap(pt, pair_id, uv, l1)
+    return d0 * (1 - w) + d1 * w, a0 * (1 - w) + a1 * w
 
 
 def _packed_tap(pt: PackedTextures, tex_id: jnp.ndarray, uv: jnp.ndarray,

@@ -513,23 +513,42 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
         return tex_ops.sample_texture_array(textures, slot_id(bit), uv_t, l,
                                             jitter=mip_jitter)
 
-    if used(0):
+    # pair-packed fast path: diffuse + combined-aux quads share a 32 B
+    # gather row (TextureManager.combine_pair_quads), so the two dense
+    # fetches below collapse into ONE — texture cost is fetch-count-bound
+    # on TPU (~7-10 ms per dense sampled map at 1080p, BASELINE.md)
+    pair_ok = (isinstance(textures, tex_ops.PackedTextures)
+               and textures.pair_flat is not None
+               and (used(0) or used(9)))
+    diffuse_s = aux = None
+    if pair_ok:
+        pid = mrow[..., 30].astype(jnp.int32)
         if aniso_taps > 1:
-            # diffuse samples anisotropically like the reference's
-            # AnisoSampler on the albedo slot (grazing-angle floors);
-            # other slots stay trilinear. Adaptive: the multi-tap ellipse
-            # walk runs only on compacted high-anisotropy pixels, so the
-            # dense cost is ~1 tap regardless of aniso_taps.
             # adaptive_frac=16: the ellipse-walk cost is proportional to
             # the CAP, not the demand (r4b: frac4 +77 ms, frac8 +40,
-            # frac16 +19 at 1080p), and the capacity-aware threshold
-            # (sparse.adaptive_threshold) spends the 1/16-frame budget on
-            # the most anisotropic pixels first
-            diffuse_s = tex_ops.sample_texture_array_aniso(
-                textures, slot_id(0), uv_t, num_taps=aniso_taps,
+            # frac16 +19 at 1080p); the capacity-aware threshold spends
+            # the budget on the most anisotropic pixels first
+            diffuse_s, aux = tex_ops.sample_texture_pair_aniso(
+                textures, pid, slot_id(0), uv_t, num_taps=aniso_taps,
                 jitter=mip_jitter, adaptive_frac=16, telemetry=telemetry)
         else:
-            diffuse_s = sample(0)
+            diffuse_s, aux = tex_ops.sample_texture_pair(
+                textures, pid, uv_t, lod, jitter=mip_jitter)
+    if used(0):
+        if diffuse_s is None:
+            if aniso_taps > 1:
+                # diffuse samples anisotropically like the reference's
+                # AnisoSampler on the albedo slot (grazing-angle floors);
+                # other slots stay trilinear. Adaptive: the multi-tap
+                # ellipse walk runs only on compacted high-anisotropy
+                # pixels, so the dense cost is ~1 tap regardless of
+                # aniso_taps (see the adaptive_frac note above).
+                diffuse_s = tex_ops.sample_texture_array_aniso(
+                    textures, slot_id(0), uv_t, num_taps=aniso_taps,
+                    jitter=mip_jitter, adaptive_frac=16,
+                    telemetry=telemetry)
+            else:
+                diffuse_s = sample(0)
         out["albedo"] = jnp.where(
             has(0)[..., None],
             cs_ops.srgb_to_linear_fast(diffuse_s[..., :3]) * mrow[..., 0:3],
@@ -553,9 +572,10 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
     if used(9):
         caux = mrow[..., 29].astype(jnp.int32)
         has_c = caux >= 0
-        l_aux = jnp.clip(lod + mrow[..., 16], 0, max_lod)
-        aux = tex_ops.sample_texture_array(textures, caux, uv_t, l_aux,
-                                           jitter=mip_jitter)
+        if aux is None:
+            l_aux = jnp.clip(lod + mrow[..., 16], 0, max_lod)
+            aux = tex_ops.sample_texture_array(textures, caux, uv_t, l_aux,
+                                               jitter=mip_jitter)
         if wnrm is not None and wtan is not None:
             n_c = tex_ops.unpack_normal_map_xy(aux[..., 0:2], wnrm, wtan)
             out["normal"] = jnp.where(has_c[..., None], n_c, out["normal"])

@@ -98,6 +98,12 @@ class VQRendererTPU:
                        ssao_quality: str = "medium",
                        dynamic_item_ids: tuple | None = None):
         from ..ops import shadow as shadow_ops
+        if dynamic_item_ids is not None and len(dynamic_item_ids) > 16:
+            # motion_vectors collapses sets > 16 to the palette path; a
+            # raw superset tuple in the cache key would recompile an
+            # IDENTICAL program (2-15 min on the TPU) for every sticky-set
+            # growth past 16 — normalize before keying (ADVICE r4)
+            dynamic_item_ids = None
         if shadow_dims is None:
             shadow_dims = (shadow_ops.SPOT_SHADOW_DIM,
                            shadow_ops.POINT_SHADOW_DIM,

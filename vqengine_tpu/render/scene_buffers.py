@@ -152,10 +152,23 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
         pn_l.append(ps.normals)
         puv_l.append(ps.uvs)
         pitem_l.append(np.full(ps.num_patches, i, np.int32))
-        # one shared displacement field per scene (the Terrain heightmap);
-        # additional patch sets displace only if they share it
-        if ps.heightmap is not None and hm is None:
-            hm, disp, tess = ps.heightmap, ps.disp_scale, ps.tess_scale
+        # one shared displacement field per scene (the Terrain heightmap):
+        # amplify() applies it to EVERY patch, so a second set with a
+        # different (or no) heightmap would silently displace wrong —
+        # fail loudly instead (per-patch fields are the upgrade path)
+        if ps.heightmap is not None:
+            if hm is None:
+                hm, disp, tess = ps.heightmap, ps.disp_scale, ps.tess_scale
+            elif (hm is not ps.heightmap or disp != ps.disp_scale
+                  or tess != ps.tess_scale):
+                raise ValueError(
+                    "multiple patch sets with differing heightmap/"
+                    "disp_scale/tess_scale in one scene — the merged "
+                    "displacement field is scene-global")
+        elif hm is not None:
+            raise ValueError(
+                "mixing displaced and non-displaced patch sets in one "
+                "scene — the merged displacement field is scene-global")
     num_tris_main = None
     if pc_l:
         is_patch_item = np.zeros(len(items), bool)

@@ -48,6 +48,10 @@ class Material:
     # in RGBA): one sampled fetch replaces three — the texture cost is
     # fetch-count-bound on TPU. Set by TextureManager.combine_aux_maps.
     combined_aux: int = -1
+    # upload-time (diffuse, combined_aux) PAIR texture id: both quads in
+    # one 32 B gather row — the material pass's two dense fetches become
+    # one (fetch-count economy). Set by TextureManager.combine_pair_quads.
+    pair_map: int = -1
     # tessellation config (reference Material.h packed byte) — kept for parity
     tessellation_enabled: bool = False
 
@@ -81,12 +85,13 @@ class Material:
         for bit, slot in enumerate(TEXTURE_SLOTS):
             out[_TEX_ID_BASE + bit] = float(self.textures.get(slot, -1))
         out[29] = float(self.combined_aux)
+        out[30] = float(self.pair_map)
         return out
 
 
 def pack_materials(materials: list[Material]) -> np.ndarray:
     if not materials:
         out = np.zeros((1, MATERIAL_STRIDE), dtype=np.float32)
-        out[:, _TEX_ID_BASE:30] = -1.0   # no texture slots, no combined aux
+        out[:, _TEX_ID_BASE:31] = -1.0   # no texture/combined-aux/pair ids
         return out
     return np.stack([m.pack() for m in materials])

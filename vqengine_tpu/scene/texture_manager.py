@@ -162,6 +162,7 @@ class TextureManager:
         self._states: dict[int, ETextureState] = {}
         self._pool = futures.ThreadPoolExecutor(max_workers=num_workers)
         self._pending: dict[int, futures.Future] = {}
+        self._pairs: list[tuple] = []   # (diffuse_id, aux_id) pair table
 
     # ------------------------------------------------------------------
     def create_from_array(self, key: str, img: np.ndarray) -> int:
@@ -247,6 +248,41 @@ class TextureManager:
             combined += 1
         return combined
 
+    def combine_pair_quads(self, materials) -> int:
+        """Register a (diffuse, combined_aux) PAIR texture for each
+        material that samples either, so the material pass fetches both
+        quads in ONE 32 B gather row (texture cost is fetch-count-bound;
+        see ops/texture.PackedTextures.pair_flat). Call AFTER
+        combine_aux_maps. Returns the number of materials paired.
+
+        All-or-nothing per scene: a material with a nonzero
+        normal_map_mip_bias needs the aux tap at a different mip than
+        the diffuse tap, which the shared pair row can't express — if
+        any textured material has one, nothing is paired (the classic
+        2-fetch path still renders it correctly)."""
+        mats = list(materials)
+        for mat in mats:
+            if (mat.textures.get("diffuse", -1) >= 0
+                    or mat.combined_aux >= 0) \
+                    and mat.normal_map_mip_bias != 0.0:
+                return 0
+        cache: dict[tuple, int] = {}
+        paired = 0
+        for mat in mats:
+            d_id = mat.textures.get("diffuse", -1)
+            a_id = mat.combined_aux
+            if d_id < 0 and a_id < 0:
+                continue
+            key = (d_id, a_id)
+            pid = cache.get(key)
+            if pid is None:
+                pid = len(self._pairs)
+                self._pairs.append(key)
+                cache[key] = pid
+            mat.pair_map = pid
+            paired += 1
+        return paired
+
     def wait_all(self) -> None:
         """Join outstanding loads (the WaitForTexture latch)."""
         for f in self._pending.values():
@@ -277,11 +313,14 @@ class TextureManager:
         gather per bilinear tap at shading time — the production layout;
         the f32 list from build_device_arrays is the exact/HDR path."""
         self.wait_all()
-        from ..ops.texture import pack_texture_quads
+        from ..ops.texture import pack_texture_pairs, pack_texture_quads
         if not self._images:
             self._images.append(np.ones((self.size, self.size, 4), np.float32))
         per_tex_mips = [generate_mips(img) for img in self._images]
         n_mips = len(per_tex_mips[0])
         levels = [np.stack([m[lvl] for m in per_tex_mips])
                   for lvl in range(n_mips)]
-        return pack_texture_quads(levels)
+        packed = pack_texture_quads(levels)
+        if self._pairs:
+            packed = pack_texture_pairs(levels, self._pairs, packed)
+        return packed
