@@ -272,3 +272,151 @@ class TestPatchPipeline:
         err_c = np.abs(dep_c - dep_gt).mean()
         err_f = np.abs(dep_f - dep_gt).mean()
         assert err_f < err_c * 0.5, (err_f, err_c)
+
+
+class TestTriDomain:
+    """TRI-domain material-driven tessellation (ops/tessellation.py
+    amplify_tri) — the reference's tri-domain HS/DS path driven by the
+    material's packed tess byte (Material.h, Tessellation.hlsl
+    domain(\"tri\"))."""
+
+    def test_template_valid(self):
+        from vqengine_tpu.ops import tessellation as tess
+        m = tess.MAX_SEGS
+        bary, tri_idx = tess.build_tri_template()
+        assert bary.shape == ((m + 1) * (m + 2) // 2, 3)
+        np.testing.assert_allclose(bary.sum(-1), 1.0, atol=1e-6)
+        assert tri_idx.shape == (m * m, 3)
+
+    def test_factor1_collapses_to_corner_fan(self):
+        """All factors 1: boundary verts land on the 3 corners, interior
+        on the centroid — live distinct triangles form the 3-tri fan of
+        the flat control triangle (exact param-equality collapse)."""
+        from vqengine_tpu.ops import tessellation as tess
+        bary, tri_idx = tess.build_tri_template()
+        one = jnp.ones((1,))
+        b = np.asarray(tess.snap_bary(jnp.asarray(bary), one, one, one,
+                                      one))[0]
+        uniq = np.unique(np.round(b, 6), axis=0)
+        third = round(1.0 / 3.0, 6)
+        expect = {(0.0, 0.0, 1.0), (0.0, 1.0, 0.0), (1.0, 0.0, 0.0),
+                  (third, third, third)}
+        assert {tuple(r) for r in uniq} == expect
+        tb = b[tri_idx]
+        collapsed = ((tb[:, 0] == tb[:, 1]).all(-1)
+                     | (tb[:, 1] == tb[:, 2]).all(-1)
+                     | (tb[:, 0] == tb[:, 2]).all(-1))
+        assert (~collapsed).sum() == 3
+
+    def test_full_factor_is_identity(self):
+        from vqengine_tpu.ops import tessellation as tess
+        m = float(tess.MAX_SEGS)
+        bary, _ = tess.build_tri_template()
+        f = jnp.full((1,), m)
+        b = np.asarray(tess.snap_bary(jnp.asarray(bary), f, f, f, f))[0]
+        np.testing.assert_allclose(b, bary, atol=1e-6)
+
+    def test_shared_edge_crack_free(self):
+        """Two tri patches sharing an edge (opposite orientations)
+        produce identical snapped world vertices along it for an
+        asymmetric camera — the quad path's invariant."""
+        from vqengine_tpu.ops import tessellation as tess
+        corners = np.asarray([
+            [[0, 0, 0], [1, 0, 0], [0, 0, 1]],   # A: edge (1,0,0)-(0,0,1)
+            [[1, 0, 1], [0, 0, 1], [1, 0, 0]],   # B shares it, reversed
+        ], np.float32)
+        normals = np.broadcast_to(
+            np.asarray([0, 1, 0], np.float32), corners.shape).copy()
+        uvs = corners[..., (0, 2)].copy()
+        bary, tri_idx = tess.build_tri_template()
+        world = jnp.eye(4)[None]
+        planes = jnp.asarray(np.tile(
+            np.asarray([[0, 0, 0, 1e9]], np.float32), (6, 1)))
+        cam = jnp.asarray([0.27, 1.7, -0.4])
+        cp, cn, ct, cu, ti, live = tess.amplify_tri(
+            jnp.asarray(corners), jnp.asarray(normals), jnp.asarray(uvs),
+            jnp.zeros(2, jnp.int32), world, cam, planes,
+            jnp.asarray(bary), jnp.asarray(tri_idx), tess_scale=2.5)
+        cp = np.asarray(cp)
+        t = tri_idx.shape[0]
+        a = cp[: 3 * t].reshape(-1, 3)
+        b = cp[3 * t: 6 * t].reshape(-1, 3)
+        # the shared edge is x + z = 1 (between (1,0,0) and (0,0,1))
+        ea = a[np.abs(a[:, 0] + a[:, 2] - 1.0) < 1e-6]
+        eb = b[np.abs(b[:, 0] + b[:, 2] - 1.0) < 1e-6]
+        assert len(ea) and len(eb)
+        za = np.unique(np.round(ea[:, 2], 5))
+        zb = np.unique(np.round(eb[:, 2], 5))
+        np.testing.assert_array_equal(za, zb)
+
+    def _render_scene(self, items, materials, w=160, h=96,
+                      eye=(0.0, 2.5, -3.0)):
+        from vqengine_tpu.render import graph
+        from vqengine_tpu.render.renderer import VQRendererTPU
+        from vqengine_tpu.render.scene_buffers import build_scene_buffers
+        from vqengine_tpu.scene.camera import Camera, FCameraParameters
+        from vqengine_tpu.scene.light import ELightType, Light
+        buffers = build_scene_buffers(items, materials)
+        scene = graph.upload_scene(buffers, bucketize=False)
+        p = FCameraParameters()
+        p.position = np.array(eye, np.float32)
+        p.pitch_deg = 35.0
+        p.near_z, p.far_z = 0.1, 100.0
+        cam = Camera(p, aspect=w / h)
+        consts = VQRendererTPU().build_frame_constants(
+            buffers, cam, [Light(type=ELightType.DIRECTIONAL,
+                                 brightness=1.5)])
+        out = graph.render_forward(scene, consts, w, h)
+        return buffers, np.asarray(out["ldr"]), np.asarray(out["depth"])
+
+    def test_material_driven_assembly_and_factor1_exact(self):
+        """Material.tessellation_enabled promotes an ordinary mesh's base
+        triangles to control patches (suffix contract), and tess_scale->0
+        reproduces the plain render bit-for-bit in depth."""
+        from vqengine_tpu.render.scene_buffers import DrawItem
+        from vqengine_tpu.scene.material import Material
+        from vqengine_tpu.utils import math3d as m3
+        grid = meshmod.grid(4.0, 4.0, 4, 4)
+        t_mat = Material(name="t")
+        t_mat.tessellation_enabled = True
+        t_mat.tessellation_scale = 1e-4
+        items = [DrawItem("g", grid, m3.Transform(), 0, 0)]
+        buffers, _, dep_t = self._render_scene(items, [t_mat])
+        assert buffers.tpatch_corners is not None
+        assert buffers.tpatch_corners.shape[0] == grid.lods[0].num_triangles
+        assert buffers.num_tris_main == 0      # every tri became a patch
+        plain = Material(name="p")
+        _, _, dep_p = self._render_scene(items, [plain])
+        np.testing.assert_allclose(dep_t, dep_p, atol=1e-6)
+
+    def test_displacement_refines_with_distance_factor(self):
+        """A displaced tessellated material tracks its heightmap better
+        at a working tess_scale than at factor 1."""
+        from vqengine_tpu.render.scene_buffers import DrawItem
+        from vqengine_tpu.scene.material import Material
+        from vqengine_tpu.utils import math3d as m3
+        hm = np.zeros((33, 33), np.float32)
+        hm[12:21, 12:21] = 1.0
+
+        def mat(scale):
+            m = Material(name="t")
+            m.tessellation_enabled = True
+            m.tessellation_scale = scale
+            m.displacement = 0.8
+            m.height_map_image = hm
+            return m
+
+        # dense ground truth: a fine factor-1 grid displaced at its
+        # control vertices by the same field (mesh-level displace)
+        gt_lod = meshmod.displace(meshmod.grid(4.0, 4.0, 16, 16).lods[0],
+                                  hm, 0.8)
+        gt_mesh = meshmod.Mesh("gt", [gt_lod])
+        coarse = meshmod.grid(4.0, 4.0, 2, 2)
+        items = [DrawItem("g", coarse, m3.Transform(), 0, 0)]
+        _, _, dep_c = self._render_scene(items, [mat(1e-4)])
+        _, _, dep_f = self._render_scene(items, [mat(40.0)])
+        assert np.abs(dep_f - dep_c).max() > 1e-3
+        fine_items = [DrawItem("g", gt_mesh, m3.Transform(), 0, 0)]
+        _, _, dep_gt = self._render_scene(fine_items, [Material(name="p")])
+        assert (np.abs(dep_f - dep_gt).mean()
+                < np.abs(dep_c - dep_gt).mean())

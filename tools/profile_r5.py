@@ -98,6 +98,16 @@ def main() -> None:
 
     which = set(sys.argv[1:]) or {"edge", "tex", "full"}
 
+    if "ss" in which:
+        m0 = timed("minimal (shadows, msaa, no ss)", lambda c: fwd(
+            c, msaa_edge_resolve=False, enable_ssao=False,
+            enable_ssr=False))
+        mao = timed("+ssao", lambda c: fwd(
+            c, msaa_edge_resolve=False, enable_ssr=False))
+        msr = timed("+ssr (no ssao)", lambda c: fwd(
+            c, msaa_edge_resolve=False, enable_ssao=False))
+        print(f"  -> ssao +{mao - m0:.1f}  ssr +{msr - m0:.1f}", flush=True)
+
     a = timed("anchor (no edge, no tex)",
               lambda c: fwd(c, msaa_edge_resolve=False))
     if "edge" in which:

@@ -204,6 +204,201 @@ def cull_patches(corners_world: jnp.ndarray, frustum_planes: jnp.ndarray,
     return ~outside_any_plane
 
 
+def build_tri_template(max_segs: int = MAX_SEGS):
+    """Static template for one TRIANGLE patch (the reference's tri-domain
+    hull/domain path, Tessellation.hlsl "domain(tri)"): barycentric
+    vertex grid at max_segs uniform subdivisions and its triangle list.
+
+    Returns (bary [V, 3] f32 with V=(m+1)(m+2)/2 rows summing to 1,
+    tri_idx [T, 3] int32 with T = m^2)."""
+    m = max_segs
+    verts = []
+    vid = {}
+    for j in range(m + 1):
+        for i in range(m + 1 - j):
+            vid[(i, j)] = len(verts)
+            verts.append((i / m, j / m, (m - i - j) / m))
+    tris = []
+    for j in range(m):
+        for i in range(m - j):
+            tris.append((vid[(i, j)], vid[(i + 1, j)], vid[(i, j + 1)]))
+            if i < m - j - 1:
+                tris.append((vid[(i + 1, j)], vid[(i + 1, j + 1)],
+                             vid[(i, j + 1)]))
+    return (np.asarray(verts, np.float32),
+            np.asarray(tris, np.int32))
+
+
+def snap_bary(bary: jnp.ndarray, f_e0, f_e1, f_e2, f_inner,
+              max_segs: int = MAX_SEGS) -> jnp.ndarray:
+    """Fractional-odd snapping on the TRI domain: template barycentrics
+    [V, 3] + per-patch edge/inner factors [P] -> snapped [P, V, 3].
+
+    Boundary vertices (some b_k == 0) snap ALONG their edge with that
+    edge's factor via the 1-D frac_odd_snap — the snap is symmetric
+    (snap(1-t) == 1-snap(t)), so the two patches sharing an edge (which
+    parameterize it in opposite directions but compute the same
+    midpoint-distance factor) produce IDENTICAL vertex positions:
+    crack-free, the same invariant as the quad path.
+
+    Interior vertices snap their RING coordinate rho = 1 - 3*min(b)
+    (1 at the boundary, 0 at the centroid) through the 1-D snap's lower
+    half (x = rho/2): rings collapse centroid-first as f_inner drops, and
+    at f_inner = 1 every interior vertex sits AT the centroid — the patch
+    renders as the 3-triangle corner fan of its flat control triangle
+    (collapsed sub-triangles detected exactly by parameter equality, as
+    in the quad path). Divergence from D3D's ring construction is
+    behavioral only (continuous, crack-free, factor-monotone), not
+    bitwise; documented in docs/PARITY.md."""
+    b0 = bary[None, :, 0]
+    b1 = bary[None, :, 1]
+    b2 = bary[None, :, 2]
+    # edge k = {b_k == 0}: parameterize by the next coordinate cyclically
+    on_e0 = b0 <= 0.0
+    on_e1 = b1 <= 0.0
+    on_e2 = b2 <= 0.0
+    boundary = on_e0 | on_e1 | on_e2
+    f_edge = jnp.where(on_e0, f_e0[:, None],
+                       jnp.where(on_e1, f_e1[:, None], f_e2[:, None]))
+    # edge coordinate: on e0 (b0=0) t = b1; on e1 (b1=0) t = b2; on e2 t = b0
+    t = jnp.where(on_e0, b1, jnp.where(on_e1, b2, b0))
+    ts = frac_odd_snap(t, f_edge, max_segs)
+    eb0 = jnp.where(on_e0, 0.0, jnp.where(on_e1, 1.0 - ts, ts))
+    eb1 = jnp.where(on_e0, ts, jnp.where(on_e1, 0.0, 1.0 - ts))
+    eb2 = 1.0 - eb0 - eb1
+    edge_b = jnp.stack([eb0, eb1, eb2], axis=-1)
+
+    # interior: ring coordinate through the 1-D snap's lower half
+    bmin = jnp.minimum(b0, jnp.minimum(b1, b2))
+    rho = 1.0 - 3.0 * bmin
+    x = 0.5 * rho
+    xs = frac_odd_snap(x, f_inner[:, None], max_segs)
+    rho_s = 2.0 * xs
+    scale = jnp.where(rho > 0.0, rho_s / jnp.maximum(rho, 1e-12), 0.0)
+    third = 1.0 / 3.0
+    inner_b = third + (jnp.stack(
+        [b0, b1, b2], axis=-1) - third) * scale[..., None]
+    return jnp.where(boundary[..., None], edge_b, inner_b)
+
+
+def tri_edge_factors(corners_world: jnp.ndarray, camera_pos: jnp.ndarray,
+                     tess_scale: jnp.ndarray | float,
+                     max_segs: int = MAX_SEGS):
+    """Per-edge adaptive factors for TRI patches from edge-midpoint view
+    distance (shared midpoints -> shared factors -> crack-free).
+    corners_world [P, 3, 3]; edge k sits opposite corner k.
+    Returns (f_e0, f_e1, f_e2, f_inner), each [P]."""
+    c0, c1, c2 = (corners_world[:, 0], corners_world[:, 1],
+                  corners_world[:, 2])
+
+    def fac(mid):
+        d = jnp.linalg.norm(mid - camera_pos, axis=-1)
+        return jnp.clip(max_segs * tess_scale / jnp.maximum(d, 1e-3),
+                        1.0, float(max_segs))
+
+    f_e0 = fac(0.5 * (c1 + c2))
+    f_e1 = fac(0.5 * (c2 + c0))
+    f_e2 = fac(0.5 * (c0 + c1))
+    f_inner = (f_e0 + f_e1 + f_e2) / 3.0
+    return f_e0, f_e1, f_e2, f_inner
+
+
+def eval_tri_patches(corners: jnp.ndarray, bary: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric tri-patch evaluation: corners [P, 3, C],
+    bary [P, V, 3] -> [P, V, C]."""
+    return jnp.einsum("pvk,pkc->pvc", bary, corners)
+
+
+def amplify_tri(patch_corners: jnp.ndarray, patch_normals: jnp.ndarray,
+                patch_uvs: jnp.ndarray, patch_item: jnp.ndarray,
+                world: jnp.ndarray, camera_pos: jnp.ndarray,
+                frustum_planes: jnp.ndarray,
+                bary: jnp.ndarray, tri_idx: jnp.ndarray,
+                tess_scale: float,
+                heightmap: jnp.ndarray | None = None,
+                disp_scale: float = 0.0,
+                max_segs: int = MAX_SEGS,
+                pad_to: int = 128):
+    """TRI-domain amplification — the material-driven tessellation path
+    (Material.h's packed tessellation byte: any mesh whose material
+    enables tessellation runs through the HS/DS; here its base triangles
+    become control patches). Mirrors amplify() for the quad domain:
+    static template, per-edge fractional-odd factors, per-patch frustum
+    cull, optional heightmap displacement along the control normal with
+    recomputed geometric normals. Returns the same corner-table tuple."""
+    p = patch_corners.shape[0]
+    w_rows = world[patch_item][:, :3, :]
+    c4 = jnp.concatenate([patch_corners,
+                          jnp.ones_like(patch_corners[..., :1])], axis=-1)
+    corners_w = jnp.einsum("pij,pcj->pci", w_rows, c4)        # [P, 3, 3]
+
+    f_e0, f_e1, f_e2, f_inner = tri_edge_factors(
+        corners_w, camera_pos, tess_scale, max_segs)
+    live = cull_patches(corners_w, frustum_planes,
+                        slack=abs(disp_scale) + 1e-3)
+
+    b = snap_bary(bary, f_e0, f_e1, f_e2, f_inner, max_segs)  # [P, V, 3]
+    tb = b[:, tri_idx]                                        # [P, T, 3, 3]
+    collapsed = ((tb[:, :, 0] == tb[:, :, 1]).all(-1)
+                 | (tb[:, :, 1] == tb[:, :, 2]).all(-1)
+                 | (tb[:, :, 0] == tb[:, :, 2]).all(-1))
+
+    pos = eval_tri_patches(patch_corners, b)
+    nrm = eval_tri_patches(patch_normals, b)
+    uv = eval_tri_patches(patch_uvs, b)
+    if heightmap is not None and disp_scale != 0.0:
+        def surf(bb):
+            pp = eval_tri_patches(patch_corners, bb)
+            nn = eval_tri_patches(patch_normals, bb)
+            tt = eval_tri_patches(patch_uvs, bb)
+            return displace(pp, nn, tt, heightmap, disp_scale)
+
+        eps = 0.25 / max_segs
+        pos = surf(b)
+        # probe along two barycentric directions, flipping where the
+        # step would leave the simplex (b0 or b1 can't exceed 1-other)
+        du = jnp.where(b[..., 0:1] + eps <= 1.0 - b[..., 1:2], eps, -eps)
+        dv = jnp.where(b[..., 1:2] + eps <= 1.0 - b[..., 0:1], eps, -eps)
+        zero = jnp.zeros_like(du)
+        pu = surf(b + jnp.concatenate([du, zero, -du], axis=-1))
+        pv = surf(b + jnp.concatenate([zero, dv, -dv], axis=-1))
+        g = jnp.cross(pu - pos, pv - pos)
+        flip = jnp.sign((g * nrm).sum(-1, keepdims=True))
+        g = g * jnp.where(flip == 0.0, 1.0, flip)
+        nrm = g / jnp.maximum(
+            jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+    # tangent: the c0->c1 control edge (constant per patch, normalized)
+    tan = patch_corners[:, None, 1] - patch_corners[:, None, 0]
+    tan = jnp.broadcast_to(tan, pos.shape)
+    tan = tan / jnp.maximum(
+        jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-9)
+
+    t = tri_idx.shape[0]
+    flat_idx = (jnp.arange(p)[:, None, None] * pos.shape[1]
+                + tri_idx[None, :, :]).reshape(-1)
+    corner_pos = pos.reshape(-1, 3)[flat_idx]
+    corner_nrm = nrm.reshape(-1, 3)[flat_idx]
+    corner_tan = tan.reshape(-1, 3)[flat_idx]
+    corner_uv = uv.reshape(-1, 2)[flat_idx]
+    tri_item = jnp.repeat(patch_item, t)
+    tri_live = jnp.repeat(live, t) & ~collapsed.reshape(-1)
+
+    n_t = p * t
+    n_pad = (-n_t) % pad_to
+    if n_pad:
+        def padr(a):
+            widths = ((0, n_pad * (3 if a.shape[0] == 3 * n_t else 1)),) \
+                + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, widths)
+        corner_pos = padr(corner_pos)
+        corner_nrm = padr(corner_nrm)
+        corner_tan = padr(corner_tan)
+        corner_uv = padr(corner_uv)
+        tri_item = padr(tri_item)
+        tri_live = jnp.pad(tri_live, (0, n_pad), constant_values=False)
+    return corner_pos, corner_nrm, corner_tan, corner_uv, tri_item, tri_live
+
+
 def amplify(patch_corners: jnp.ndarray, patch_normals: jnp.ndarray,
             patch_uvs: jnp.ndarray, patch_item: jnp.ndarray,
             world: jnp.ndarray, camera_pos: jnp.ndarray,

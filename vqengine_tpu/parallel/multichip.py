@@ -129,25 +129,12 @@ def _render_band(scene: graph.DeviceScene, consts: graph.FrameConstants,
                                     scene.corner_tangents,
                                     scene.corner_uvs)
     tri_mask_c = tri_mask[:tl]
-    if scene.patch_corners is not None:
-        # quad-patch amplification (identical on every band: factors are
-        # camera-derived, so the sharded frame is seam-consistent)
-        from ..ops import tessellation as tess
-        cp, cn, ct, cu, ti_p, live_p = tess.amplify(
-            scene.patch_corners, scene.patch_normals, scene.patch_uvs,
-            scene.patch_item, consts.world, consts.camera_pos,
-            consts.frustum_planes, scene.patch_params,
-            scene.patch_tri_idx, scene.patch_tess_scale,
-            heightmap=scene.patch_heightmap,
-            disp_scale=scene.patch_disp_scale)
-        live_p = live_p & visible[ti_p]
-        clip_p = raster.transform_clip_corners(cp, ti_p, wvp)
-        clip_c = jnp.concatenate([clip_c, clip_p], axis=0)
-        corner_n = jnp.concatenate([corner_n, cn], axis=0)
-        corner_t = jnp.concatenate([corner_t, ct], axis=0)
-        corner_u = jnp.concatenate([corner_u, cu], axis=0)
-        tri_item = jnp.concatenate([tri_item, ti_p], axis=0)
-        tri_mask_c = jnp.concatenate([tri_mask_c, live_p], axis=0)
+    # quad + tri patch amplification (identical on every band: factors
+    # are camera-derived, so the sharded frame is seam-consistent)
+    clip_c, corner_n, corner_t, corner_u, tri_item, tri_mask_c = \
+        graph.append_amplified_patches(scene, consts, visible, wvp,
+                                       clip_c, corner_n, corner_t,
+                                       corner_u, tri_item, tri_mask_c)
     setup = raster.setup_triangles(clip_c, None, width, band_height,
                                    tri_mask=tri_mask_c,
                                    full_height=height, y_offset=y0)

@@ -104,6 +104,19 @@ class DeviceScene:
     patch_disp_scale: float = field(metadata=dict(static=True), default=0.0)
     patch_tess_scale: float = field(metadata=dict(static=True),
                                     default=100.0)
+    # TRI-domain material-driven tessellation (amplify_tri): control
+    # triangles of items whose material enables tessellation
+    tpatch_corners: jnp.ndarray = None    # [P, 3, 3]
+    tpatch_normals: jnp.ndarray = None    # [P, 3, 3]
+    tpatch_uvs: jnp.ndarray = None        # [P, 3, 2]
+    tpatch_item: jnp.ndarray = None       # [P]
+    tpatch_heightmap: jnp.ndarray = None  # [S, S]
+    tpatch_bary: jnp.ndarray = None       # [Vt, 3] template barycentrics
+    tpatch_tri_idx: jnp.ndarray = None    # [Tt, 3] template triangles
+    tpatch_disp_scale: float = field(metadata=dict(static=True),
+                                     default=0.0)
+    tpatch_tess_scale: float = field(metadata=dict(static=True),
+                                     default=100.0)
 
 
 def _bucket(n: int, minimum: int = 256) -> int:
@@ -163,6 +176,22 @@ def upload_scene(buffers, bucketize: bool = True) -> DeviceScene:
             patch_tri_idx=jnp.asarray(tri_idx),
             patch_disp_scale=float(buffers.patch_disp_scale),
             patch_tess_scale=float(buffers.patch_tess_scale),
+        )
+    if getattr(buffers, "tpatch_corners", None) is not None:
+        from ..ops import tessellation as tess
+        bary, tri_idx_t = tess.build_tri_template()
+        patch_kw.update(
+            tpatch_corners=jnp.asarray(buffers.tpatch_corners),
+            tpatch_normals=jnp.asarray(buffers.tpatch_normals),
+            tpatch_uvs=jnp.asarray(buffers.tpatch_uvs),
+            tpatch_item=jnp.asarray(buffers.tpatch_item),
+            tpatch_heightmap=(jnp.asarray(buffers.tpatch_heightmap)
+                              if buffers.tpatch_heightmap is not None
+                              else None),
+            tpatch_bary=jnp.asarray(bary),
+            tpatch_tri_idx=jnp.asarray(tri_idx_t),
+            tpatch_disp_scale=float(buffers.tpatch_disp_scale),
+            tpatch_tess_scale=float(buffers.tpatch_tess_scale),
         )
     return DeviceScene(
         **patch_kw,
@@ -299,6 +328,46 @@ def _attrs_from_gbuf(scene: DeviceScene, consts: FrameConstants,
     }, mask
 
 
+def append_amplified_patches(scene: DeviceScene, consts: FrameConstants,
+                             visible, wvp, clip_c, corner_n, corner_t,
+                             corner_u, tri_item, tri_mask_c):
+    """Amplify the scene's QUAD patch sets (mesh-level, Terrain) and TRI
+    patch sets (material-driven, Material.tessellation_enabled) through
+    their static fractional-odd templates (ops/tessellation.py) and
+    append the per-frame corner tables to the static ones. Shared by the
+    single-chip geometry pass and the multichip band renderer (factors
+    are camera-derived, so bands stay seam-consistent)."""
+    from ..ops import tessellation as tess
+
+    produced = []
+    if scene.patch_corners is not None:
+        produced.append(tess.amplify(
+            scene.patch_corners, scene.patch_normals, scene.patch_uvs,
+            scene.patch_item, consts.world, consts.camera_pos,
+            consts.frustum_planes, scene.patch_params,
+            scene.patch_tri_idx, scene.patch_tess_scale,
+            heightmap=scene.patch_heightmap,
+            disp_scale=scene.patch_disp_scale))
+    if scene.tpatch_corners is not None:
+        produced.append(tess.amplify_tri(
+            scene.tpatch_corners, scene.tpatch_normals, scene.tpatch_uvs,
+            scene.tpatch_item, consts.world, consts.camera_pos,
+            consts.frustum_planes, scene.tpatch_bary,
+            scene.tpatch_tri_idx, scene.tpatch_tess_scale,
+            heightmap=scene.tpatch_heightmap,
+            disp_scale=scene.tpatch_disp_scale))
+    for cp, cn, ct, cu, ti_p, live_p in produced:
+        live_p = live_p & visible[ti_p]
+        clip_p = raster.transform_clip_corners(cp, ti_p, wvp)
+        clip_c = jnp.concatenate([clip_c, clip_p], axis=0)
+        corner_n = jnp.concatenate([corner_n, cn], axis=0)
+        corner_t = jnp.concatenate([corner_t, ct], axis=0)
+        corner_u = jnp.concatenate([corner_u, cu], axis=0)
+        tri_item = jnp.concatenate([tri_item, ti_p], axis=0)
+        tri_mask_c = jnp.concatenate([tri_mask_c, live_p], axis=0)
+    return clip_c, corner_n, corner_t, corner_u, tri_item, tri_mask_c
+
+
 def geometry_pass(scene: DeviceScene, consts: FrameConstants,
                   width: int, height: int, msaa: bool = False,
                   use_gbuf: bool = True, return_binned: bool = False):
@@ -345,26 +414,10 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
                                         scene.corner_tangents,
                                         scene.corner_uvs)
         tri_mask_c = tri_mask[:tl]
-        if scene.patch_corners is not None:
-            # quad-patch tessellation: amplify control patches through the
-            # static fractional-odd template (ops/tessellation.py) and
-            # append the per-frame corner tables to the static ones
-            from ..ops import tessellation as tess
-            cp, cn, ct, cu, ti_p, live_p = tess.amplify(
-                scene.patch_corners, scene.patch_normals, scene.patch_uvs,
-                scene.patch_item, consts.world, consts.camera_pos,
-                consts.frustum_planes, scene.patch_params,
-                scene.patch_tri_idx, scene.patch_tess_scale,
-                heightmap=scene.patch_heightmap,
-                disp_scale=scene.patch_disp_scale)
-            live_p = live_p & visible[ti_p]
-            clip_p = raster.transform_clip_corners(cp, ti_p, wvp)
-            clip_c = jnp.concatenate([clip_c, clip_p], axis=0)
-            corner_n = jnp.concatenate([corner_n, cn], axis=0)
-            corner_t = jnp.concatenate([corner_t, ct], axis=0)
-            corner_u = jnp.concatenate([corner_u, cu], axis=0)
-            tri_item = jnp.concatenate([tri_item, ti_p], axis=0)
-            tri_mask_c = jnp.concatenate([tri_mask_c, live_p], axis=0)
+        clip_c, corner_n, corner_t, corner_u, tri_item, tri_mask_c = \
+            append_amplified_patches(scene, consts, visible, wvp, clip_c,
+                                     corner_n, corner_t, corner_u,
+                                     tri_item, tri_mask_c)
         setup = raster.setup_triangles(clip_c, None, width, height,
                                        tri_mask=tri_mask_c)
         extra = raster.pack_gbuf_extra_corners(

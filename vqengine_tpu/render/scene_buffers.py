@@ -68,6 +68,17 @@ class SceneBuffers:
     patch_heightmap: np.ndarray | None = None  # [S, S]
     patch_disp_scale: float = 0.0
     patch_tess_scale: float = 100.0
+    # TRI-domain material-driven tessellation (Material.tessellation_enabled,
+    # the reference Material.h packed tess byte): base-LOD triangles of
+    # such items promote to control patches, amplified per frame by
+    # ops/tessellation.amplify_tri. Same suffix contract as quad patches.
+    tpatch_corners: np.ndarray | None = None   # [P, 3, 3]
+    tpatch_normals: np.ndarray | None = None   # [P, 3, 3]
+    tpatch_uvs: np.ndarray | None = None       # [P, 3, 2]
+    tpatch_item: np.ndarray | None = None      # [P] int32
+    tpatch_heightmap: np.ndarray | None = None  # [S, S]
+    tpatch_disp_scale: float = 0.0
+    tpatch_tess_scale: float = 100.0
     num_tris_main: int | None = None           # None = all triangles
 
     @property
@@ -169,11 +180,53 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
             raise ValueError(
                 "mixing displaced and non-displaced patch sets in one "
                 "scene — the merged displacement field is scene-global")
+    # material-driven TRI-domain tessellation: items whose material
+    # enables tessellation (Material.h packed tess byte) promote their
+    # base-LOD triangles to control patches (ops/tessellation.amplify_tri)
+    tpc_l, tpn_l, tpuv_l, tpitem_l = [], [], [], []
+    thm, tdisp, ttess = None, 0.0, 100.0
+    for i, it in enumerate(items):
+        mat = materials[item_mat[i]] if item_mat[i] < len(materials) else None
+        if (mat is None or not getattr(mat, "tessellation_enabled", False)
+                or getattr(it.mesh, "patches", None) is not None):
+            continue
+        lod0 = it.mesh.lods[0]
+        tpc_l.append(lod0.positions[lod0.indices].astype(np.float32))
+        tpn_l.append(lod0.normals[lod0.indices].astype(np.float32))
+        tpuv_l.append(lod0.uvs[lod0.indices].astype(np.float32))
+        tpitem_l.append(np.full(lod0.num_triangles, i, np.int32))
+        hm_i = getattr(mat, "height_map_image", None)
+        disp_i = float(getattr(mat, "displacement", 0.0))
+        tess_i = float(getattr(mat, "tessellation_scale", 100.0))
+        if hm_i is not None:
+            if thm is None:
+                thm, tdisp, ttess = hm_i, disp_i, tess_i
+            elif (thm is not hm_i or tdisp != disp_i or ttess != tess_i):
+                raise ValueError(
+                    "tessellated materials with differing heightmap/"
+                    "displacement/tessellation_scale in one scene — the "
+                    "merged displacement field is scene-global")
+        elif thm is not None:
+            raise ValueError(
+                "mixing displaced and non-displaced tessellated materials "
+                "in one scene — the merged displacement field is "
+                "scene-global")
+        elif len(tpitem_l) == 1:
+            ttess = tess_i
+        elif ttess != tess_i:
+            raise ValueError(
+                "tessellated materials with differing tessellation_scale "
+                "in one scene — factors are scene-global (crack-free "
+                "seams need shared edge factors)")
+
     num_tris_main = None
-    if pc_l:
-        is_patch_item = np.zeros(len(items), bool)
-        is_patch_item[np.unique(np.concatenate(pitem_l))] = True
-        tri_is_base = is_patch_item[tri_item]
+    if pc_l or tpc_l:
+        is_amp_item = np.zeros(len(items), bool)
+        if pc_l:
+            is_amp_item[np.unique(np.concatenate(pitem_l))] = True
+        if tpc_l:
+            is_amp_item[np.unique(np.concatenate(tpitem_l))] = True
+        tri_is_base = is_amp_item[tri_item]
         order = np.argsort(tri_is_base, kind="stable")
         indices, tri_item, tri_lod = (indices[order], tri_item[order],
                                       tri_lod[order])
@@ -205,6 +258,13 @@ def build_scene_buffers(items: list[DrawItem], materials: list[Material],
         patch_heightmap=hm,
         patch_disp_scale=disp,
         patch_tess_scale=tess,
+        tpatch_corners=np.concatenate(tpc_l) if tpc_l else None,
+        tpatch_normals=np.concatenate(tpn_l) if tpc_l else None,
+        tpatch_uvs=np.concatenate(tpuv_l) if tpc_l else None,
+        tpatch_item=np.concatenate(tpitem_l) if tpc_l else None,
+        tpatch_heightmap=thm,
+        tpatch_disp_scale=tdisp,
+        tpatch_tess_scale=ttess,
         num_tris_main=num_tris_main,
     )
 
@@ -238,6 +298,13 @@ def split_transparent(buffers: SceneBuffers
             patch_heightmap=buffers.patch_heightmap if opaque else None,
             patch_disp_scale=buffers.patch_disp_scale,
             patch_tess_scale=buffers.patch_tess_scale,
+            tpatch_corners=buffers.tpatch_corners if opaque else None,
+            tpatch_normals=buffers.tpatch_normals if opaque else None,
+            tpatch_uvs=buffers.tpatch_uvs if opaque else None,
+            tpatch_item=buffers.tpatch_item if opaque else None,
+            tpatch_heightmap=buffers.tpatch_heightmap if opaque else None,
+            tpatch_disp_scale=buffers.tpatch_disp_scale,
+            tpatch_tess_scale=buffers.tpatch_tess_scale,
             positions=buffers.positions, normals=buffers.normals,
             tangents=buffers.tangents, uvs=buffers.uvs,
             item_of_vertex=buffers.item_of_vertex,

@@ -52,8 +52,15 @@ class Material:
     # one 32 B gather row — the material pass's two dense fetches become
     # one (fetch-count economy). Set by TextureManager.combine_pair_quads.
     pair_map: int = -1
-    # tessellation config (reference Material.h packed byte) — kept for parity
+    # tessellation config (reference Material.h packed tess byte): a mesh
+    # whose material enables tessellation promotes its base triangles to
+    # TRI-domain control patches (ops/tessellation.amplify_tri), displaced
+    # along normals by `displacement` x height_map_image (the engine fills
+    # the image from the height texture slot). tessellation_scale is the
+    # view distance at which the adaptive edge factor halves.
     tessellation_enabled: bool = False
+    tessellation_scale: float = 100.0
+    height_map_image: np.ndarray | None = None
 
     def texture_config(self) -> int:
         """Bitfield matching Material::GetTextureConfig / Has*Map (HLSL)."""

@@ -157,6 +157,23 @@ def augment_stress_test(rep: FSceneRepresentation, material_lib: dict,
                         (-50.0 + r * (2 * s + 2), 200.0 + mtl * (2 * s + 2), 0),
                         (s, s, s), mat.name, name=f"GradSphere[{r}][{mtl}]")
 
+    # material-driven TRI-domain tessellation exercise (Material.h's
+    # packed tess byte + Tessellation.hlsl's displacement path): a
+    # displaced rock — an ordinary cube whose MATERIAL enables
+    # tessellation, promoted to control patches by scene assembly
+    rock = Material(name="TessRock")
+    rock.diffuse = np.asarray([0.46, 0.41, 0.35], np.float32)
+    rock.roughness = 0.92
+    rock.tessellation_enabled = True
+    rock.tessellation_scale = 600.0
+    rock.displacement = 1.1
+    from .texture_manager import noise_texture
+    rock.height_map_image = noise_texture(64, base=0.35, amp=0.35,
+                                          seed=17)[..., 0]
+    material_lib[rock.name] = rock
+    _add_object(rep, "Cube", (0.0, 6.0, -70.0), (8.0, 8.0, 8.0),
+                "TessRock", name="TessRock0")
+
     # a default camera outside the cloud looking back at it (the reference
     # scene positions its camera in the XML; without one the default pose
     # sits inside the instance cloud)
