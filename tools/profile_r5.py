@@ -108,6 +108,19 @@ def main() -> None:
             c, msaa_edge_resolve=False, enable_ssao=False))
         print(f"  -> ssao +{mao - m0:.1f}  ssr +{msr - m0:.1f}", flush=True)
 
+    if "pcf" in which:
+        # VERDICT r4 #8: PCF at the full 5+5+1 budget vs the ESM default
+        pcf_maps = jax.jit(lambda s, c: graph.render_shadow_maps(
+            s, c, filter_mode="pcf"))(scene, cam_list[0])
+        e_ref = timed("shadows ESM (ladder cfg)", lambda c: fwd(
+            c, msaa_edge_resolve=False))
+        p_ref = timed("shadows PCF 5+5+1", lambda c: graph.render_forward(
+            scene, c, width=width, height=height, env=env,
+            enable_shadows=True, shadow_maps=pcf_maps, shadow_filter="pcf",
+            enable_ssao=True, enable_ssr=True, msaa=True,
+            msaa_edge_resolve=False)["ldr"].sum())
+        print(f"  -> PCF delta vs ESM: {p_ref - e_ref:+.1f} ms", flush=True)
+
     a = timed("anchor (no edge, no tex)",
               lambda c: fwd(c, msaa_edge_resolve=False))
     if "edge" in which:
