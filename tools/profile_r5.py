@@ -93,7 +93,7 @@ def main() -> None:
     def fwd(consts, **kw):
         out = graph.render_forward(
             scene, consts, width=width, height=height, env=env,
-            **base, **kw)
+            **{**base, **kw})
         return out["ldr"].sum() + out["depth"].sum()
 
     which = set(sys.argv[1:]) or {"edge", "tex", "full"}
