@@ -169,3 +169,27 @@ class TestEdgeResolve:
         # far from the intersection both renders agree exactly
         assert np.abs(on[:, : W // 8] - off[:, : W // 8]).max() < 1e-5
         assert np.abs(on[:, -W // 8:] - off[:, -W // 8:]).max() < 1e-5
+
+    def test_neighbor_compact_matches_dense_select(self):
+        """The compacted neighbor match (4 flat tri_id gathers + 1 hdr row
+        gather on the [cap] lanes) must produce the SAME image as the dense
+        full-frame 4-neighbor select it replaced — same candidate order,
+        same first-match semantics (graph.EDGE_NEIGHBOR_COMPACT A/B)."""
+        items, mats = _crossing_quads()
+        scene, consts = _scene_and_consts(items, mats)
+
+        def render():
+            out = graph.render_forward(
+                scene, consts, W, H, enable_shadows=False, msaa=True,
+                msaa_edge_resolve="neighbor")
+            return np.asarray(out["ldr"])
+
+        prev = graph.EDGE_NEIGHBOR_COMPACT
+        try:
+            graph.EDGE_NEIGHBOR_COMPACT = True
+            compact = render()
+            graph.EDGE_NEIGHBOR_COMPACT = False
+            dense = render()
+        finally:
+            graph.EDGE_NEIGHBOR_COMPACT = prev
+        np.testing.assert_allclose(compact, dense, atol=1e-6)

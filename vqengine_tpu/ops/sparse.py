@@ -110,10 +110,22 @@ def adaptive_threshold(score: jnp.ndarray, thresholds, cap: int,
     demand_blocks at thr). If even the top threshold overflows, the top
     one is returned and compact_indices truncates (loud via telemetry)."""
     capb = cap // block
+    # reduce the score to per-block MAX once, then count rungs on the
+    # reduced array: any(score > t in block) == (max(block) > t), so the
+    # ladder's per-rung dense compare+reduce shrinks by `block`x (at 2M
+    # source elements and 9 rungs that is 9 full-frame passes -> 9 passes
+    # over N/8)
+    if block > 1 and score.ndim == 2 and score.shape[1] % block == 0:
+        h, w = score.shape
+        counted = score.reshape(h, w // block, block).max(axis=2)
+        cblock = 1
+    else:
+        counted = score
+        cblock = block
     thr = jnp.float32(thresholds[-1])
-    demand = block_count(score > thresholds[-1], block)
+    demand = block_count(counted > thresholds[-1], cblock)
     for t in reversed(thresholds[:-1]):
-        c = block_count(score > t, block)
+        c = block_count(counted > t, cblock)
         fits = c <= capb
         thr = jnp.where(fits, jnp.float32(t), thr)
         demand = jnp.where(fits, c, demand)

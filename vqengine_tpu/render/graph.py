@@ -21,6 +21,17 @@ from ..ops import ssao as ssao_ops
 from ..ops import postprocess as pp
 from ..ops import ssr as ssr_ops
 
+# Adaptive-pass capacity fractions (frame pixels / frac), read at trace
+# time — profiler ladders (tools/profile_r5*.py) re-bind them between jit
+# builds to measure cap economics. Values are the measured knee of the
+# cost/saturation trade on the bench scene (BASELINE.md r4/r5 ladders).
+MSAA_EDGE_CAP_FRAC = 16   # per-sample edge resolve compaction
+TEX_ANISO_WALK_FRAC = 16  # anisotropic ellipse-walk refinement
+# neighbor-color edge resolve: match + fetch on the compacted lanes (4
+# flat tri_id gathers + 1 hdr row gather at [cap]) instead of the dense
+# full-frame 4-neighbor select; A/B'd in tools/profile_r5c.py
+EDGE_NEIGHBOR_COMPACT = True
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -583,7 +594,8 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
             # the budget on the most anisotropic pixels first
             diffuse_s, aux = tex_ops.sample_texture_pair_aniso(
                 textures, pid, slot_id(0), uv_t, num_taps=aniso_taps,
-                jitter=mip_jitter, adaptive_frac=16, telemetry=telemetry)
+                jitter=mip_jitter, adaptive_frac=TEX_ANISO_WALK_FRAC,
+                telemetry=telemetry)
         else:
             diffuse_s, aux = tex_ops.sample_texture_pair(
                 textures, pid, uv_t, lod, jitter=mip_jitter)
@@ -598,7 +610,7 @@ def material_pass(scene: DeviceScene, tri_id: jnp.ndarray,
                 # aniso_taps (see the adaptive_frac note above).
                 diffuse_s = tex_ops.sample_texture_array_aniso(
                     textures, slot_id(0), uv_t, num_taps=aniso_taps,
-                    jitter=mip_jitter, adaptive_frac=16,
+                    jitter=mip_jitter, adaptive_frac=TEX_ANISO_WALK_FRAC,
                     telemetry=telemetry)
             else:
                 diffuse_s = sample(0)
@@ -1139,33 +1151,63 @@ def _msaa_edge_neighbor(attrs: dict, tri_id: jnp.ndarray,
     from ..ops import msaa as msaa_ops
     from ..ops import sparse
 
-    cap = -(-max(4096, (width * height) // 16) // 4096) * 4096
+    cap = -(-max(4096, (width * height) // MSAA_EDGE_CAP_FRAC) // 4096) * 4096
     object_id = attrs["ids"][..., 0].astype(jnp.int32)
     det = halo if halo is not None else (tri_id, depth, object_id, mask)
+    pad = 1 if halo is not None else 0
     idx, live, sec_id, n_sec, _px, _py = msaa_ops.resolve_secondary(
         attrs["records"], det[0], det[1], det[2], det[3], cov_s, cap,
-        pad=1 if halo is not None else 0, telemetry=telemetry)
-    sec_img = sparse.scatter_pixels(
-        jnp.full((height, width), -1, jnp.int32), idx, sec_id, live)
-    w_img = sparse.scatter_pixels(
-        jnp.zeros((height, width), jnp.float32), idx, n_sec * 0.25, live)
-    tid_p = det[0]
+        pad=pad, telemetry=telemetry)
+    # COMPACTED neighbor match: the secondary surface's color comes from
+    # the 4-neighbor pixel whose primary winner IS that surface — matched
+    # on the [cap] lanes (4 flat tri_id gathers + ONE hdr row gather)
+    # instead of a dense full-frame 4-neighbor select (4 shifted passes
+    # over tri_id + hdr at 2M pixels).
+    tid_flat = det[0].reshape(-1)
     hdr_p = hdr if hdr_halo is None else hdr_halo
-    found = jnp.zeros((height, width), bool)
-    sec_rgb = jnp.zeros((height, width, 3), hdr.dtype)
+    if not EDGE_NEIGHBOR_COMPACT:
+        # dense full-frame 4-neighbor select (the r5 first cut; kept for
+        # the A/B ladder)
+        sec_img = sparse.scatter_pixels(
+            jnp.full((height, width), -1, jnp.int32), idx, sec_id, live)
+        w_img = sparse.scatter_pixels(
+            jnp.zeros((height, width), jnp.float32), idx, n_sec * 0.25, live)
+        found = jnp.zeros((height, width), bool)
+        sec_rgb = jnp.zeros((height, width, 3), hdr.dtype)
+        for dy, dx in msaa_ops.NEIGHBOR_OFFSETS:
+            nb_id = msaa_ops._shift(det[0], dy, dx)
+            nb_hdr = msaa_ops._shift(hdr_p, dy, dx)
+            if halo is not None:
+                nb_id = nb_id[1:-1]
+                nb_hdr = nb_hdr[1:-1]
+            match = (~found) & (nb_id == sec_img)
+            sec_rgb = jnp.where(match[..., None], nb_hdr, sec_rgb)
+            found = found | match
+        w_img = jnp.where(found, w_img, 0.0)
+        return w_img, sec_rgb * w_img[..., None]
+    hdr_flat = hdr_p.reshape(-1, 3)
+    hp, wp = det[0].shape  # padded dims (wp == width; hp == height + 2*pad)
+    px_i = idx % width
+    py_i = idx // width + pad  # interior idx -> padded row
+    sel = jnp.zeros(idx.shape, jnp.int32)
+    found = jnp.zeros(idx.shape, bool)
     for dy, dx in msaa_ops.NEIGHBOR_OFFSETS:
-        nb_id = msaa_ops._shift(tid_p, dy, dx)
-        nb_hdr = msaa_ops._shift(hdr_p, dy, dx)
-        if halo is not None:
-            nb_id = nb_id[1:-1]
-            nb_hdr = nb_hdr[1:-1]
-        match = (~found) & (nb_id == sec_img)
-        sec_rgb = jnp.where(match[..., None], nb_hdr, sec_rgb)
+        ny = jnp.clip(py_i + dy, 0, hp - 1)
+        nx = jnp.clip(px_i + dx, 0, wp - 1)
+        nidx = ny * wp + nx
+        match = (~found) & (tid_flat[nidx] == sec_id)
+        sel = jnp.where(match, nidx, sel)
         found = found | match
-    # sec_img == -1 never matches (tri ids >= 0; background BG_ID < 0
-    # pixels scatter no secondary); unfound secondaries keep the primary
-    w_img = jnp.where(found, w_img, 0.0)
-    return w_img, sec_rgb * w_img[..., None]
+    sec_rgb_c = hdr_flat[sel]                           # [cap, 3] row gather
+    # sec_id == own (n_sec == 0) or unfound secondaries keep the primary;
+    # background never scatters (live already excludes n_sec == 0)
+    w_c = jnp.where(found, n_sec * 0.25, 0.0)
+    w_img = sparse.scatter_pixels(
+        jnp.zeros((height, width), jnp.float32), idx, w_c, live)
+    sec_w = sparse.scatter_pixels(
+        jnp.zeros((height, width, 3), hdr.dtype), idx,
+        sec_rgb_c * w_c[..., None], live)
+    return w_img, sec_w
 
 
 def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
@@ -1210,7 +1252,7 @@ def _msaa_edge_secondary(scene: DeviceScene, consts: FrameConstants,
     # secondary shade (a [1, cap] layout runs sublane-starved). Block
     # compaction (8-lane blocks) holds ~half-full blocks along
     # silhouettes (measured demand 1.61x the old 1/32 element cap).
-    cap = -(-max(4096, (width * height) // 16) // 4096) * 4096
+    cap = -(-max(4096, (width * height) // MSAA_EDGE_CAP_FRAC) // 4096) * 4096
     c2 = 512
     r2n = cap // c2
 
@@ -1505,16 +1547,17 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
         # pyramid gather); DNSR's prefilter + temporal resolve run at half
         # resolution, recovering edge stability, and the composite happens
         # at full resolution with the Fresnel weight.
-        # ray classification (SSSR ClassifyTiles, as compaction): only
-        # pixels the composite can weight above zero march — gloss
-        # (apply_reflections) zeroes roughness >= 0.707 outright
-        gloss = jnp.clip(
-            1.0 - mat["roughness"] * mat["roughness"] * 2.0, 0.0, 1.0)
-        wq = pool2(pool2(jnp.where(mask, gloss, 0.0)))
+        # rays run DENSE at quarter res: the SSSR ClassifyTiles-style ray
+        # compaction (ray_frac=2) measured as a net LOSS here — the
+        # march's per-step gathers at 130k rays are already cheap, and the
+        # compaction's gather/scatter overhead exceeds the march savings
+        # (r5 A/B: dense 116.8 vs frac2 119.5 ms/frame; tools/
+        # profile_r5ss.py). trace_reflections keeps the compacted path
+        # for callers with denser ray budgets.
         refl_q, conf_q = ssr_ops.trace_reflections(
             pool2(pool2(hdr)), pool2(pool2(depth)), pool2(pool2(n)),
             consts.view_matrix, consts.proj_params,
-            ray_weight=wq, ray_frac=2, telemetry=tel)
+            ray_frac=None, telemetry=tel)
         hh, hw = pool2(depth).shape[:2]
         refl_h = up2_fit(refl_q, hh, hw)
         conf_h = up2_fit(conf_q, hh, hw)
