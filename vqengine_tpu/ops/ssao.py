@@ -124,7 +124,11 @@ def _occlusion_sum(taps: np.ndarray, px, py, pos_v, nrm_v, radius_px_y,
 PRESETS = {
     "lowest": (4, 0, False),
     "low": (6, 0, False),
-    "medium": (8, 6, False),
+    # medium is DENSE 12: the 8+6-adaptive variant costs +11.9 ms of
+    # compaction overhead vs ~1.15 ms/dense tap on TPU (BASELINE.md r5
+    # A/B, tools/profile_r5c.py) — dense 12 is both faster and closer to
+    # ground truth than 8 base + 6 refined
+    "medium": (12, 0, False),
     "high": (12, 8, False),
     "adaptive": (12, 12, True),
 }

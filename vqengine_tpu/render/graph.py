@@ -25,8 +25,8 @@ from ..ops import ssr as ssr_ops
 # time — profiler ladders (tools/profile_r5*.py) re-bind them between jit
 # builds to measure cap economics. Values are the measured knee of the
 # cost/saturation trade on the bench scene (BASELINE.md r4/r5 ladders).
-MSAA_EDGE_CAP_FRAC = 16   # per-sample edge resolve compaction
-TEX_ANISO_WALK_FRAC = 16  # anisotropic ellipse-walk refinement
+MSAA_EDGE_CAP_FRAC = 32   # per-sample edge resolve compaction
+TEX_ANISO_WALK_FRAC = 32  # anisotropic ellipse-walk refinement
 # neighbor-color edge resolve: match + fetch on the compacted lanes (4
 # flat tri_id gathers + 1 hdr row gather at [cap]) instead of the dense
 # full-frame 4-neighbor select; A/B'd in tools/profile_r5c.py
