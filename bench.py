@@ -216,6 +216,21 @@ def main() -> None:
     # (STATIC light mobility) and the per-frame cost is the visibility test
     shadow_maps = jax.jit(graph.render_shadow_maps)(scene, cam_list[0])
 
+    # demand-sized binning capacity: probe the sweep's pair demand with
+    # the front-end-only jit, then bin at a pow2 bucket with 2x headroom
+    # (raster.pair_cap_bucket — the engine adopts the same bucket from
+    # frame telemetry, VQRendererTPU._update_pair_bucket). The overflow
+    # assert below keeps this honest: a demand spike past the bucket
+    # would drop pairs and fail the run.
+    from vqengine_tpu.ops import raster
+    probe = jax.jit(lambda s, c: graph.probe_pair_demand(s, c, width,
+                                                         height))
+    dem = 0
+    for i in range(n):
+        ci = jax.tree_util.tree_map(lambda x: x[i], consts_batch)
+        dem = max(dem, int(np.asarray(probe(scene, ci))))
+    pair_cap = raster.pair_cap_bucket(dem, int(scene.num_tris_live))
+
     @jax.jit
     def run_n(scene, consts_batch, env, shadow_maps, textures):
         # SSR history carries ACROSS frames (the DNSR temporal path is
@@ -234,7 +249,7 @@ def main() -> None:
                 # the stress scene is static (camera-only motion): the
                 # engine's animation registry would report no moved items
                 dynamic_item_ids=(),
-                ssr_history=hist,
+                ssr_history=hist, pair_capacity=pair_cap,
                 env=env, shadow_maps=shadow_maps)
             acc = acc + out["ldr"].sum() + out["depth"].sum()
             oflow = jnp.maximum(oflow, out["overflow"].max())
@@ -296,7 +311,7 @@ def main() -> None:
                 def frame(carry, consts_i):
                     out = graph.render_forward(
                         scene, consts_i, width=width, height=height,
-                        env=env, **kw)
+                        env=env, pair_capacity=pair_cap, **kw)
                     return carry + out["ldr"].sum() + out["depth"].sum(), ()
                 tot, _ = jax.lax.scan(frame, jnp.float32(0.0), consts_batch)
                 return tot

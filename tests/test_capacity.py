@@ -97,3 +97,63 @@ def test_capacity_headroom_bench_1080p():
     """Full bench contract: 1920x1080 at the camera-sweep extremes
     (bench.py sweeps yaw = -90 + 4 sin — extremes at +/-4 deg)."""
     _assert_contract(_render_extremes(1920, 1080))
+
+
+def test_pair_cap_bucket_properties():
+    from vqengine_tpu.ops import raster
+    # floor: small scenes share one 64k bucket (no recompile treadmill)
+    assert raster.pair_cap_bucket(0) == 65536
+    assert raster.pair_cap_bucket(30000) == 65536
+    # {2^k, 1.5*2^k} ladder >= 1.5x demand, GROUP-aligned, monotone
+    assert raster.pair_cap_bucket(42409) == 65536
+    assert raster.pair_cap_bucket(50000) == 98304
+    assert raster.pair_cap_bucket(131072) == 196608
+    for d in (0, 1, 40000, 99999, 10**6):
+        b = raster.pair_cap_bucket(d)
+        assert 2 * b >= 3 * d and b % raster.GROUP == 0
+    assert (raster.pair_cap_bucket(100000)
+            >= raster.pair_cap_bucket(50000))
+    # t clamps at bin_triangles' own safe default
+    safe = 1024 + max(8192, 1024 // 4)
+    assert raster.pair_cap_bucket(10**9, t=1024) <= \
+        -(-safe // raster.GROUP) * raster.GROUP
+
+
+def test_tight_pair_cap_bitwise_parity():
+    """Binning is capacity-INVARIANT while demand <= cap (dead pairs
+    sort past every bin segment): the demand-sized bucket must
+    reproduce the default-cap frame bit for bit, with zero overflow."""
+    import jax
+
+    from bench import build_sponza_stress
+    from vqengine_tpu.ops import raster
+    from vqengine_tpu.render import graph
+    from vqengine_tpu.render.renderer import VQRendererTPU
+    from vqengine_tpu.scene.camera import Camera, FCameraParameters
+
+    w, h = 480, 272
+    buffers, lights, textures = build_sponza_stress()
+    scene = graph.upload_scene(buffers)
+    p = FCameraParameters()
+    p.position = np.array([700, 170, -50], np.float32)
+    p.pitch_deg, p.yaw_deg = 15.0, -90.0
+    p.fov_v_deg, p.near_z, p.far_z = 60.0, 0.5, 4000.0
+    cam = Camera(p, aspect=w / h)
+    consts = VQRendererTPU().build_frame_constants(buffers, cam, lights)
+
+    dem = int(np.asarray(jax.jit(
+        lambda s, c: graph.probe_pair_demand(s, c, w, h))(scene, consts)))
+    bucket = raster.pair_cap_bucket(dem, int(scene.num_tris_live))
+    assert bucket >= 2 * dem
+
+    def render(cap):
+        return jax.jit(lambda s, c: graph.render_forward(
+            s, c, width=w, height=h, msaa=True,
+            pair_capacity=cap))(scene, consts)
+
+    a = render(None)
+    b = render(bucket)
+    assert int(np.asarray(b["overflow"]).max()) == 0
+    assert int(np.asarray(b["pair_demand"])) == dem
+    assert np.array_equal(np.asarray(a["depth"]), np.asarray(b["depth"]))
+    assert np.array_equal(np.asarray(a["ldr"]), np.asarray(b["ldr"]))

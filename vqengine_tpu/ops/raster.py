@@ -50,7 +50,12 @@ from ._backend import pallas_call
 # barely grow (a 7 px triangle still covers 1-2 tiles either way).
 TILE_H = 16
 TILE_W = 128
-GROUP = 128           # triangles per DMA'd group block (one lane vector)
+# triangles per DMA'd group block. Segment bounds round out to whole
+# groups, so at low pair demand the kernel's floor is ~tiles * GROUP
+# evaluated slots — a smaller group trades DMA row width (GROUP * 4 B)
+# for less rounding waste. Env-tunable for the A/B ladder
+# (tools/profile_r5grp.py); 128 = one full lane vector.
+GROUP = int(os.environ.get("VQE_GROUP", "128"))
 PAIR_ROWS = 16        # rows per group block: e0(3) e1(3) e2(3) dp(3) id(1) pad(3)
 K_MAX_DEFAULT = 16    # max tiles a binned triangle may cover (16px-tall
 #                       tiles double the vertical span of mid-size tris)
@@ -352,8 +357,13 @@ class BinnedTriangles:
     gpairs: jnp.ndarray     # [NGG, R, GROUP] global (near-plane) blocks
     gmeta: jnp.ndarray      # [2] int32: (gcount, tiles_x)
     overflow: jnp.ndarray   # [3] int32: (pairs, row pairs, globals dropped)
+    # measured per-frame pair demand (sum of per-triangle cover counts) —
+    # feeds the demand-sized capacity buckets (pair_cap_bucket); demand >
+    # pair_cap <=> overflow[0] > 0
+    demand: jnp.ndarray | None = None
     tiles_x: int = field(metadata=dict(static=True), default=0)
     tiles_y: int = field(metadata=dict(static=True), default=0)
+    pair_cap: int = field(metadata=dict(static=True), default=0)
 
 
 def _radix_rank_pass(bucket: jnp.ndarray, payload: jnp.ndarray,
@@ -545,7 +555,64 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     return BinnedTriangles(pairs=pairs, starts=starts,
                            rpairs=rpairs, rstarts=rstarts,
                            gpairs=gpairs, gmeta=gmeta, overflow=overflow,
-                           tiles_x=tiles_x, tiles_y=tiles_y)
+                           demand=nc_all.sum(dtype=jnp.int32),
+                           tiles_x=tiles_x, tiles_y=tiles_y,
+                           pair_cap=cap_all)
+
+
+def pair_demand_of(setup: TriangleSetup,
+                   k_max: int = K_MAX_DEFAULT) -> jnp.ndarray:
+    """The pair count bin_triangles will emit for this setup (fine tier:
+    covered tiles; row tier: covered tile rows) — the demand side of
+    pair_cap_bucket. Keep the tiering rules in sync with bin_triangles."""
+    span_w = setup.tile_hi[:, 0] - setup.tile_lo[:, 0] + 1
+    span_h = setup.tile_hi[:, 1] - setup.tile_lo[:, 1] + 1
+    ncover = span_w * span_h
+    small = setup.valid & ~setup.big & (ncover <= k_max)
+    medium = setup.valid & ~setup.big & (ncover > k_max)
+    return jnp.where(small, ncover,
+                     jnp.where(medium, span_h, 0)
+                     ).astype(jnp.int32).sum()
+
+
+def pair_cap_bucket(demand: int, t: int | None = None) -> int:
+    """Demand-sized pair capacity for bin_triangles.
+
+    The binning pipeline's cost is CAP-proportional (fill/cummax, two
+    radix-rank passes, the [cap, R] record gather — measured 32.6 ms at
+    cap 347k vs 19.5 at cap 111k on the bench scene, tools/
+    profile_bin4.py), while the default cap is sized to the TRIANGLE
+    BUFFER (T + T/4) — after frustum cull + LOD selection the live
+    demand is typically a small fraction of T (bench scene: 42k of 347k,
+    12%). This picks a static bucket >= 1.5x a measured demand from the
+    {2^k, 1.5 * 2^k} ladder, the PSO-permutation analog of a driver
+    sizing its bin buffers: log-spaced buckets bound recompiles, the
+    64k floor keeps small scenes on one bucket, and `t` clamps at the
+    safe default cap (the bucket never exceeds what bin_triangles would
+    pick on its own). Demand rides BinnedTriangles.demand /
+    out["saturation"]["raster_pairs"]; a frame whose demand outgrows
+    the bucket sets overflow[0] > 0 and the caller regrows
+    (VQRendererTPU.render), the GPU bin-overflow flush-and-resize
+    analog."""
+    need = max(65536, (3 * int(demand) + 1) // 2)
+    bucket = GROUP
+    while bucket < need:
+        bucket *= 2
+    # the half-step below a full doubling (1.5 * 2^k) halves the average
+    # over-allocation — binning cost is cap-proportional
+    if bucket // 2 * 3 // 2 >= need and bucket // 2 >= GROUP:
+        bucket = bucket // 2 * 3 // 2
+    if t is not None:
+        bucket = min(bucket, default_pair_cap(t))
+    return bucket
+
+
+def default_pair_cap(t: int) -> int:
+    """The safe T-sized cap bin_triangles picks with pair_capacity=None
+    (see its comment for the sizing rationale)."""
+    safe = (max(GROUP, min(int(t), 4 * 1024 * 1024))
+            + max(8192, int(t) // 4))
+    return cdiv(safe, GROUP) * GROUP
 
 
 # ===========================================================================

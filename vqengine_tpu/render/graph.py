@@ -379,9 +379,68 @@ def append_amplified_patches(scene: DeviceScene, consts: FrameConstants,
     return clip_c, corner_n, corner_t, corner_u, tri_item, tri_mask_c
 
 
+def geometry_setup_gbuf(scene: DeviceScene, consts: FrameConstants,
+                        width: int, height: int):
+    """The raster front end: cull + LOD + corner transform + patch
+    amplification + triangle setup + packed G-buffer attributes. Shared
+    by geometry_pass and probe_pair_demand (which needs the setup's tile
+    spans without compiling the raster kernel)."""
+    visible, lod = culling.cull_and_select_lod(
+        consts.world, scene.aabb_center, scene.aabb_extent,
+        consts.frustum_planes, consts.view_proj, scene.item_num_lods)
+    tri_mask = culling.triangle_mask_from_items(
+        scene.tri_item, scene.tri_lod, visible, lod)
+    wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
+    # gather-free geometry front end: static corner tables sized to
+    # the live (unpadded) triangle count
+    tl = scene.num_tris_live
+    tri_item = scene.tri_item[:tl]
+    if scene.corner_morph_mid is not None:
+        # on-device continuous tessellation: lerp vertices toward
+        # their geomorph targets by the per-item distance factor
+        # (XLA CSEs the duplicate area/AABB math with culling's)
+        wc, we = culling.world_aabbs(
+            consts.world, scene.aabb_center, scene.aabb_extent)
+        area = culling.projected_bb_area(wc, we, consts.view_proj)
+        morph_w = culling.tessellation_morph_factor(
+            lod, area, scene.item_num_lods)
+        clip_c = raster.transform_clip_corners_morph(
+            scene.corner_positions, scene.corner_morph_mid, tri_item,
+            wvp, morph_w)
+    else:
+        clip_c = raster.transform_clip_corners(
+            scene.corner_positions, tri_item, wvp)
+    corner_n, corner_t, corner_u = (scene.corner_normals,
+                                    scene.corner_tangents,
+                                    scene.corner_uvs)
+    tri_mask_c = tri_mask[:tl]
+    clip_c, corner_n, corner_t, corner_u, tri_item, tri_mask_c = \
+        append_amplified_patches(scene, consts, visible, wvp, clip_c,
+                                 corner_n, corner_t, corner_u,
+                                 tri_item, tri_mask_c)
+    setup = raster.setup_triangles(clip_c, None, width, height,
+                                   tri_mask=tri_mask_c)
+    extra = raster.pack_gbuf_extra_corners(
+        corner_n, corner_t, corner_u,
+        tri_item, consts.normal_mats,
+        scene.item_material[tri_item], scene.item_object[tri_item])
+    return setup, extra
+
+
+def probe_pair_demand(scene: DeviceScene, consts: FrameConstants,
+                      width: int, height: int) -> jnp.ndarray:
+    """Measured binning pair demand for one frame — feeds
+    raster.pair_cap_bucket. Compiles only the geometry front end (no
+    raster kernel), so a per-scene probe jit is cheap."""
+    setup, _ = geometry_setup_gbuf(scene, consts, width, height)
+    return raster.pair_demand_of(setup)
+
+
 def geometry_pass(scene: DeviceScene, consts: FrameConstants,
                   width: int, height: int, msaa: bool = False,
-                  use_gbuf: bool = True, return_binned: bool = False):
+                  use_gbuf: bool = True, return_binned: bool = False,
+                  pair_capacity: int | None = None,
+                  tel: dict | None = None):
     """Vertex transform + cull/LOD + rasterize: produces the interpolated
     G-buffer (the depth-pre-pass + attribute interpolation stage; culling
     replaces Scene::CullFrustums, Scene.cpp:1272-1308).
@@ -392,50 +451,19 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
     from depth reconstruction. With msaa, the kernel tests coverage at the
     D3D 4x sample positions, resolves depth/attributes on the min-depth
     covered triangle (DepthResolve.hlsl), and returns coverage for the
-    silhouette blend."""
-    visible, lod = culling.cull_and_select_lod(
-        consts.world, scene.aabb_center, scene.aabb_extent,
-        consts.frustum_planes, consts.view_proj, scene.item_num_lods)
-    tri_mask = culling.triangle_mask_from_items(
-        scene.tri_item, scene.tri_lod, visible, lod)
+    silhouette blend.
 
-    wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
-
+    pair_capacity sizes the binning pair buffer (raster.pair_cap_bucket
+    demand buckets); None = the safe T-sized default."""
     if use_gbuf:
-        # gather-free geometry front end: static corner tables sized to
-        # the live (unpadded) triangle count
-        tl = scene.num_tris_live
-        tri_item = scene.tri_item[:tl]
-        if scene.corner_morph_mid is not None:
-            # on-device continuous tessellation: lerp vertices toward
-            # their geomorph targets by the per-item distance factor
-            # (XLA CSEs the duplicate area/AABB math with culling's)
-            wc, we = culling.world_aabbs(
-                consts.world, scene.aabb_center, scene.aabb_extent)
-            area = culling.projected_bb_area(wc, we, consts.view_proj)
-            morph_w = culling.tessellation_morph_factor(
-                lod, area, scene.item_num_lods)
-            clip_c = raster.transform_clip_corners_morph(
-                scene.corner_positions, scene.corner_morph_mid, tri_item,
-                wvp, morph_w)
-        else:
-            clip_c = raster.transform_clip_corners(
-                scene.corner_positions, tri_item, wvp)
-        corner_n, corner_t, corner_u = (scene.corner_normals,
-                                        scene.corner_tangents,
-                                        scene.corner_uvs)
-        tri_mask_c = tri_mask[:tl]
-        clip_c, corner_n, corner_t, corner_u, tri_item, tri_mask_c = \
-            append_amplified_patches(scene, consts, visible, wvp, clip_c,
-                                     corner_n, corner_t, corner_u,
-                                     tri_item, tri_mask_c)
-        setup = raster.setup_triangles(clip_c, None, width, height,
-                                       tri_mask=tri_mask_c)
-        extra = raster.pack_gbuf_extra_corners(
-            corner_n, corner_t, corner_u,
-            tri_item, consts.normal_mats,
-            scene.item_material[tri_item], scene.item_object[tri_item])
-        binned = raster.bin_triangles(setup, width, height, extra=extra)
+        setup, extra = geometry_setup_gbuf(scene, consts, width, height)
+        binned = raster.bin_triangles(setup, width, height, extra=extra,
+                                      pair_capacity=pair_capacity)
+        if tel is not None:
+            # demand/cap like every adaptive compaction; > 1.0 <=> pairs
+            # dropped (overflow[0] > 0) — callers regrow the bucket
+            tel["raster_pairs"] = (binned.demand.astype(jnp.float32)
+                                   / binned.pair_cap)
         coverage = None
         if msaa:
             depth, tri_id, gbuf, coverage = raster.rasterize_gbuf(
@@ -449,6 +477,9 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
         # callers can detect silently-dropped geometry (the debug-layer
         # discipline of Renderer.cpp:233-240; see engine.run's probe)
         attrs["overflow"] = binned.overflow
+        # absolute pair demand rides with the frame so VQRendererTPU can
+        # size the next compile's capacity bucket (pair_cap_bucket)
+        attrs["pair_demand"] = binned.demand
         if msaa:
             # per-triangle record table for the post-kernel per-sample
             # edge resolve (XLA CSEs the duplicate packing in bin_triangles)
@@ -458,6 +489,12 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
         return depth, tri_id, attrs, mask, coverage
 
     # resolve-gather path (MSAA / use_gbuf=False): per-vertex tables
+    visible, lod = culling.cull_and_select_lod(
+        consts.world, scene.aabb_center, scene.aabb_extent,
+        consts.frustum_planes, consts.view_proj, scene.item_num_lods)
+    tri_mask = culling.triangle_mask_from_items(
+        scene.tri_item, scene.tri_lod, visible, lod)
+    wvp = jnp.einsum("ij,njk->nik", consts.view_proj, consts.world)
     n_items = consts.normal_mats.shape[0]
     nrm_v = palette.palette_lookup(
         scene.item_of_vertex, consts.normal_mats.reshape(n_items, 9)
@@ -473,7 +510,8 @@ def geometry_pass(scene: DeviceScene, consts: FrameConstants,
     world_v = consts.world[scene.item_of_vertex]            # [V,4,4]
     wpos = jnp.einsum("vij,vj->vi", world_v, pos4)[:, :3]
 
-    binned = raster.bin_triangles(setup, width, height)
+    binned = raster.bin_triangles(setup, width, height,
+                                  pair_capacity=pair_capacity)
     coverage = None
     if msaa:
         depth_s, tri_id_s = raster.rasterize(binned, width, height, msaa=True)
@@ -1371,7 +1409,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
                    slots_used: tuple | None = None,
                    ssao_quality: str = "medium",
                    msaa_edge_resolve: "bool | str" = True,
-                   dynamic_item_ids: tuple | None = None):
+                   dynamic_item_ids: tuple | None = None,
+                   pair_capacity: int | None = None):
     """Full forward frame: geometry -> SSAO -> shadows -> material ->
     shade -> skydome -> transparents -> tonemap. Returns a dict with
     ldr [H,W,3], depth [H,W], tri_id [H,W], object_id [H,W], and
@@ -1382,8 +1421,14 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
     scene_transparent: blended geometry (Model.h:45-65 transparent split)
     rendered as 2 depth-peeled layers composited back-to-front."""
     alpha_test = enable_alpha_mask and textures is not None
+    # adaptive-path capacity telemetry: every compaction (and the raster
+    # pair buffer) reports its demand/cap fraction; riding in
+    # out["saturation"] it gets the same loud-failure treatment as raster
+    # bin overflow (engine.run)
+    tel: dict = {}
     geo = geometry_pass(scene, consts, width, height, msaa=msaa,
-                        return_binned=alpha_test)
+                        return_binned=alpha_test,
+                        pair_capacity=pair_capacity, tel=tel)
     if alpha_test:
         depth, tri_id, attrs, mask, coverage, binned = geo
     else:
@@ -1397,10 +1442,6 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
     from ..ops import texture as tex_ops
     mip_jit = (tex_ops.mip_jitter(height, width)
                if textures is not None else None)
-    # adaptive-path capacity telemetry: every compaction reports its
-    # demand/cap fraction; riding in out["saturation"] it gets the same
-    # loud-failure treatment as raster bin overflow (engine.run)
-    tel: dict = {}
     mat = material_pass(scene, tri_id, uv=attrs["uv"], wnrm=wn, wtan=wt,
                         textures=textures,
                         mrow=attrs.get("mrow"), ids=attrs.get("ids"),
@@ -1601,6 +1642,8 @@ def render_forward(scene: DeviceScene, consts: FrameConstants,
            "object_id": jnp.where(mask, mat["object_id"], -1)}
     if "overflow" in attrs:
         out["overflow"] = attrs["overflow"]
+    if "pair_demand" in attrs:
+        out["pair_demand"] = attrs["pair_demand"]
     if tel:
         # demand/cap per adaptive compaction; > 1.0 = quality degraded
         # past the cap this frame (engine.run / bench.py surface it)

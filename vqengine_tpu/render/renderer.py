@@ -50,6 +50,7 @@ class FrameOutput:
     overflow: np.ndarray | None = None  # [3] dropped (pairs, row pairs, globals)
     hdr: np.ndarray | None = None    # pre-tonemap scene-referred [H, W, 3]
     saturation: dict | None = None   # adaptive-path demand/cap fractions
+    pair_demand: np.ndarray | None = None  # raster pair demand this frame
 
 
 class VQRendererTPU:
@@ -58,12 +59,20 @@ class VQRendererTPU:
         self.stats = FRenderStats()
         self._scene: graph.DeviceScene | None = None
         self._render_fns: dict = {}   # the "PSO cache"
+        # demand-sized binning capacity (raster.pair_cap_bucket): None =
+        # the safe T-sized default; adopted from measured frame demand,
+        # sticky upward (shrinking would churn recompiles), reset to safe
+        # on overflow (the GPU bin-buffer flush-and-resize analog)
+        self._pair_bucket: int | None = None
+        self._pair_demand_max: int = 0
 
     # ------------------------------------------------------------------
     def load_scene(self, buffers: SceneBuffers) -> None:
         from .scene_buffers import split_transparent
         opaque, transparent = split_transparent(buffers)
         self._scene = graph.upload_scene(opaque)
+        self._pair_bucket = None
+        self._pair_demand_max = 0
         self._scene_t = (graph.upload_scene(transparent)
                          if transparent is not None else None)
         self._buffers = buffers
@@ -96,7 +105,8 @@ class VQRendererTPU:
                        aniso_taps: int = 0,
                        slots_used: tuple | None = None,
                        ssao_quality: str = "medium",
-                       dynamic_item_ids: tuple | None = None):
+                       dynamic_item_ids: tuple | None = None,
+                       pair_capacity: int | None = None):
         from ..ops import shadow as shadow_ops
         if dynamic_item_ids is not None and len(dynamic_item_ids) > 16:
             # motion_vectors collapses sets > 16 to the palette path; a
@@ -113,7 +123,7 @@ class VQRendererTPU:
                enable_ssr, has_ssr_history, render_scale, cas_sharpness,
                shadow_filter, has_shadow_maps, enable_alpha_mask,
                has_transparent, aniso_taps, slots_used, ssao_quality,
-               dynamic_item_ids)
+               dynamic_item_ids, pair_capacity)
         fn = self._render_fns.get(key)
         if fn is None:
             rw = max(64, int(width * render_scale)) if render_scale != 1.0 else width
@@ -130,7 +140,8 @@ class VQRendererTPU:
                           enable_alpha_mask=enable_alpha_mask,
                           aniso_taps=aniso_taps, slots_used=slots_used,
                           ssao_quality=ssao_quality,
-                          dynamic_item_ids=dynamic_item_ids)
+                          dynamic_item_ids=dynamic_item_ids,
+                          pair_capacity=pair_capacity)
 
             def wrapped(scene, scene_t, consts, env, textures, ssr_history,
                         shadow_maps):
@@ -283,13 +294,15 @@ class VQRendererTPU:
                                  slots_used=getattr(self, "_slots_used",
                                                     None),
                                  ssao_quality=ssao_quality,
-                                 dynamic_item_ids=dynamic_item_ids)
+                                 dynamic_item_ids=dynamic_item_ids,
+                                 pair_capacity=self._pair_bucket)
         t0 = time.perf_counter()
         out = fn(self._scene, scene_t, consts, env, textures, ssr_history,
                  shadow_maps)
         ldr = out["ldr"]
         if readback:
             ldr = np.asarray(jax.device_get(ldr))
+            self._update_pair_bucket(out)
         self.stats.num_frames_rendered += 1
         self.stats.num_draws = int(self._buffers.indices.shape[0])
         self.stats.last_frame_ms = (time.perf_counter() - t0) * 1e3
@@ -299,4 +312,32 @@ class VQRendererTPU:
                            ssr_history=out.get("ssr_history"),
                            overflow=out.get("overflow"),
                            hdr=out.get("hdr"),
-                           saturation=out.get("saturation"))
+                           saturation=out.get("saturation"),
+                           pair_demand=out.get("pair_demand"))
+
+    def _update_pair_bucket(self, out: dict) -> None:
+        """Adopt a demand-sized binning capacity from the measured frame
+        (raster.pair_cap_bucket): sticky upward; overflow resets to the
+        safe T-sized default and the bucket re-grows from fresh demand.
+        Only called on readback frames — the scalar sync is free there
+        (the ldr readback already waited)."""
+        from ..ops import raster
+        dem = out.get("pair_demand")
+        if dem is None or self._scene is None:
+            return
+        ov = out.get("overflow")
+        if (ov is not None and self._pair_bucket is not None
+                and int(np.asarray(ov).sum()) > 0):
+            info(f"renderer: pair bucket {self._pair_bucket} overflowed — "
+                 f"resetting to the safe default cap")
+            self._pair_bucket = None
+            self._pair_demand_max = 0
+            return
+        self._pair_demand_max = max(self._pair_demand_max,
+                                    int(np.asarray(dem)))
+        t = int(self._scene.num_tris_live)
+        bucket = raster.pair_cap_bucket(self._pair_demand_max, t)
+        if bucket >= raster.default_pair_cap(t):
+            return  # no smaller than the safe default — skip the recompile
+        if self._pair_bucket is None or bucket > self._pair_bucket:
+            self._pair_bucket = bucket
