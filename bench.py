@@ -281,6 +281,13 @@ def main() -> None:
     # under cap — sparse.adaptive_threshold)
     degraded = {k: v for k, v in sat_max.items()
                 if not k.endswith("_demand") and v > 1.0}
+    # shed-all detection (the 171.9 run's silent quality drop): a ladder
+    # that picked its all-False rung while real demand existed ran the
+    # adaptive pass on NOTHING — report it as degradation, not success
+    for k, v in sat_max.items():
+        if (not k.endswith("_demand") and v == 0.0
+                and sat_max.get(k + "_demand", 0.0) > 1.0):
+            degraded[k] = "shed_all"
     _ = np.asarray(nop(jnp.zeros(4)))
 
     t0 = time.perf_counter()

@@ -83,6 +83,16 @@ def _assert_contract(results):
                     f"adaptive cap saturated at yaw={r['yaw']}: "
                     f"{k} = {v}x cap (the threshold ladder must have a "
                     f"satisfiable rung — see ops/texture.py ANISO_THRS)")
+                # the dual failure mode (r5 BENCH 171.9): a ladder that
+                # retreats to the all-False rung sheds the WHOLE adaptive
+                # pass while demand exists — the budget must buy the worst
+                # pixels, not nothing (unclamped-score rungs, ANISO_THRS)
+                dem = r["saturation"].get(k + "_demand")
+                if dem is not None and dem > 1.0:
+                    assert v > 0.0, (
+                        f"adaptive pass shed everything at yaw={r['yaw']}: "
+                        f"{k} = 0 at demand {dem}x cap (ladder rungs too "
+                        f"coarse to subdivide the demand)")
 
 
 def test_capacity_headroom_quarter_res():

@@ -322,7 +322,7 @@ class TestAdaptiveAniso:
         # EXACTLY; smaller fracs gracefully truncate to the clamped tap
         adap = np.asarray(tex.sample_texture_array_aniso(
             mips, tid, uv, num_taps=4, adaptive_frac=1))
-        _, _, ratio = tex.uv_mip_level_aniso(
+        _, _, ratio, _ = tex.uv_mip_level_aniso(
             uv, tex.tex_base_size(mips), tex.tex_num_levels(mips) - 1,
             max_aniso=8.0)
         ratio = np.asarray(ratio)

@@ -137,22 +137,20 @@ def main() -> None:
         real_trace = ssr_mod.trace_reflections
         real_dn = ssr_mod.denoise_reflections
 
-        r_full = timed("ssr full (14 steps, frac2)", lambda c: fwd(
+        r_full = timed("ssr full (14 steps, dense)", lambda c: fwd(
             c, enable_ssr=True))
 
-        def trace7(*a, **kw):
-            kw["num_steps"] = 7
-            return real_trace(*a, **kw)
-        ssr_mod.trace_reflections = trace7
-        graph.ssr_ops.trace_reflections = trace7
-        r_7 = timed("  - 7 march steps", lambda c: fwd(c, enable_ssr=True))
-
-        def trace_dense(*a, **kw):
-            kw["ray_frac"] = None
-            return real_trace(*a, **kw)
-        ssr_mod.trace_reflections = trace_dense
-        graph.ssr_ops.trace_reflections = trace_dense
-        r_dense = timed("  - dense rays (no compaction)", lambda c: fwd(
+        # finer fixed-cost attribution (r5ss3 measured: apply-composite
+        # stub saves only 0.3, trace-zeros saves 11.7 of the +22.6 total
+        # ⇒ ~10.6 in denoise + up2_fit upsamples + pools): stub each
+        def trace_zero(scene_color, depth, *a, **kw):
+            hh, ww = depth.shape
+            return (jnp.zeros((hh, ww, 3), scene_color.dtype)
+                    + scene_color * 1e-6,
+                    jnp.zeros((hh, ww), jnp.float32) + depth * 1e-6)
+        ssr_mod.trace_reflections = trace_zero
+        graph.ssr_ops.trace_reflections = trace_zero
+        r_notrace = timed("  - trace (zeros)", lambda c: fwd(
             c, enable_ssr=True))
         ssr_mod.trace_reflections = real_trace
         graph.ssr_ops.trace_reflections = real_trace
@@ -169,9 +167,33 @@ def main() -> None:
             c, enable_ssr=True))
         ssr_mod.denoise_reflections = real_dn
         graph.ssr_ops.denoise_reflections = real_dn
-        print(f"  -> 7-step save {r_full - r_7:+.1f}  "
-              f"dense-ray delta {r_dense - r_full:+.1f}  "
-              f"denoiser {r_full - r_nodn:+.1f}  (full +{r_full - b:.1f})",
+
+        real_up2 = graph.up2_fit
+
+        def up2_nearest(x, h, w):
+            r = -(-h // x.shape[0])
+            y = jnp.repeat(jnp.repeat(x, r, 0), r, 1)
+            return y[:h, :w]
+        graph.up2_fit = up2_nearest
+        r_noup = timed("  - up2_fit bilinear (nearest)", lambda c: fwd(
+            c, enable_ssr=True))
+        graph.up2_fit = real_up2
+
+        def trace8(*a, **kw):
+            kw["num_steps"] = 8
+            return real_trace(*a, **kw)
+        ssr_mod.trace_reflections = trace8
+        graph.ssr_ops.trace_reflections = trace8
+        r_s8 = timed("  - 8 march steps (vs 14)", lambda c: fwd(
+            c, enable_ssr=True))
+        ssr_mod.trace_reflections = real_trace
+        graph.ssr_ops.trace_reflections = real_trace
+
+        print(f"  -> trace-total {r_full - r_notrace:+.1f}  "
+              f"denoiser {r_full - r_nodn:+.1f}  "
+              f"up2 bilinear {r_full - r_noup:+.1f}  "
+              f"steps8 save {r_full - r_s8:+.1f}  "
+              f"(full +{r_full - b:.1f})",
               flush=True)
 
 

@@ -906,6 +906,18 @@ class VQEngineTPU:
                                     f"{self.num_ticks}: {k} demand = "
                                     f"{frac:.2f}x capacity (quality "
                                     f"degraded on the overflow pixels)")
+                            elif (frac == 0.0
+                                  and not k.endswith("_demand")
+                                  and float(np.asarray(last.saturation.get(
+                                      k + "_demand", 0.0))) > 1.0):
+                                # ladder retreated to its all-False rung
+                                # while real demand existed: the adaptive
+                                # pass ran on NOTHING (the r5 tex_aniso
+                                # shed — rungs too coarse for the demand)
+                                log.warning(
+                                    f"adaptive pass shed everything at "
+                                    f"frame {self.num_ticks}: {k} = 0 "
+                                    f"with over-cap demand")
         except Exception as e:  # noqa: BLE001
             log.error(f"frame {self.num_ticks} failed: {e}")
             raise

@@ -26,6 +26,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Adaptive-aniso-walk activation ladder, scored on the UNCLAMPED
+# anisotropy ratio. The clamp (uv_mip_level_aniso) piles every grazing
+# pixel at exactly max_aniso, so a clamped-score ladder cannot subdivide
+# that tier: when the tier alone exceeds the walk capacity the only
+# satisfiable rung is all-False and the walk silently sheds EVERYTHING
+# (observed in the r5 BENCH 171.9 run — tex_aniso 0.0 at 17.5x-cap
+# demand). Rungs above the clamp rank within the tier by TRUE anisotropy,
+# so any capacity buys the genuinely worst pixels; inf is the
+# always-satisfiable "walk nothing" top rung (only reached when even the
+# 256x-anisotropy set overflows). Pixels below the chosen rung keep the
+# aniso-clamped single tap: over-blurred, never aliased.
+ANISO_THRS = (1.3, 1.6, 2.0, 2.6, 3.4, 4.4, 5.6, 7.0,
+              10.0, 14.0, 20.0, 32.0, 64.0, 256.0, float("inf"))
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -190,7 +204,7 @@ def sample_texture_pair_aniso(pt: PackedTextures, pair_id: jnp.ndarray,
     the compacted ellipse walk of sample_texture_array_aniso (aux maps
     are low-frequency; the walk doesn't pay for them, matching the
     unpaired path). Returns (diffuse rgba, aux rgba)."""
-    lod_m, major, ratio = uv_mip_level_aniso(
+    lod_m, major, ratio, ratio_raw = uv_mip_level_aniso(
         uv, tex_base_size(pt), tex_num_levels(pt) - 1, max_aniso=max_aniso)
     max_lod = tex_num_levels(pt) - 1
     lod1 = jnp.clip(lod_m + jnp.log2(jnp.maximum(ratio, 1.0)), 0.0, max_lod)
@@ -212,14 +226,13 @@ def sample_texture_pair_aniso(pt: PackedTextures, pair_id: jnp.ndarray,
     from . import sparse
     n = int(np.prod(ratio.shape))
     cap = -(-max(512, n // adaptive_frac) // 8) * 8
-    ANISO_THRS = (1.3, 1.6, 2.0, 2.6, 3.4, 4.4, 5.6, 7.0, float(max_aniso))
-    thr, _db = sparse.adaptive_threshold(ratio, ANISO_THRS, cap, block=8)
-    active = ratio > thr
+    thr, _db = sparse.adaptive_threshold(ratio_raw, ANISO_THRS, cap, block=8)
+    active = ratio_raw > thr
     idx, count, demand = sparse.compact_indices(active, cap, block=8)
     if telemetry is not None:
         telemetry["tex_aniso"] = demand.astype(jnp.float32) / cap
         telemetry["tex_aniso_demand"] = sparse.block_count(
-            ratio > ANISO_THRS[0], 8).astype(jnp.float32) * 8 / cap
+            ratio_raw > ANISO_THRS[0], 8).astype(jnp.float32) * 8 / cap
     live = (jnp.arange(cap) < count) & active.reshape(-1)[idx]
 
     def g(v):
@@ -329,11 +342,15 @@ def uv_mip_level_aniso(uv: jnp.ndarray, tex_size: int, max_mip: int,
     major_is_x = lx >= ly
     rho_maj = jnp.maximum(jnp.maximum(lx, ly), 1e-12)
     rho_min = jnp.maximum(jnp.minimum(lx, ly), 1e-12)
-    ratio = jnp.minimum(rho_maj / rho_min, max_aniso)
+    ratio_raw = rho_maj / rho_min
+    ratio = jnp.minimum(ratio_raw, max_aniso)
     # LOD so that (#taps = ratio) x (minor footprint) covers the ellipse
     lod = jnp.log2(jnp.maximum(rho_maj / ratio * tex_size, 1e-6)) + bias
     major = jnp.where(major_is_x[..., None], duv_dx, duv_dy)
-    return jnp.clip(lod, 0.0, max_mip), major, ratio
+    # ratio_raw (UNCLAMPED) rides along for the adaptive-walk ladder: it
+    # orders pixels WITHIN the clamped tier by true anisotropy, which the
+    # clamped ratio cannot (every grazing pixel reads exactly max_aniso)
+    return jnp.clip(lod, 0.0, max_mip), major, ratio, ratio_raw
 
 
 def _bilinear_from_level(level: jnp.ndarray, tex_id: jnp.ndarray,
@@ -532,7 +549,7 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
     ~2 dense taps instead of 8. Pixels past the capacity keep the
     aniso-clamped single tap (over-blurred, never aliased). None = dense
     num_taps everywhere."""
-    lod, major, ratio = uv_mip_level_aniso(
+    lod, major, ratio, ratio_raw = uv_mip_level_aniso(
         uv, tex_base_size(mips), tex_num_levels(mips) - 1,
         max_aniso=max_aniso)
     # the adaptive machinery costs ~1 dense tap (compaction scatter +
@@ -557,18 +574,10 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
     # past the base 1.3 ratio — raster-order truncation would walk the
     # top of the frame and clamp the bottom). Pixels below the chosen
     # threshold keep the aniso-clamped single tap: over-blurred, never
-    # aliased, worst-first budget spend.
-    # top rung = max_aniso: ratio is CLAMPED to max_aniso
-    # (uv_mip_level_aniso), so `ratio > max_aniso` is all-False — a
-    # "walk nothing" rung that always fits. Without it, pixels in
-    # (7.0, max_aniso] are active at every rung and a frame with more
-    # of them than cap MUST truncate (the BENCH_r04 saturation death:
-    # demand 1.018x cap with no satisfiable threshold to retreat to).
-    # Shedding the whole walk on such frames is the graceful floor:
-    # every pixel keeps the aniso-clamped single tap.
-    ANISO_THRS = (1.3, 1.6, 2.0, 2.6, 3.4, 4.4, 5.6, 7.0, float(max_aniso))
-    thr, _db = sparse.adaptive_threshold(ratio, ANISO_THRS, cap, block=8)
-    active = ratio > thr
+    # aliased, worst-first budget spend. The ladder scores the UNCLAMPED
+    # ratio (see ANISO_THRS).
+    thr, _db = sparse.adaptive_threshold(ratio_raw, ANISO_THRS, cap, block=8)
+    active = ratio_raw > thr
     # block=8: high-anisotropy pixels are grazing-angle floors — long
     # raster-order runs — so blocks stay near-full and the compaction
     # scatter (the dominant cost at 1080p) shrinks 8x
@@ -579,7 +588,7 @@ def sample_texture_array_aniso(mips, tex_id: jnp.ndarray,
         # demand, informational (engine telemetry, not asserted)
         telemetry["tex_aniso"] = demand.astype(jnp.float32) / cap
         telemetry["tex_aniso_demand"] = sparse.block_count(
-            ratio > ANISO_THRS[0], 8).astype(jnp.float32) * 8 / cap
+            ratio_raw > ANISO_THRS[0], 8).astype(jnp.float32) * 8 / cap
     live = (jnp.arange(cap) < count) & active.reshape(-1)[idx]
 
     def g(v):
